@@ -1,0 +1,133 @@
+"""Expression-language tests: grammar forms P1-P16 from SURVEY.md §2.2,
+validated against direct DataFrame predicates and DuckDB."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.exprlang import compile_expr, parse
+from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError
+
+
+def n_rows(df, expr):
+    return df.filter(compile_expr(expr, df)).count()
+
+
+def test_p1_comparisons(tables):
+    li = tables["lineitem"].df
+    assert n_rows(li, "l_quantity == 1.0") == li.filter("l_quantity = 1.0").count()
+    assert n_rows(li, "l_orderkey != 1") == li.filter("l_orderkey <> 1").count()
+    assert n_rows(li, "l_discount >= 0.05") == li.filter("l_discount >= 0.05").count()
+
+
+def test_p2_combined_range(tables):
+    li = tables["lineitem"].df
+    expected = li.filter("l_quantity >= 10 and l_quantity <= 20").count()
+    assert n_rows(li, "10 <= l_quantity <= 20") == expected
+    assert n_rows(li, "l_quantity >= 10 and l_quantity <= 20") == expected
+    assert n_rows(li, "l_quantity >= 10 && l_quantity <= 20") == expected
+
+
+def test_p3_connectives(tables):
+    o = tables["orders"].df
+    a = n_rows(o, 'o_orderstatus == "F" or o_totalprice > 100000')
+    b = n_rows(o, 'o_orderstatus == "F" || o_totalprice > 100000')
+    assert a == b > 0
+    assert n_rows(o, 'not (o_orderstatus == "F")') == \
+        o.filter("o_orderstatus <> 'F'").count()
+
+
+def test_p4_p5_in(tables):
+    c = tables["customer"].df
+    exp = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).count()
+    assert n_rows(c, 'c_mktsegment in ["BUILDING", "MACHINERY"]') == exp
+    assert n_rows(c, 'c_mktsegment not in ["BUILDING", "MACHINERY"]') == \
+        c.count() - exp
+
+
+def test_p6_like(tables):
+    p = tables["part"].df
+    assert n_rows(p, 'p_name like "%a%"') == p.filter("p_name like '%a%'").count()
+    assert n_rows(p, 'p_brand like "Brand#1_"') == \
+        p.filter("p_brand like 'Brand#1_'").count()
+
+
+def test_p7_json_path(tables):
+    e = tables["events"].df
+    exp = e.filter(F.get_json_object("props", "$.k").cast("double") >= 50).count()
+    assert n_rows(e, 'props["k"] >= 50') == exp
+    assert 0 < exp < e.count()
+
+
+def test_p8_array_access(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30, 40])], "id int, a array<int>")
+    assert n_rows(df, "a[0] == 10") == 1
+    assert n_rows(df, "a[1] in [20, 40]") == 2
+
+
+def test_p9_p10_array_contains(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["y", "z"]), (3, ["q"])], "id int, tags array<string>")
+    assert n_rows(df, 'array_contains(tags, "y")') == 2
+    assert n_rows(df, 'array_contains_any(tags, ["x", "z"])') == 2
+    assert n_rows(df, 'array_contains_all(tags, ["y", "z"])') == 1
+    assert n_rows(df, "array_length(tags) == 2") == 2
+
+
+def test_p11_json_contains(spark):
+    df = spark.createDataFrame(
+        [(1, '{"tags": ["a", "b"]}'), (2, '{"tags": ["b"]}')], "id int, j string")
+    assert n_rows(df, 'json_contains(j["tags"], "a")') == 1
+    assert n_rows(df, 'json_contains_any(j["tags"], ["a", "b"])') == 2
+    assert n_rows(df, 'json_contains_all(j["tags"], ["a", "b"])') == 1
+
+
+def test_p12_st_contains(spark):
+    df = spark.createDataFrame(
+        [(1, "POINT (0.5 0.5)"), (2, "POINT (2.0 2.0)"), (3, "POINT (-1.0 0.5)")],
+        "id int, loc string")
+    expr = 'st_contains(loc, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")'
+    got = sorted(r["id"] for r in df.filter(compile_expr(expr, df)).collect())
+    assert got == [1]
+
+
+def test_p13_bool_eq(spark):
+    df = spark.createDataFrame([(1, True), (2, False)], "id int, flag boolean")
+    assert n_rows(df, "flag == True") == 1
+    assert n_rows(df, "flag == false") == 1
+
+
+def test_p14_string_escaping(spark):
+    df = spark.createDataFrame([(1, 'a"b'), (2, "a'b")], "id int, s string")
+    assert n_rows(df, 's == "a\\"b"') == 1
+    assert n_rows(df, "s == 'a\\'b'") == 1
+
+
+def test_p15_empty_filter(tables):
+    li = tables["lineitem"].df
+    assert n_rows(li, "") == li.count()
+
+
+def test_p16_compound(tables):
+    li = tables["lineitem"].df
+    expr = ('l_quantity > 45 || l_discount > 0.09 '
+            'or (l_returnflag == "R" and l_linenumber in [1, 2])')
+    exp = li.filter(
+        "l_quantity > 45 or l_discount > 0.09 "
+        "or (l_returnflag = 'R' and l_linenumber in (1, 2))").count()
+    assert n_rows(li, expr) == exp
+
+
+def test_pushdown_reaches_parquet(tables):
+    li = tables["lineitem"].df
+    plan = li.filter(compile_expr("l_orderkey <= 100", li)) \
+        .select("l_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan
+
+
+def test_syntax_errors():
+    for bad in ["l_orderkey ==", "a >", "in [1,2]", 'x like 5', "(a == 1"]:
+        with pytest.raises((ExprSyntaxError, Exception)):
+            parse(bad)

@@ -1,0 +1,106 @@
+"""Collection/table abstraction.
+
+The reference's fundamental unit is a *collection*: a named table with exactly
+one primary-key field, scalar fields, vector fields, optional JSON / array /
+dynamic fields and partitions (schema spec semantics:
+``milvus-bricks/milvus_client/common/schema.py:13-62`` in the reference).
+
+Here a collection is a DataFrame plus a small metadata record. Parquet is the
+storage format (the reference's own bulk format —
+``milvus_client/query_iterator.py:225-260``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Columns that hold JSON-encoded strings (compiled as JSON-path accessors by
+# the expression language, mirroring Milvus JSON fields).
+JSON_COLUMNS: dict[str, set[str]] = {
+    "events": {"props"},
+}
+
+# Primary-key column per testdata table (uniqueness contract; Milvus PK
+# semantics — lineitem's PK is composite).
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+@dataclass
+class Collection:
+    """A loaded collection: DataFrame + schema metadata."""
+
+    name: str
+    df: DataFrame
+    pk: tuple[str, ...] = ()
+    json_columns: set[str] = field(default_factory=set)
+    vector_columns: set[str] = field(default_factory=set)
+
+    @property
+    def pk_col(self) -> str:
+        """Single-column PK accessor (first key for composite PKs)."""
+        return self.pk[0]
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns declared TIMESTAMP(NANOS) in the parquet footer — Spark reads
+    them as bigint (nanosAsLong); we restore TimestampType at micro precision
+    (matching DuckDB's timestamp semantics for the oracle)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for f in schema:
+        t = f.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(f.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_collection(spark: SparkSession, sf_dir: str, name: str) -> Collection:
+    df = load_table(spark, sf_dir, name)
+    vector_cols = {
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString().startswith("array<float")
+        or f.dataType.simpleString().startswith("array<double")
+    }
+    return Collection(
+        name=name,
+        df=df,
+        pk=PRIMARY_KEYS.get(name, ()),
+        json_columns=set(JSON_COLUMNS.get(name, set())),
+        vector_columns=vector_cols,
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, Collection]:
+    """Load every testdata table as a Collection keyed by name."""
+    return {t: load_collection(spark, sf_dir, t) for t in TESTDATA_TABLES}

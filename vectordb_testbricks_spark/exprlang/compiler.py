@@ -1,0 +1,305 @@
+"""AST → ``pyspark.sql.Column`` lowering.
+
+Everything compiles to built-in Spark SQL functions (JVM-side, codegen-able):
+simple comparisons reach the parquet scan as ``PushedFilters``; JSON paths use
+``get_json_object``; array ops use ``array_contains``/``arrays_overlap``/
+``array_except``; ``ST_CONTAINS`` with a literal polygon is unrolled into a
+ray-casting crossing-parity expression over the polygon's edges (no UDF).
+
+Type discipline: Milvus compares JSON-path values numerically; we cast the
+extracted JSON string based on the literal operand's Python type (numeric →
+double, bool → boolean, str → as-is).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectordb_testbricks_spark.exprlang import parser as ast
+from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError, parse
+
+
+class ExprCompileError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- operand IR
+
+class _Operand:
+    """Compiled operand: a Column plus enough type info to pick casts."""
+
+    def __init__(self, col: Column, kind: str, dtype: T.DataType | None = None,
+                 json_path_of: tuple[Column, str] | None = None):
+        self.col = col
+        self.kind = kind  # "col" | "json" | "lit"
+        self.dtype = dtype
+        # for json operands: (root Column, '$.path') so functions like
+        # json_contains can re-extract with a different result type
+        self.json_path_of = json_path_of
+
+
+def _lit_operand(value) -> _Operand:
+    return _Operand(F.lit(value), "lit", None)
+
+
+def _cast_for(value) -> str | None:
+    """Spark cast target for comparing a JSON-extracted string to `value`."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "double"
+    return None
+
+
+class _Compiler:
+    def __init__(self, df: DataFrame, json_columns: set[str] | None = None):
+        self.df = df
+        self.schema = {f.name: f.dataType for f in df.schema.fields}
+        self.json_columns = set(json_columns or ())
+
+    # ------------------------------------------------------------ operands
+
+    def operand(self, node) -> _Operand:
+        if isinstance(node, ast.Lit):
+            return _lit_operand(node.value)
+        if isinstance(node, ast.ListLit):
+            return _Operand(F.array(*[F.lit(v) for v in node.items]), "lit", None)
+        if isinstance(node, ast.Path):
+            return self.path(node)
+        if isinstance(node, ast.Call):
+            # value-returning functions usable as comparison operands
+            if node.func == "array_length":
+                return _Operand(F.size(self._array_arg(node.args[0], None)),
+                                "col", T.IntegerType())
+            raise ExprCompileError(
+                f"function {node.func!r} is a predicate, not an operand")
+        raise ExprCompileError(f"cannot compile operand {node!r}")
+
+    def path(self, node: ast.Path) -> _Operand:
+        if node.name not in self.schema:
+            raise ExprCompileError(f"unknown column {node.name!r}")
+        dtype = self.schema[node.name]
+        col = F.col(node.name)
+        if not node.accessors:
+            return _Operand(col, "col", dtype)
+        # JSON-string column (declared or duck-typed: string + accessors)
+        if isinstance(dtype, T.StringType):
+            path = "$" + "".join(
+                f"[{a}]" if isinstance(a, int) else f".{a}" for a in node.accessors)
+            return _Operand(F.get_json_object(col, path), "json", None,
+                            json_path_of=(col, path))
+        cur = col
+        cur_type = dtype
+        for a in node.accessors:
+            if isinstance(cur_type, T.ArrayType):
+                if not isinstance(a, int):
+                    raise ExprCompileError(
+                        f"array column {node.name!r} needs integer index, got {a!r}")
+                cur = cur.getItem(a)
+                cur_type = cur_type.elementType
+            elif isinstance(cur_type, T.MapType):
+                cur = cur.getItem(a)
+                cur_type = cur_type.valueType
+            elif isinstance(cur_type, T.StructType):
+                cur = cur.getField(str(a))
+                cur_type = cur_type[str(a)].dataType
+            elif isinstance(cur_type, T.StringType):
+                # nested JSON inside struct/map values
+                path = f"$.{a}" if not isinstance(a, int) else f"$[{a}]"
+                return _Operand(F.get_json_object(cur, path), "json", None,
+                                json_path_of=(cur, path))
+            else:
+                raise ExprCompileError(
+                    f"cannot index into {cur_type.simpleString()} ({node.name!r})")
+        return _Operand(cur, "col", cur_type)
+
+    # ---------------------------------------------------------- predicates
+
+    def predicate(self, node) -> Column:
+        if isinstance(node, ast.TrueLit):
+            return F.lit(True)
+        if isinstance(node, ast.And):
+            return self.predicate(node.left) & self.predicate(node.right)
+        if isinstance(node, ast.Or):
+            return self.predicate(node.left) | self.predicate(node.right)
+        if isinstance(node, ast.Not):
+            return ~self.predicate(node.operand)
+        if isinstance(node, ast.Cmp):
+            return self.cmp(node)
+        if isinstance(node, ast.In):
+            return self.in_(node)
+        if isinstance(node, ast.Like):
+            op = self.operand(node.operand)
+            return op.col.like(node.pattern)
+        if isinstance(node, ast.Call):
+            return self.call(node)
+        if isinstance(node, ast.Lit) and isinstance(node.value, bool):
+            return F.lit(node.value)
+        raise ExprCompileError(f"cannot compile predicate {node!r}")
+
+    def cmp(self, node: ast.Cmp) -> Column:
+        left, right = self.operand(node.left), self.operand(node.right)
+        lc, rc = left.col, right.col
+        # JSON-extracted strings compare typed against the literal side
+        if left.kind == "json" and right.kind == "lit":
+            cast = _cast_for(_lit_value(node.right))
+            if cast:
+                lc = lc.cast(cast)
+        if right.kind == "json" and left.kind == "lit":
+            cast = _cast_for(_lit_value(node.left))
+            if cast:
+                rc = rc.cast(cast)
+        ops = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+        }
+        return ops[node.op](lc, rc)
+
+    def in_(self, node: ast.In) -> Column:
+        op = self.operand(node.operand)
+        if not isinstance(node.items, ast.ListLit):
+            raise ExprCompileError("'in' requires a list literal")
+        items = list(node.items.items)
+        col = op.col
+        if op.kind == "json" and items:
+            cast = _cast_for(items[0])
+            if cast:
+                col = col.cast(cast)
+        pred = col.isin(items)
+        return ~pred if node.negated else pred
+
+    # ----------------------------------------------------------- functions
+
+    def call(self, node: ast.Call) -> Column:
+        fn = node.func
+        if fn in ("array_contains", "json_contains"):
+            arr, elem = self._array_arg(node.args[0], node.args[1]), node.args[1]
+            return F.array_contains(arr, _lit_value(elem))
+        if fn in ("array_contains_any", "json_contains_any"):
+            arr = self._array_arg(node.args[0], _first_item(node.args[1]))
+            probe = F.array(*[F.lit(v) for v in _list_values(node.args[1])])
+            return F.arrays_overlap(arr, probe)
+        if fn in ("array_contains_all", "json_contains_all"):
+            arr = self._array_arg(node.args[0], _first_item(node.args[1]))
+            probe = F.array(*[F.lit(v) for v in _list_values(node.args[1])])
+            return F.size(F.array_except(probe, arr)) == 0
+        if fn == "array_length":
+            return F.size(self._array_arg(node.args[0], None))
+        if fn == "st_contains":
+            return self.st_contains(node.args[0], node.args[1])
+        if fn == "starts_with":
+            op = self.operand(node.args[0])
+            return op.col.startswith(str(_lit_value(node.args[1])))
+        raise ExprCompileError(f"unknown function {fn!r}")
+
+    def _array_arg(self, node, elem_hint) -> Column:
+        """Compile an argument that must be an array: a real ArrayType column
+        or a JSON path holding a JSON array (re-extracted via from_json)."""
+        op = self.operand(node)
+        if op.kind == "col" and isinstance(op.dtype, T.ArrayType):
+            return op.col
+        if op.kind == "col" and isinstance(op.dtype, T.StringType):
+            # whole string column holding a JSON array
+            return F.from_json(op.col, _json_array_type(elem_hint))
+        if op.kind == "json":
+            root, path = op.json_path_of
+            return F.from_json(F.get_json_object(root, path),
+                               _json_array_type(elem_hint))
+        raise ExprCompileError(f"expected array operand, got {node!r}")
+
+    def st_contains(self, field_node, poly_node) -> Column:
+        """Point-in-polygon via ray casting, unrolled into Column expressions
+        (reference: run_go_bench_horizon.py:98-101; polygon construction
+        cal_polygon_by_point.py:3-55). The polygon is a literal WKT string;
+        the field holds WKT ``POINT (x y)`` strings."""
+        poly = _lit_value(poly_node)
+        verts = _parse_wkt_polygon(str(poly))
+        op = self.operand(field_node)
+        x = F.regexp_extract(op.col, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1) \
+            .cast("double")
+        y = F.regexp_extract(op.col, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2) \
+            .cast("double")
+        return _ray_cast(x, y, verts)
+
+
+def _ray_cast(x: Column, y: Column, verts: list[tuple[float, float]]) -> Column:
+    """Crossing-parity point-in-polygon as a pure Column expression."""
+    crossings = F.lit(0)
+    n = len(verts)
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge never crosses the upward ray test
+        cond = (
+            ((F.lit(yi) > y) != (F.lit(yj) > y))
+            & (x < (F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)))
+        )
+        crossings = crossings + F.when(cond, 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def _parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    m = re.match(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", wkt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ExprCompileError(f"bad WKT polygon: {wkt!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        xs, ys = pair.split()
+        pts.append((float(xs), float(ys)))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ExprCompileError(f"polygon needs >= 3 vertices: {wkt!r}")
+    return pts
+
+
+def _lit_value(node):
+    if isinstance(node, ast.Lit):
+        return node.value
+    raise ExprCompileError(f"expected literal, got {node!r}")
+
+
+def _list_values(node):
+    if isinstance(node, ast.ListLit):
+        return list(node.items)
+    raise ExprCompileError(f"expected list literal, got {node!r}")
+
+
+def _first_item(node):
+    vals = _list_values(node)
+    return vals[0] if vals else None
+
+
+def _json_array_type(elem_hint) -> str:
+    if isinstance(elem_hint, ast.Lit):
+        elem_hint = elem_hint.value
+    if isinstance(elem_hint, bool):
+        return "array<boolean>"
+    if isinstance(elem_hint, int):
+        return "array<bigint>"
+    if isinstance(elem_hint, float):
+        return "array<double>"
+    return "array<string>"
+
+
+def compile_expr(expr: str, df: DataFrame,
+                 json_columns: set[str] | None = None) -> Column:
+    """Compile a Milvus filter-expression string to a boolean Column for `df`.
+
+    Empty/None expression compiles to ``lit(True)`` (full scan,
+    reference validators.py:61-65).
+    """
+    node = parse(expr)
+    return _Compiler(df, json_columns).predicate(node)
+
+
+__all__ = ["compile_expr", "parse", "ExprCompileError", "ExprSyntaxError"]

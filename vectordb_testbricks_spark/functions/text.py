@@ -1,0 +1,48 @@
+"""Text expression helpers: tokenization + engine-portable hashing.
+
+Portability contract: every hash that feeds a correctness-checked result must
+be reproducible in the DuckDB oracle. ``xxhash64``/``hash`` differ between
+engines, so we derive 64-bit integers from ``md5`` (identical hex output in
+Spark and DuckDB): take the first 15 hex chars (60 bits, fits signed int64).
+
+Spark:  conv(substr(md5(s), 1, 15), 16, 10) :: bigint
+DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenizer shared with every oracle: lowercase, split on non-alphanumeric
+# runs, drop empties. DuckDB twin:
+#   list_filter(string_split_regex(lower(s), '[^a-z0-9]+'), t -> t != '')
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(c: Column) -> Column:
+    """Standard-analyzer-style tokenization (reference enable_analyzer fields,
+    schema_matrix_2_6.yaml:52; BM25 input)."""
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def md5_long(c: Column) -> Column:
+    """Portable 60-bit non-negative integer hash of a string column."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_long` for oracle SQL strings."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def shingles(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles from a token array: array of space-joined n-grams.
+    Documents shorter than n tokens yield their full token join as the single
+    shingle (so every doc has >= 1 shingle)."""
+    joined_all = F.array_join(tokens, " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, ngrams).otherwise(F.array(joined_all))

@@ -1,0 +1,96 @@
+"""Dense/sparse vector distance expressions.
+
+The reference searches with metrics L2 / IP / COSINE / HAMMING / BM25
+(``manifests/schema_matrix_2_6.yaml:72-81``). Here each metric is a pure
+Column expression over ``array<float>`` columns — ``zip_with`` +
+``aggregate`` stay inside whole-stage codegen, so brute-force scoring runs at
+JVM speed with no Python in the loop.
+
+Numeric discipline: elements are cast to double *before* multiplication and
+accumulated left-to-right in double, which matches DuckDB's
+``list_dot_product(CAST(a AS DOUBLE[]), ...)`` bit-for-bit — required for the
+DuckDB correctness oracle to hash-match.
+
+L2 convention: Milvus's L2 metric returns the *squared* euclidean distance;
+``l2_sq`` follows that (reference search params, workload.py:140-152).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Inner product (Milvus metric IP)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance (Milvus metric L2)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity (Milvus metric COSINE; higher = closer)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hamming_sign(a: Column, b: Column) -> Column:
+    """HAMMING distance over sign-bit binarization of two float vectors.
+
+    The reference's BINARY_VECTOR is a packed bit vector searched with
+    HAMMING (schema_matrix_2_6.yaml:63,80; packing at 2.6/common.py:317-325).
+    We binarize by sign (>= 0 → 1), the standard embedding binarization, and
+    count disagreeing bits. Pure integer expression, oracle-reproducible.
+    """
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: ((x >= 0).cast("int") != (y >= 0).cast("int")).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sparse_dot_map(a: Column, b: Column) -> Column:
+    """Inner product of two MapType(int/str -> float) sparse vectors
+    (SPARSE_FLOAT_VECTOR, reference data.py:57-59): sum over the key
+    intersection of products."""
+    return F.aggregate(
+        F.map_values(F.map_zip_with(a, b, lambda _, x, y: x * y)),
+        F.lit(0.0),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
+    )
+
+
+METRICS = {
+    "L2": (l2_sq, "asc"),
+    "IP": (dot, "desc"),
+    "COSINE": (cosine_sim, "desc"),
+    "HAMMING": (hamming_sign, "asc"),
+}
+
+
+def score_expr(metric: str, a: Column, b: Column) -> tuple[Column, bool]:
+    """Return (score column, ascending?) for a metric name."""
+    fn, order = METRICS[metric.upper()]
+    return fn(a, b), order == "asc"

@@ -1,0 +1,141 @@
+"""Brute-force vector search operators (SURVEY.md §2.4: V1, V2, V5, V6, V12).
+
+Reference semantics (search_permanently.py:137-188, workload.py:221-247):
+``search(collection, data=[qvec]*nq, anns_field, metric, limit=topk, filter,
+output_fields, group_by_field)`` → per-query ranked hit list (id, distance).
+
+Spark plan shape:
+    queries (tiny, broadcast) ⨯ base  →  score expression (codegen)
+      →  per-partition local top-k     (window over (query, partition_id))
+      →  global top-k                  (window over (query,) on ~nq·k·P rows)
+
+The two-phase top-k is the 100-TB design point: a single window over
+``partitionBy(query_id)`` would shuffle the *entire* scored table into nq
+partitions (catastrophic skew at nq=1). Phase 1 instead shuffles evenly over
+(query_id, spark_partition_id) — same total volume but full parallelism —
+and phase 2 only sees nq × k × num_partitions pre-filtered rows.
+
+Exact brute-force is the *declared* semantics (the correctness oracle);
+the IVF index in ``ann_index.py`` is the opt-in approximate physical path,
+mirroring the reference's index/params split (workload.py:140-152).
+
+Ties broken by id ascending in every ranking — keeps Spark and the DuckDB
+oracle deterministic on equal scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectordb_testbricks_spark.exprlang import compile_expr
+from vectordb_testbricks_spark.functions.vector import score_expr, sparse_dot_map
+
+
+def queries_df(spark, vectors: list[list[float]]) -> DataFrame:
+    """Build the (query_id, qvec) side from literal query vectors."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        T.StructType([
+            T.StructField("query_id", T.IntegerType(), False),
+            T.StructField("qvec", T.ArrayType(T.DoubleType(), False), False),
+        ]),
+    )
+
+
+def _ranked(scored: DataFrame, id_col: str, asc: bool, k: int,
+            extra_partition: list[str] | None = None,
+            two_phase: bool = True) -> DataFrame:
+    order = [F.col("score").asc() if asc else F.col("score").desc(),
+             F.col(id_col).asc()]
+    part = ["query_id", *(extra_partition or [])]
+    if two_phase:
+        local = Window.partitionBy(*part, "_pid").orderBy(*order)
+        scored = (scored
+                  .withColumn("_pid", F.spark_partition_id())
+                  .withColumn("_lr", F.row_number().over(local))
+                  .filter(F.col("_lr") <= k)
+                  .drop("_pid", "_lr"))
+    w = Window.partitionBy(*part).orderBy(*order)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+               metric: str = "L2", k: int = 10,
+               flt: str | Column | None = None,
+               output_fields: list[str] | None = None,
+               group_by: str | None = None, group_size: int = 1,
+               two_phase: bool = True) -> DataFrame:
+    """V1/V2/V5: ANN top-k per query vector, optional pre-filter + grouping.
+
+    ``queries`` must have (query_id, qvec). Returns
+    (query_id, <id_col>, [output_fields...], score, rank) with rank 1..k.
+
+    Grouping search (group_by != None): top ``group_size`` hits per
+    (query, group), then the best-``k`` *groups* per query, matching Milvus
+    ``group_by_field`` (issues.py:79-88).
+    """
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
+        base = base.filter(pred)  # pre-filter before ranking (V2)
+    score, asc = score_expr(metric, F.col(vec_col), F.col("qvec"))
+    keep = [id_col, *(output_fields or []), *([group_by] if group_by else [])]
+    keep = list(dict.fromkeys(keep))
+    scored = (base.crossJoin(F.broadcast(queries))
+              .select("query_id", *keep, score.alias("score")))
+    if group_by:
+        # best `group_size` hits per (query, group) — the group key spreads
+        # the window shuffle evenly, no skew concentration
+        per_group = Window.partitionBy("query_id", group_by).orderBy(
+            F.col("score").asc() if asc else F.col("score").desc(),
+            F.col(id_col).asc())
+        best = (scored.withColumn("rank", F.row_number().over(per_group))
+                .filter(F.col("rank") <= group_size))
+        # rank *groups* by their best hit, keep top-k groups (Milvus
+        # group_by_field returns `limit` groups × group_size hits)
+        gs = F.min("score") if asc else F.max("score")
+        best = best.withColumn(
+            "_gs", gs.over(Window.partitionBy("query_id", group_by)))
+        rw = Window.partitionBy("query_id").orderBy(
+            F.col("_gs").asc() if asc else F.col("_gs").desc(),
+            F.col(group_by).asc())
+        return (best.withColumn("group_rank", F.dense_rank().over(rw))
+                .filter(F.col("group_rank") <= k).drop("_gs"))
+    return _ranked(scored, id_col, asc, k, two_phase=two_phase)
+
+
+def sparse_search(base: DataFrame, query_map: dict, map_col: str, id_col: str,
+                  k: int = 10, flt: str | Column | None = None) -> DataFrame:
+    """V6: inner-product search over SPARSE_FLOAT_VECTOR (MapType) columns.
+
+    The query is a {index: weight} dict (reference DOK form, data.py:57-59).
+    Compiled as a literal map → map_zip_with dot product, no shuffle at all
+    until the top-k reduction.
+    """
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
+        base = base.filter(pred)
+    entries = [x for kv in query_map.items() for x in kv]
+    qm = F.create_map(*[F.lit(v) for v in entries])
+    scored = (base.withColumn("query_id", F.lit(0))
+              .select("query_id", id_col,
+                      sparse_dot_map(F.col(map_col), qm).alias("score"))
+              .filter(F.col("score") > 0))
+    return _ranked(scored, id_col, asc=False, k=k)
+
+
+def check_result_shape(hits: DataFrame, nq: int, topk: int,
+                       min_ratio: float = 0.0) -> dict:
+    """V12: result-shape assertions (workload.py:155-162): exactly nq hit
+    lists, each non-empty, warn-level flag when a list is < topk*min_ratio."""
+    per_q = (hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect())
+    got_nq = len(per_q)
+    min_hits = min((r["n"] for r in per_q), default=0)
+    return {
+        "nq_ok": got_nq == nq,
+        "all_nonempty": got_nq == nq and min_hits > 0,
+        "underfilled": [r["query_id"] for r in per_q if r["n"] < topk * min_ratio],
+    }
