@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (filtered ANN search joined with document
+metadata) on /root/testdata/sf0.001.
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2 (and the
+training-pipeline extensions); each callable takes (spark, sf_dir) and
+returns a DataFrame.
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for each query. Every
+floating-point expression is written to match the Spark plan's arithmetic
+bit-for-bit (double-cast before multiply, identical association order);
+scores are additionally rounded in both engines and every ranking is
+tie-broken by id.
 """
 
 from __future__ import annotations
@@ -12,27 +19,1136 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from vectordb_testbricks_spark.catalog import load_table
+from vectordb_testbricks_spark.exprlang import compile_expr
+from vectordb_testbricks_spark.functions.vector import to_double_array
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# DuckDB twin of functions.text.tokenize (lower → split → drop empties)
+TOKS_SQL = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+# DuckDB twin of functions.text.md5_long
+MD5L = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================== scalar queries
+
+def q_filter_project_limit(spark, sf_dir):
+    """Q1/Q2 + P7: filter (incl. JSON path) + project + ordered limit."""
+    from vectordb_testbricks_spark.operators.query import query
+    ev = _t(spark, sf_dir, "events")
+    return query(ev, 'event_type == "purchase" and props["k"] >= 50',
+                 output_fields=["event_id", "user_id", "value"],
+                 order_by=["event_id"], limit=20)
+
+
+SQL_Q_FILTER = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase'
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+ORDER BY event_id LIMIT 20
+"""
+
+
+def q_count_star(spark, sf_dir):
+    """Q3 + P2: filtered count(*) with a combined-range expression."""
+    from vectordb_testbricks_spark.operators.query import count_star
+    return count_star(_t(spark, sf_dir, "lineitem"), "10 <= l_quantity <= 20")
+
+
+SQL_Q_COUNT = """
+SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
+"""
+
+
+def q_count_compound(spark, sf_dir):
+    """Q3 + P3/P4/P6/P16: compound expression with &&/||, in, like, json."""
+    from vectordb_testbricks_spark.operators.query import count_star
+    ev = _t(spark, sf_dir, "events")
+    expr = ('(event_type in ["click", "view"] && value > 100.0) '
+            '|| (event_type like "p%" and props["k"] < 10)')
+    return count_star(ev, expr)
+
+
+SQL_Q_COUNT_COMPOUND = """
+SELECT COUNT(*) AS cnt FROM events
+WHERE (event_type IN ('click', 'view') AND value > 100.0)
+   OR (event_type LIKE 'p%' AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 10)
+"""
+
+
+def q_pk_in(spark, sf_dir):
+    """Q4 + P4: PK IN-list point reads."""
+    from vectordb_testbricks_spark.operators.query import query
+    o = _t(spark, sf_dir, "orders")
+    return query(o, "o_orderkey in [1, 7, 32, 100, 101, 999999]",
+                 output_fields=["o_orderkey", "o_custkey", "o_orderstatus",
+                                "o_totalprice", "o_orderpriority"],
+                 order_by=["o_orderkey"])
+
+
+SQL_Q_PK_IN = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey IN (1, 7, 32, 100, 101, 999999)
+ORDER BY o_orderkey
+"""
+
+
+def q_pk_range(spark, sf_dir):
+    """Q5 + P2: PK range scan (the `pk >= a && pk <= b` delete/read form)."""
+    from vectordb_testbricks_spark.operators.query import query_pk_range
+    li = _t(spark, sf_dir, "lineitem")
+    return (query_pk_range(li, "l_orderkey", 100, 200)
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+
+
+SQL_Q_PK_RANGE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 200
+"""
+
+
+def q_iterator_pages(spark, sf_dir):
+    """Q6: paginated PK-ordered scan — page assignment for every row
+    (declarative twin of the checkpointed iterator)."""
+    from vectordb_testbricks_spark.operators.query import query_iterator_pages
+    c = _t(spark, sf_dir, "customer")
+    return (query_iterator_pages(c, "c_custkey", 50, "c_acctbal > 0")
+            .select("c_custkey", "page"))
+
+
+SQL_Q_ITER = """
+SELECT c_custkey,
+       (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 50 AS page
+FROM customer WHERE c_acctbal > 0
+"""
+
+
+def q_like(spark, sf_dir):
+    """P6: like with %/_ wildcards."""
+    from vectordb_testbricks_spark.operators.query import query
+    p = _t(spark, sf_dir, "part")
+    return query(p, 'p_name like "%ge%" and p_brand like "Brand#_3"',
+                 output_fields=["p_partkey", "p_name", "p_brand"],
+                 order_by=["p_partkey"])
+
+
+SQL_Q_LIKE = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name LIKE '%ge%' AND p_brand LIKE 'Brand#_3' ORDER BY p_partkey
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    """P8/P9/P10: array element access + array_contains(_any) over a real
+    ArrayType column (derived by tokenizing p_type, as the reference derives
+    ARRAY fields)."""
+    p = _t(spark, sf_dir, "part").withColumn("words", F.split("p_type", " "))
+    expr = ('array_contains(words, "BRASS") '
+            '|| (array_contains_any(words, ["PLATED", "ANODIZED"]) '
+            '&& words[0] == "STANDARD")')
+    return (p.filter(compile_expr(expr, p))
+            .select("p_partkey", "p_type").orderBy("p_partkey"))
+
+
+SQL_Q_ARRAY = """
+WITH w AS (SELECT p_partkey, p_type, string_split(p_type, ' ') AS words FROM part)
+SELECT p_partkey, p_type FROM w
+WHERE list_contains(words, 'BRASS')
+   OR ((list_contains(words, 'PLATED') OR list_contains(words, 'ANODIZED'))
+       AND words[1] = 'STANDARD')
+ORDER BY p_partkey
+"""
+
+
+def q_geo_contains(spark, sf_dir):
+    """P12: ST_CONTAINS(point, literal polygon) via the compiled ray-casting
+    expression. Points synthesized from event columns as WKT strings (the
+    horizon fixture's GEOMETRY field, FIXTURES.md F5)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("value") / 50.0).alias("lon"),
+        ((F.col("user_id") % 8).cast("double") / 2.0).alias("lat"),
+    ).withColumn(
+        "location",
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+                 F.col("lat").cast("string"), F.lit(")")))
+    expr = ('st_contains(location, '
+            '"POLYGON((0.55 0.55, 3.55 0.55, 3.55 3.55, 0.55 3.55, 0.55 0.55))")')
+    return (pts.filter(compile_expr(expr, pts))
+            .select("event_id").orderBy("event_id"))
+
+
+# ray casting with an upward ray: x ∈ [xmin, xmax), y ∈ [ymin, ymax)
+SQL_Q_GEO = """
+SELECT event_id FROM (
+  SELECT event_id, value / 50.0 AS lon, CAST(user_id % 8 AS DOUBLE) / 2.0 AS lat
+  FROM events)
+WHERE lon >= 0.55 AND lon < 3.55 AND lat >= 0.55 AND lat < 3.55
+ORDER BY event_id
+"""
+
+
+def q_agg_extension(spark, sf_dir):
+    """Extension surface (reference roadmap, feature_inventory.yaml:54-66):
+    multi-field group-by with min/max/sum/avg + order by. Decimal-exact sums
+    cast to double at the end (bit-identical to the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(compile_expr('l_shipdate <= "1998-09-01"', li))
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dq).cast("double").alias("sum_qty"),
+                 F.sum(dp).cast("double").alias("sum_base_price"),
+                 F.sum(dp * (F.lit(1).cast("decimal(18,2)") - dd))
+                  .cast("double").alias("sum_disc_price"),
+                 F.min(dq).cast("double").alias("min_qty"),
+                 F.max(dq).cast("double").alias("max_qty"),
+                 (F.sum(dq).cast("double") / F.count(F.lit(1)).cast("double"))
+                  .alias("avg_qty"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_Q_AGG = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_count_buckets(spark, sf_dir):
+    """C6: count-distribution buckets (query_horizon_count.go:29-36) over
+    per-customer order counts."""
+    from vectordb_testbricks_spark.operators.query import count_distribution
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (count_distribution(per.select((F.col("cnt") * 1000).alias("cnt")))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_keys"))
+            .orderBy("bucket"))
+
+
+SQL_Q_BUCKETS = """
+WITH per AS (SELECT o_custkey, COUNT(*) * 1000 AS cnt FROM orders GROUP BY o_custkey)
+SELECT CASE
+    WHEN cnt >= 0 AND cnt < 2000 THEN '0-1999'
+    WHEN cnt >= 2000 AND cnt < 5000 THEN '2000-4999'
+    WHEN cnt >= 5000 AND cnt < 10000 THEN '5000-9999'
+    WHEN cnt >= 10000 AND cnt < 13000 THEN '10000-12999'
+    WHEN cnt >= 13000 AND cnt < 15000 THEN '13000-14999'
+    WHEN cnt >= 15000 THEN '15000+' END AS bucket,
+  COUNT(*) AS n_keys
+FROM per GROUP BY 1 ORDER BY bucket
+"""
+
+
+# ============================================================ vector search
+
+def _emb_queries(spark, sf_dir, ids=(0, 1, 2)):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id").isin(list(ids)))
+         .select(F.col("vec_id").alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+    return emb, q
+
+
+_SQL_KNN_TMPL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id, {score} AS score
+  FROM embeddings e CROSS JOIN q {where}),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score {ord}, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+_SQL_DOT = "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+_SQL_L2 = ("list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),"
+           " x -> (x[1] - x[2]) * (x[1] - x[2])))")
+_SQL_COS = (f"{_SQL_DOT} / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+            f" CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)))")
+_SQL_HAM = ("list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),"
+            " x -> CASE WHEN (x[1] >= 0) <> (x[2] >= 0) THEN 1 ELSE 0 END))")
+
+
+def _knn(spark, sf_dir, metric, flt=None):
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb, q = _emb_queries(spark, sf_dir)
+    hits = knn_search(emb, q, "embedding", "vec_id", metric=metric, k=10, flt=flt)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def v_knn_l2(spark, sf_dir):
+    """V1: brute-force top-k, metric L2 (squared euclidean, Milvus L2)."""
+    return _knn(spark, sf_dir, "L2")
+
+
+def v_knn_ip(spark, sf_dir):
+    """V1: brute-force top-k, metric IP."""
+    return _knn(spark, sf_dir, "IP")
+
+
+def v_knn_cosine(spark, sf_dir):
+    """V1: brute-force top-k, metric COSINE."""
+    return _knn(spark, sf_dir, "COSINE")
+
+
+def v_knn_hamming(spark, sf_dir):
+    """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
+    return _knn(spark, sf_dir, "HAMMING")
+
+
+def v_knn_prefilter(spark, sf_dir):
+    """V2: scalar pre-filter applied before ANN ranking."""
+    return _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]")
+
+
+def v_grouping_search(spark, sf_dir):
+    """V5: grouping search — best hit per label, top-5 groups per query."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb, q = _emb_queries(spark, sf_dir)
+    hits = knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=5,
+                      group_by="label")
+    return hits.select("query_id", "label", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("group_rank").cast("bigint").alias("group_rank"))
+
+
+SQL_V_GROUPING = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {_SQL_COS} AS score
+  FROM embeddings e CROSS JOIN q),
+best AS (
+  SELECT query_id, label, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id, label
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored),
+groups AS (
+  SELECT query_id, label, vec_id, score,
+         DENSE_RANK() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, label) AS group_rank
+  FROM best WHERE rnk = 1)
+SELECT query_id, label, vec_id, ROUND(score, 4) AS score, group_rank
+FROM groups WHERE group_rank <= 5
+"""
+
+
+def v_sparse_dot(spark, sf_dir):
+    """V6: sparse-vector IP search. The sparse column is the per-document
+    term-frequency map (the BM25 function field's raw form); the query is a
+    literal {term: weight} sparse vector."""
+    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
+    from vectordb_testbricks_spark.operators.search import sparse_search
+    docs = _t(spark, sf_dir, "documents")
+    tf = term_frequencies(docs, "doc_id", "text")
+    sparse = (tf.groupBy("doc_id")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct(
+                      F.col("term"), F.col("tf").cast("double")))))
+                  .alias("svec")))
+    hits = sparse_search(sparse, {"spark": 2.0, "query": 1.5, "join": 1.0},
+                         "svec", "doc_id", k=10)
+    return hits.select("query_id", "doc_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_SPARSE = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+qw(term, w) AS (VALUES ('spark', 2.0), ('query', 1.5), ('join', 1.0)),
+scored AS (
+  SELECT tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
+  FROM tf JOIN qw USING (term) GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0)
+SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+BM25_QUERY = "spark query join fast table"
+
+_SQL_BM25_SCORED = f"""
+toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
+qterms AS (SELECT unnest({TOKS_SQL.format(col=f"'{BM25_QUERY}'")}) AS term),
+comp AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+         * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS contrib
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq d USING (term)
+  JOIN qterms USING (term)
+  CROSS JOIN stats s),
+bm25_scored AS (SELECT doc_id, SUM(contrib) AS score FROM comp GROUP BY doc_id)
+"""
+
+
+def v_bm25(spark, sf_dir):
+    """V7: BM25 full-text search (raw-string query, k1=1.2, b=0.75,
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)))."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    docs = _t(spark, sf_dir, "documents")
+    hits = bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10)
+    return hits.select("query_id", "doc_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_BM25 = f"""
+WITH {_SQL_BM25_SCORED},
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25_scored)
+SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _dense_branch(spark, sf_dir, limit=20):
+    """Dense branch for fusion: cosine top-`limit` for query vector vec_id=0,
+    re-keyed to query_id=0 (doc_id == vec_id in the testdata)."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.lit(0).alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+    return (knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=limit)
+            .select("query_id", F.col("vec_id").alias("doc_id"), "score", "rank"))
+
+
+def _bm25_branch(spark, sf_dir, limit=20):
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    docs = _t(spark, sf_dir, "documents")
+    return (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=limit)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
+_SQL_FUSION_BRANCHES = f"""
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         {_SQL_COS.replace('q.qv', 'q.qv')} AS score
+  FROM embeddings e CROSS JOIN q),
+dense AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM dense_scored QUALIFY rank <= 20),
+{_SQL_BM25_SCORED.strip().lstrip()},
+bm25 AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25_scored QUALIFY rank <= 20)
+"""
+
+
+def v_rrf_fusion(spark, sf_dir):
+    """V3/V8: hybrid dense + BM25 fusion with RRFRanker (rrf_k = 60)."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    fused = rrf_fuse([_dense_branch(spark, sf_dir), _bm25_branch(spark, sf_dir)],
+                     "doc_id", k=10)
+    return fused.select("query_id", "doc_id",
+                        F.round("score", 6).alias("score"),
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_RRF = f"""
+WITH {_SQL_FUSION_BRANCHES},
+parts AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS part FROM dense
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS part FROM bm25),
+fused AS (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT 0 AS query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def v_weighted_fusion(spark, sf_dir):
+    """V4: WeightedRanker fusion (weights [0.6, 0.4] — the go_bench operating
+    point, search_horizon_perf.go:455-461) with per-branch min-max
+    normalization."""
+    from vectordb_testbricks_spark.operators.fusion import weighted_fuse
+    fused = weighted_fuse(
+        [_dense_branch(spark, sf_dir), _bm25_branch(spark, sf_dir)],
+        [0.6, 0.4], "doc_id", k=10)
+    return fused.select("query_id", "doc_id",
+                        F.round("score", 6).alias("score"),
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_WEIGHTED = f"""
+WITH {_SQL_FUSION_BRANCHES},
+norm_dense AS (
+  SELECT doc_id,
+         CASE WHEN MAX(score) OVER () <> MIN(score) OVER ()
+              THEN (score - MIN(score) OVER ()) / (MAX(score) OVER () - MIN(score) OVER ())
+              ELSE 1.0 END * 0.6 AS part
+  FROM dense),
+norm_bm25 AS (
+  SELECT doc_id,
+         CASE WHEN MAX(score) OVER () <> MIN(score) OVER ()
+              THEN (score - MIN(score) OVER ()) / (MAX(score) OVER () - MIN(score) OVER ())
+              ELSE 1.0 END * 0.4 AS part
+  FROM bm25),
+fused AS (
+  SELECT doc_id, SUM(part) AS score
+  FROM (SELECT * FROM norm_dense UNION ALL SELECT * FROM norm_bm25)
+  GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT 0 AS query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ===================================================================== DML
+
+def dml_upsert(spark, sf_dir):
+    """S2: latest-write-wins upsert, verified by a decimal-exact aggregate
+    over the merged table."""
+    from vectordb_testbricks_spark.operators.dml import upsert
+    o = _t(spark, sf_dir, "orders")
+    updates = (o.filter("o_orderkey % 100 = 0")
+               .withColumn("o_totalprice", F.col("o_totalprice") + 100000.0))
+    merged = upsert(o, updates, "o_orderkey")
+    return merged.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("total"))
+
+
+SQL_DML_UPSERT = """
+WITH upd AS (
+  SELECT * REPLACE (o_totalprice + 100000.0 AS o_totalprice)
+  FROM orders WHERE o_orderkey % 100 = 0),
+merged AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd)
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged
+"""
+
+
+def dml_partial_update(spark, sf_dir):
+    """S3: partial-update upsert — only the provided columns change."""
+    from vectordb_testbricks_spark.operators.dml import partial_upsert
+    c = _t(spark, sf_dir, "customer")
+    updates = (c.filter("c_custkey % 10 = 0")
+               .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment")))
+    merged = partial_upsert(c, updates, "c_custkey")
+    return (merged.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("bal"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_DML_PARTIAL = """
+WITH merged AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer)
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def dml_delete(spark, sf_dir):
+    """S4: delete-by-filter (anti-filter rewrite), checked by count + sum."""
+    from vectordb_testbricks_spark.operators.dml import delete_by_filter
+    ev = _t(spark, sf_dir, "events")
+    left = delete_by_filter(ev, 'event_type == "error" || value < 10.0')
+    return left.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+
+
+SQL_DML_DELETE = """
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+WHERE NOT COALESCE(event_type = 'error' OR value < 10.0, FALSE)
+"""
+
+
+def dml_insert(spark, sf_dir):
+    """S1: append a generated batch (regions replicated with shifted PKs —
+    the G5 expansion pattern) and read the merged table back."""
+    from vectordb_testbricks_spark.operators.dml import insert
+    r = _t(spark, sf_dir, "region")
+    batch = r.select((F.col("r_regionkey") + 100).alias("r_regionkey"),
+                     F.concat(F.lit("COPY_"), F.col("r_name")).alias("r_name"))
+    return insert(r, batch).orderBy("r_regionkey")
+
+
+SQL_DML_INSERT = """
+SELECT * FROM region
+UNION ALL
+SELECT r_regionkey + 100, 'COPY_' || r_name FROM region
+ORDER BY r_regionkey
+"""
+
+
+def val_checksum(spark, sf_dir):
+    """C3: order-insensitive collection checksum (md5-fold, floats at 5
+    decimals) over a filtered lineitem slice."""
+    from vectordb_testbricks_spark.validators import collection_checksum
+    li = _t(spark, sf_dir, "lineitem")
+    return collection_checksum(
+        li, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        flt="l_orderkey <= 1000")
+
+
+SQL_VAL_CHECKSUM = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST('0x' || substr(md5(concat_ws('|',
+           'l_linenumber=' || CAST(l_linenumber AS VARCHAR),
+           'l_orderkey=' || CAST(l_orderkey AS VARCHAR),
+           'l_quantity=' || printf('%.5f', l_quantity),
+           'l_returnflag=' || l_returnflag)), 1, 15) AS BIGINT)
+           % 1000000000000) AS checksum
+FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def gen_rows_check(spark, sf_dir):
+    """G1/G2: deterministic seeded datagen — every value re-derivable from
+    (seed, pk), vectors hash-noise L2-normalized."""
+    from vectordb_testbricks_spark.datagen import gen_rows
+    df = gen_rows(spark, 0, 500, seed=42, dim=8)
+    return df.select(
+        "pk", "category", "float_1", "bool_1", "varchar_1", "partition_key",
+        "json_1", "nullable_text",
+        F.round(F.element_at("embedding", 1), 6).alias("emb_0"))
+
+
+SQL_GEN_ROWS = f"""
+WITH base AS (
+  SELECT range AS pk FROM range(0, 500)),
+vec AS (
+  SELECT pk,
+    list_transform(range(0, 8), i ->
+      ({MD5L.format(s="'42' || '_' || CAST(pk AS VARCHAR) || '_' || CAST(i AS VARCHAR)")}
+       % 2000001 - 1000000.0) / 1000000.0) AS raw
+  FROM base)
+SELECT pk,
+  pk % 1024 AS category,
+  (pk % 1000) / 10.0 AS float_1,
+  pk % 2 = 0 AS bool_1,
+  'varchar_' || CAST(pk AS VARCHAR) AS varchar_1,
+  'tenant_' || CAST(pk % 16 AS VARCHAR) AS partition_key,
+  '{{"pk": ' || CAST(pk AS VARCHAR) || ', "bucket": ' || CAST(pk % 16 AS VARCHAR)
+    || ', "checksum": "json_' || CAST(pk AS VARCHAR) || '"}}' AS json_1,
+  CASE WHEN pk % 10 = 0 THEN NULL ELSE 'text_' || CAST(pk AS VARCHAR) END AS nullable_text,
+  ROUND(raw[1] / sqrt(list_sum(list_transform(raw, x -> x * x))), 6) AS emb_0
+FROM vec
+"""
+
+
+# ============================================== dedup / text-analysis suite
+
+# doubled corpus: every document appears twice (ids shifted by 1,000,000) —
+# guarantees non-empty dedup results while exercising the full pipelines
+_SQL_D2 = """
+d2 AS (SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+"""
+
+
+def _doubled_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+def dd_exact(spark, sf_dir):
+    """Exact dedup: canonical-text hash groups (hash-groupBy, one shuffle)."""
+    from vectordb_testbricks_spark.operators.dedup import exact_duplicates
+    groups = exact_duplicates(_doubled_docs(spark, sf_dir), "doc_id", "text")
+    return (groups.select("content_hash", "canonical_id", "dup_count")
+            .orderBy("canonical_id"))
+
+
+SQL_DD_EXACT = f"""
+WITH {_SQL_D2},
+canon AS (
+  SELECT doc_id,
+         md5(array_to_string({TOKS_SQL.format(col='text')}, ' ')) AS content_hash
+  FROM d2)
+SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM canon GROUP BY content_hash HAVING COUNT(*) > 1
+ORDER BY canonical_id
+"""
+
+
+# shared SQL: distinct shingle codes per doc (3-token shingles, md5 → mod P)
+_SQL_CODES = f"""
+toklists AS (SELECT doc_id, {TOKS_SQL.format(col='text')} AS toks FROM d2),
+shingle_lists AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(0, len(toks) - 2),
+                                  i -> array_to_string(toks[i + 1 : i + 3], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toklists),
+codes AS (
+  SELECT DISTINCT doc_id, {MD5L.format(s='s')} % 2147483647 AS code
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingle_lists))
+"""
+
+
+def dd_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup detection: 16 affine hashes, 4 bands, verified
+    Jaccard ≥ 0.7 on candidates."""
+    from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
+    pairs = minhash_lsh_dedup(_doubled_docs(spark, sf_dir), "doc_id", "text",
+                              threshold=0.7, shingle_n=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DD_MINHASH = f"""
+WITH {_SQL_D2},
+{_SQL_CODES},
+params AS (
+  SELECT i, 2 * i + 3 AS a, (1000003 * (i + 1)) % 2147483647 AS b
+  FROM range(0, 16) t(i)),
+mh AS (
+  SELECT c.doc_id, p.i, MIN((c.code * p.a + p.b) % 2147483647) AS m
+  FROM codes c CROSS JOIN params p GROUP BY c.doc_id, p.i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS key
+  FROM mh GROUP BY doc_id, i // 4),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM codes GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM cands p
+  JOIN codes ca ON ca.doc_id = p.id_a
+  JOIN codes cb ON cb.doc_id = p.id_b AND cb.code = ca.code
+  GROUP BY p.id_a, p.id_b),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.7
+"""
+
+
+def dd_simhash(spark, sf_dir):
+    """SimHash signatures (16-bit, tf-weighted affine-parity hyperplanes)."""
+    from vectordb_testbricks_spark.operators.dedup import simhash_signatures
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_DD_SIMHASH = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents)
+  GROUP BY doc_id, term),
+coded AS (
+  SELECT doc_id, {MD5L.format(s='term')} % 2147483647 AS code, tf FROM tf),
+params AS (
+  SELECT i, 2 * i + 3 AS a, (1000003 * (i + 1)) % 2147483647 AS b
+  FROM range(0, 16) t(i)),
+bits AS (
+  SELECT c.doc_id, p.i,
+         CASE WHEN SUM(c.tf * (((c.code * p.a + p.b) % 2147483647) % 2 * 2 - 1)) > 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE 0 END AS bit
+  FROM coded c CROSS JOIN params p GROUP BY c.doc_id, p.i)
+SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dd_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dups via a frequency-capped inverted shingle
+    index (max_df = 50), threshold 0.7."""
+    from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text",
+                                n=3, threshold=0.7, max_df=50)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DD_NGRAM = f"""
+WITH {_SQL_D2},
+{_SQL_CODES},
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingle_lists)),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+posting AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posting a JOIN posting b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM codes GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS i
+  FROM cands p
+  JOIN codes ca ON ca.doc_id = p.id_a
+  JOIN codes cb ON cb.doc_id = p.id_b AND cb.code = ca.code
+  GROUP BY p.id_a, p.id_b),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.7
+"""
+
+
+def dd_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label, threshold 0.99
+    (doubled corpus → each vector pairs with its copy at cosine ≈ 1)."""
+    from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    e2 = e.unionByName(e.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                                "embedding", "label"))
+    pairs = embedding_near_dups(e2, "vec_id", "embedding",
+                                block_col="label", threshold=0.99)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DD_EMBED = """
+WITH e2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cosine
+  FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+
+def tx_tokcount(spark, sf_dir):
+    """Token counting: analyzer tokens + BPE-ish subword piece estimate."""
+    from vectordb_testbricks_spark.operators.textquality import (
+        bpe_ish_piece_count, token_count)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+                    bpe_ish_piece_count(F.col("text")).alias("bpe_pieces")) \
+            .orderBy("doc_id")
+
+
+SQL_TX_TOKCOUNT = f"""
+SELECT doc_id,
+  CAST(len({TOKS_SQL.format(col='text')}) AS BIGINT) AS n_tokens,
+  list_sum(list_transform({TOKS_SQL.format(col='text')},
+           t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+    + length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS bpe_pieces
+FROM documents ORDER BY doc_id
+"""
+
+
+def tx_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features + composite score."""
+    from vectordb_testbricks_spark.operators.textquality import quality_features
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_features(d, "doc_id", "text")
+    return qf.select("doc_id", "n_chars", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                     F.round("punct_ratio", 6).alias("punct_ratio"),
+                     F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                     F.round("mean_token_len", 6).alias("mean_token_len"),
+                     F.round("quality_score", 6).alias("quality_score")) \
+             .orderBy("doc_id")
+
+
+_SW = "['the','a','of','and','is','to','in','that','it','for','on','with','as','was']"
+
+SQL_TX_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    {TOKS_SQL.format(col='text')} AS toks,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+  FROM documents),
+g AS (
+  SELECT doc_id, n_chars, punct_ratio,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, t -> list_contains({_SW}, t))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+    CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len
+  FROM f)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  ROUND(mean_token_len, 6) AS mean_token_len,
+  ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+        + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score
+FROM g ORDER BY doc_id
+"""
+
+
+def tx_langid(spark, sf_dir):
+    """Language-ID heuristic: per-language function-word hits, argmax with
+    alphabetical tie-break."""
+    from vectordb_testbricks_spark.operators.textquality import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "doc_id", "text") \
+        .select("doc_id", "lang_pred",
+                F.col("lang_hits").cast("bigint").alias("lang_hits")) \
+        .orderBy("doc_id")
+
+
+_LANG_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','a','of','and','is','to','in','that']",
+    "es": "['el','la','de','que','y','los','en','un']",
+    "zh": "['de','shi','le','zai','he','you','wo','ta']",
+}
+
+SQL_TX_LANGID = f"""
+WITH h AS (
+  SELECT doc_id,
+    {','.join(f'''len(list_filter({TOKS_SQL.format(col='text')},
+      t -> list_contains({sw}, t))) AS hits_{lg}''' for lg, sw in _LANG_SQL.items())}
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'de'
+       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'en'
+       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'es'
+       WHEN hits_zh = greatest(hits_de, hits_en, hits_es, hits_zh) THEN 'zh'
+  END AS lang_pred,
+  CAST(greatest(hits_de, hits_en, hits_es, hits_zh) AS BIGINT) AS lang_hits
+FROM h ORDER BY doc_id
+"""
+
+
+def tx_fingerprint(spark, sf_dir):
+    """Document fingerprints: content md5 + winnowing-style min 5-gram hash."""
+    from vectordb_testbricks_spark.operators.textquality import fingerprints
+    d = _t(spark, sf_dir, "documents")
+    return fingerprints(d, "doc_id", "text", k=5).orderBy("doc_id")
+
+
+SQL_TX_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL.format(col='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    md5(array_to_string(toks, ' ')) AS content_md5,
+    CASE WHEN len(toks) >= 5
+         THEN list_transform(range(0, len(toks) - 4),
+                             i -> array_to_string(toks[i + 1 : i + 5], ' '))
+         ELSE [array_to_string(toks, ' ')] END AS kgrams
+  FROM t)
+SELECT doc_id, content_md5,
+       list_min(list_transform(kgrams, g -> {MD5L.format(s='g')})) AS min_kgram_hash
+FROM s ORDER BY doc_id
+"""
+
+
+def part_route_counts(spark, sf_dir):
+    """T1/T2: partition-key routing (hash-mod buckets) + partition-scoped
+    aggregate — the layout Catalyst prunes when persisted with partitionBy."""
+    o = _t(spark, sf_dir, "orders")
+    routed = o.withColumn("part_id", F.pmod(F.col("o_custkey"), F.lit(8)))
+    return (routed.groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total"))
+            .orderBy("part_id"))
+
+
+SQL_PART_ROUTE = """
+SELECT o_custkey % 8 AS part_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1 ORDER BY part_id
+"""
+
+
+def st_window_agg(spark, sf_dir):
+    """Tumbling-window aggregate over the events stream (batch semantics of
+    the Structured-Streaming pipeline in streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    "event_type", "cnt", "total")
+            .orderBy("hour", "event_type"))
+
+
+SQL_ST_WINDOW = """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def v_ivf_cosine(spark, sf_dir):
+    """IVF (KMeans-centroid) approximate search — the performance path with
+    nprobe=4 over 16 lists. Approximate by design → no SQL oracle (driver
+    records the rows-only check); recall vs brute force is asserted in
+    tests/test_ann_index.py."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search)
+    emb, q = _emb_queries(spark, sf_dir)
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+    hits = ivf_search(model, q, k=10, nprobe=4)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+# ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered ANN search (COSINE) joined with document metadata —
+    the reference's core loop (filtered search + output_fields) at sf0.001."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    sf_dir = DEFAULT_SF_DIR
+    emb, q = _emb_queries(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    hits = knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=5,
+                      flt="label in [1, 2, 3, 5, 7, 8]")
+    return (hits.join(docs, hits.vec_id == docs.doc_id, "left")
+            .select("query_id", "vec_id", F.round("score", 4).alias("score"),
+                    "rank", "lang", "source")
+            .orderBy("query_id", "rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_filter_project_limit": q_filter_project_limit,
+        "q_count_star": q_count_star,
+        "q_count_compound": q_count_compound,
+        "q_pk_in": q_pk_in,
+        "q_pk_range": q_pk_range,
+        "q_iterator_pages": q_iterator_pages,
+        "q_like": q_like,
+        "q_array_ops": q_array_ops,
+        "q_geo_contains": q_geo_contains,
+        "q_agg_extension": q_agg_extension,
+        "q_count_buckets": q_count_buckets,
+        "v_knn_l2": v_knn_l2,
+        "v_knn_ip": v_knn_ip,
+        "v_knn_cosine": v_knn_cosine,
+        "v_knn_hamming": v_knn_hamming,
+        "v_knn_prefilter": v_knn_prefilter,
+        "v_grouping_search": v_grouping_search,
+        "v_sparse_dot": v_sparse_dot,
+        "v_bm25": v_bm25,
+        "v_rrf_fusion": v_rrf_fusion,
+        "v_weighted_fusion": v_weighted_fusion,
+        "v_ivf_cosine": v_ivf_cosine,
+        "dml_upsert": dml_upsert,
+        "dml_partial_update": dml_partial_update,
+        "dml_delete": dml_delete,
+        "dml_insert": dml_insert,
+        "val_checksum": val_checksum,
+        "gen_rows_check": gen_rows_check,
+        "dd_exact": dd_exact,
+        "dd_minhash": dd_minhash,
+        "dd_simhash": dd_simhash,
+        "dd_ngram_jaccard": dd_ngram_jaccard,
+        "dd_embed_cosine": dd_embed_cosine,
+        "tx_tokcount": tx_tokcount,
+        "tx_quality": tx_quality,
+        "tx_langid": tx_langid,
+        "tx_fingerprint": tx_fingerprint,
+        "part_route_counts": part_route_counts,
+        "st_window_agg": st_window_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_filter_project_limit": SQL_Q_FILTER,
+        "q_count_star": SQL_Q_COUNT,
+        "q_count_compound": SQL_Q_COUNT_COMPOUND,
+        "q_pk_in": SQL_Q_PK_IN,
+        "q_pk_range": SQL_Q_PK_RANGE,
+        "q_iterator_pages": SQL_Q_ITER,
+        "q_like": SQL_Q_LIKE,
+        "q_array_ops": SQL_Q_ARRAY,
+        "q_geo_contains": SQL_Q_GEO,
+        "q_agg_extension": SQL_Q_AGG,
+        "q_count_buckets": SQL_Q_BUCKETS,
+        "v_knn_l2": _SQL_KNN_TMPL.format(score=_SQL_L2, where="", ord="ASC"),
+        "v_knn_ip": _SQL_KNN_TMPL.format(score=_SQL_DOT, where="", ord="DESC"),
+        "v_knn_cosine": _SQL_KNN_TMPL.format(score=_SQL_COS, where="", ord="DESC"),
+        "v_knn_hamming": _SQL_KNN_TMPL.format(score=_SQL_HAM, where="", ord="ASC"),
+        "v_knn_prefilter": _SQL_KNN_TMPL.format(
+            score=_SQL_COS, where="WHERE e.label IN (1, 3, 5, 7)", ord="DESC"),
+        "v_grouping_search": SQL_V_GROUPING,
+        "v_sparse_dot": SQL_V_SPARSE,
+        "v_bm25": SQL_V_BM25,
+        "v_rrf_fusion": SQL_V_RRF,
+        "v_weighted_fusion": SQL_V_WEIGHTED,
+        # v_ivf_cosine: intentionally no oracle (approximate physical path)
+        "dml_upsert": SQL_DML_UPSERT,
+        "dml_partial_update": SQL_DML_PARTIAL,
+        "dml_delete": SQL_DML_DELETE,
+        "dml_insert": SQL_DML_INSERT,
+        "val_checksum": SQL_VAL_CHECKSUM,
+        "gen_rows_check": SQL_GEN_ROWS,
+        "dd_exact": SQL_DD_EXACT,
+        "dd_minhash": SQL_DD_MINHASH,
+        "dd_simhash": SQL_DD_SIMHASH,
+        "dd_ngram_jaccard": SQL_DD_NGRAM,
+        "dd_embed_cosine": SQL_DD_EMBED,
+        "tx_tokcount": SQL_TX_TOKCOUNT,
+        "tx_quality": SQL_TX_QUALITY,
+        "tx_langid": SQL_TX_LANGID,
+        "tx_fingerprint": SQL_TX_FINGERPRINT,
+        "part_route_counts": SQL_PART_ROUTE,
+        "st_window_agg": SQL_ST_WINDOW,
+    }

@@ -1,0 +1,83 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The metric set mirrors the reference's workload definitions (QPS/latency,
+search_permanently.py:36-96) reduced to per-query wall-clock; BASELINE.md
+fixes the regression baseline at the first green run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    "q_filter_project_limit",
+    "q_count_star",
+    "q_pk_range",
+    "q_agg_extension",
+    "q_geo_contains",
+    "v_knn_cosine",
+    "v_knn_l2",
+    "v_knn_prefilter",
+    "v_grouping_search",
+    "v_bm25",
+    "v_rrf_fusion",
+    "v_sparse_dot",
+    "v_ivf_cosine",
+    "dml_upsert",
+    "dml_delete",
+    "val_checksum",
+    "dd_exact",
+    "dd_minhash",
+    "dd_simhash",
+    "dd_embed_cosine",
+    "tx_quality",
+    "tx_langid",
+    "part_route_counts",
+    "st_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from vectordb_testbricks_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qmap = entrymod.queries()
+
+    # warm the JVM/file-listing paths outside the timed region
+    from vectordb_testbricks_spark.catalog import load_table
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        # must hold for any caller-supplied session (the driver's included):
+        # without it Spark refuses TIMESTAMP(NANOS) parquet outright
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # already set via builder, or conf is read-only here
     df = spark.read.parquet(path)
-    for c in _nano_ts_columns(path):
+    for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -148,11 +148,11 @@ class _Compiler:
         if left.kind == "json" and right.kind == "lit":
             cast = _cast_for(_lit_value(node.right))
             if cast:
-                lc = lc.cast(cast)
+                lc = lc.try_cast(cast)
         if right.kind == "json" and left.kind == "lit":
             cast = _cast_for(_lit_value(node.left))
             if cast:
-                rc = rc.cast(cast)
+                rc = rc.try_cast(cast)
         ops = {
             "==": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -172,7 +172,7 @@ class _Compiler:
         if op.kind == "json" and items:
             cast = _cast_for(items[0])
             if cast:
-                col = col.cast(cast)
+                col = col.try_cast(cast)
         pred = col.isin(items)
         return ~pred if node.negated else pred
 
@@ -224,9 +224,9 @@ class _Compiler:
         verts = _parse_wkt_polygon(str(poly))
         op = self.operand(field_node)
         x = F.regexp_extract(op.col, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1) \
-            .cast("double")
+            .try_cast("double")
         y = F.regexp_extract(op.col, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2) \
-            .cast("double")
+            .try_cast("double")
         return _ray_cast(x, y, verts)
 
 

@@ -28,7 +28,12 @@ def tokenize(c: Column) -> Column:
 
 def md5_long(c: Column) -> Column:
     """Portable 60-bit non-negative integer hash of a string column."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    return hex_to_long(F.md5(c))
+
+
+def hex_to_long(c: Column) -> Column:
+    """First 15 hex chars of an existing hex digest → bigint (60 bits)."""
+    return F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint")
 
 
 def md5_long_sql(expr: str) -> str:

@@ -1,0 +1,98 @@
+"""BM25 full-text search (SURVEY.md §2.4 V7).
+
+Reference semantics: a collection-level *function* maps a text field to a
+``sparse_bm25`` SPARSE_FLOAT_VECTOR output field (schema.py:336-346,
+schema_matrix_2_6.yaml:65-69); searching that field with metric BM25 and a
+raw-string query returns top-k scored documents
+(validate_phase_dml_dql.py:332-369; Turbopuffer analogue tpuffer/fts_query.go).
+
+Spark design — BM25 as two batch tables + one score expression:
+
+    tf(doc, term)   = groupBy(doc_id, term).count()           [ingest time]
+    df(term), N, avgdl                                        [tiny stats]
+    score(q, d)     = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+
+The per-query plan is: query terms (literal array, broadcast) ⨝ tf table on
+term → groupBy(doc) partial-aggregated sum → top-k. Everything is built-in
+aggregates; the tf table is the materialized analogue of Milvus's
+server-computed function field. idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+(Lucene/Milvus BM25 variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.exprlang import compile_expr
+from vectordb_testbricks_spark.functions.text import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded (id, term) pairs — one row per token occurrence."""
+    return (docs
+            .select(id_col, F.explode(tokenize(F.col(text_col))).alias("term")))
+
+
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The materialized BM25 'function field': (id, term, tf, dl)."""
+    toks = doc_terms(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, df_t, n_docs, avgdl) — the tiny IDF side, broadcastable."""
+    toks = doc_terms(docs, id_col, text_col).distinct()
+    dl = (doc_terms(docs, id_col, text_col)
+          .groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")))
+    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    df_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    return df_t.crossJoin(F.broadcast(totals))
+
+
+def bm25_score_components(tf_df: DataFrame, stats: DataFrame,
+                          id_col: str) -> DataFrame:
+    """Join tf × stats and emit the per-(doc, term) BM25 contribution."""
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    tf_part = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    return (tf_df.join(F.broadcast(stats), "term")
+            .select(id_col, "term", (idf * tf_part).alias("contrib")))
+
+
+def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
+                k: int = 10, flt: str | Column | None = None,
+                tf_df: DataFrame | None = None,
+                stats: DataFrame | None = None) -> DataFrame:
+    """V7: top-k documents for a raw-string query.
+
+    Pass pre-built ``tf_df``/``stats`` to reuse the ingest-time tables (the
+    production path); otherwise they are derived on the fly.
+    Returns (query_id, <id_col>, score, rank), ties broken by id.
+    """
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, docs)
+        docs = docs.filter(pred)
+        tf_df = stats = None  # stats must reflect the filtered corpus
+    if tf_df is None:
+        tf_df = term_frequencies(docs, id_col, text_col)
+    if stats is None:
+        stats = corpus_stats(docs, id_col, text_col)
+    # tokenize the query with the same analyzer; duplicate terms count once
+    # per occurrence (standard BM25 treats query tf multiplicatively; Milvus
+    # sums per occurrence — we keep each occurrence)
+    qterms_df = (docs.sparkSession.range(1)
+                 .select(F.explode(tokenize(F.lit(query_text))).alias("term")))
+    comp = bm25_score_components(tf_df, stats, id_col)
+    scored = (comp.join(F.broadcast(qterms_df), "term")
+              .groupBy(id_col).agg(F.sum("contrib").alias("score"))
+              .select(F.lit(0).alias("query_id"), id_col, "score"))
+    from vectordb_testbricks_spark.operators.search import _ranked
+    return _ranked(scored, id_col, asc=False, k=k)

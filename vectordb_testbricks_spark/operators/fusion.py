@@ -1,0 +1,79 @@
+"""Hybrid multi-branch search fusion (SURVEY.md §2.4 V3/V4/V8).
+
+Reference semantics: N AnnSearchRequests (one per vector field, each with its
+own filter/limit) fused by a ranker —
+  * RRFRanker: score(d) = Σ_branches 1/(rrf_k + rank_b(d))
+    (search_permanently.py:146-155,195-223; default rrf_k = 60)
+  * WeightedRanker: score(d) = Σ_b w_b · normalized_score_b(d)
+    (search_horizon_perf.go:455-461, weights e.g. [0.6, 0.4]);
+    Milvus normalizes each branch with arctan-ish squashing for unbounded
+    metrics — we use min-max normalization per branch (documented choice,
+    deterministic and oracle-reproducible)
+  * dense + BM25 multi-modal fusion (tpuffer/hybrid_search.go:416-441)
+
+Spark plan: each branch is an independent top-limit ranked DataFrame
+(query_id, id, score, rank); fusion is a unionByName + groupBy(query_id, id)
+aggregate + re-rank window — a pure reduce over nq×Σlimit_b rows, tiny at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K = 60
+
+
+def _rerank(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def rrf_fuse(branches: list[DataFrame], id_col: str, k: int = 10,
+             rrf_k: int = RRF_K) -> DataFrame:
+    """V3: reciprocal-rank fusion over ranked branch results.
+
+    Each branch must carry (query_id, <id_col>, rank). Returns
+    (query_id, <id_col>, score, rank) with fused rank 1..k.
+    """
+    parts = [b.select("query_id", id_col,
+                      (1.0 / (F.lit(rrf_k) + F.col("rank"))).alias("part"))
+             for b in branches]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
+    return _rerank(scored, id_col, k)
+
+
+def weighted_fuse(branches: list[DataFrame], weights: list[float],
+                  id_col: str, k: int = 10,
+                  normalize: bool = True) -> DataFrame:
+    """V4: weighted-sum fusion. Branch scores are min-max normalized per
+    (branch, query) to [0, 1] before weighting (higher = better; pass
+    ascending-metric branches through ``invert_scores`` first)."""
+    assert len(branches) == len(weights)
+    parts = []
+    for b, w in zip(branches, weights):
+        if normalize:
+            win = Window.partitionBy("query_id")
+            mn, mx = F.min("score").over(win), F.max("score").over(win)
+            norm = F.when(mx != mn, (F.col("score") - mn) / (mx - mn)) \
+                .otherwise(F.lit(1.0))
+            b = b.withColumn("score", norm)
+        parts.append(b.select("query_id", id_col,
+                              (F.col("score") * F.lit(float(w))).alias("part")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
+    return _rerank(scored, id_col, k)
+
+
+def invert_scores(branch: DataFrame) -> DataFrame:
+    """Turn an ascending metric (L2/HAMMING: lower = better) into a
+    descending similarity for weighted fusion."""
+    return branch.withColumn("score", -F.col("score"))

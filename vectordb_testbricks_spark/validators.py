@@ -1,0 +1,112 @@
+"""Correctness-validation operators (SURVEY.md §2.7 C1-C7).
+
+These are the reference's 'query answers': deterministic checks that a
+collection's state matches expectation after DML —
+  * C1 count validation (validators.py:68-90)
+  * C2 PK-sample presence / deleted-PK absence (validators.py:93-113)
+  * C3 order-insensitive checksum: normalize rows (floats rounded to 5
+    decimals, sorted keys) → sha/md5 → aggregate (data.py:78-131)
+  * C6 count-distribution buckets (query_horizon_count.go:29-36)
+  * C7 latency percentile stats (search_permanently.py:36-96)
+
+The checksum here is an *order-insensitive aggregate*: per-row md5 over a
+canonical string rendering, folded with SUM over a 60-bit truncation. SUM is
+commutative → row order never matters, matching the reference's sort-then-
+sha256 intent while staying a single distributed aggregate (no global sort).
+Both the rendering (`printf`-style float formatting) and the md5→int fold are
+reproducible in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.exprlang import compile_expr
+from vectordb_testbricks_spark.functions.text import hex_to_long
+
+FLOAT_FMT = "%.5f"  # reference rounds floats to 5 decimals (data.py:85-92)
+
+# per-row hashes are reduced mod 1e12 before SUM so the fold stays inside
+# int64 up to ~9e6 rows per checksum scope (DuckDB's SUM(BIGINT) widens to
+# int128; capping the addend keeps both engines in exact-int64 range)
+CHECKSUM_MOD = 1_000_000_000_000
+
+
+def canonical_cell(df: DataFrame, col: str) -> Column:
+    """Engine-portable string rendering of one column for checksumming."""
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt in ("double", "float"):
+        rendered = F.format_string(FLOAT_FMT, c.cast("double"))
+    elif dt == "timestamp":
+        rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif dt == "boolean":
+        rendered = F.when(c, "true").otherwise("false")
+    else:
+        rendered = c.cast("string")
+    return F.coalesce(rendered, F.lit("∅"))
+
+
+def row_checksum(df: DataFrame, fields: list[str]) -> Column:
+    """Per-row md5 over 'name=value' pairs in sorted-field order."""
+    parts = [F.concat(F.lit(f"{c}="), canonical_cell(df, c))
+             for c in sorted(fields)]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def collection_checksum(df: DataFrame, fields: list[str],
+                        flt: str | Column | None = None) -> DataFrame:
+    """C3: order-insensitive checksum DataFrame: (n_rows, checksum)."""
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, df)
+        df = df.filter(pred)
+    h = hex_to_long(row_checksum(df, fields)) % CHECKSUM_MOD
+    return df.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(h).alias("checksum"))
+
+
+def check_count(df: DataFrame, expected: int,
+                flt: str | Column | None = None) -> dict:
+    """C1: (filtered) count equals expectation → failure taxonomy dict
+    (COUNT_DRIFT, validators.py:10-15)."""
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, df)
+        df = df.filter(pred)
+    got = df.count()
+    return {"ok": got == expected, "expected": expected, "got": got,
+            "failure": None if got == expected else "COUNT_DRIFT"}
+
+
+def check_pk_presence(df: DataFrame, pk_col: str, pks: list,
+                      expect_present: bool = True) -> dict:
+    """C2: sampled PKs present (or absent, for deleted PKs)."""
+    found = {r[pk_col] for r in
+             df.filter(F.col(pk_col).isin(pks)).select(pk_col).collect()}
+    missing = [p for p in pks if p not in found]
+    extra = [p for p in pks if p in found]
+    if expect_present:
+        ok = not missing
+        return {"ok": ok, "missing": missing,
+                "failure": None if ok else "MISSING_PK"}
+    ok = not extra
+    return {"ok": ok, "present_but_deleted": extra,
+            "failure": None if ok else "DELETED_PK_PRESENT"}
+
+
+def percentile_stats(latencies_ms: list[float]) -> dict:
+    """C7: the reference's latency metric set (search_permanently.py:54-96)."""
+    import numpy as np
+
+    if not latencies_ms:
+        return {"n": 0}
+    a = np.asarray(latencies_ms, dtype=float)
+    return {
+        "n": int(a.size),
+        "avg": float(a.mean()),
+        "min": float(a.min()),
+        "max": float(a.max()),
+        "p50": float(np.percentile(a, 50)),
+        "p95": float(np.percentile(a, 95)),
+        "p99": float(np.percentile(a, 99)),
+    }
