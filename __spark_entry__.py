@@ -993,6 +993,150 @@ FROM s ORDER BY doc_id
 """
 
 
+# ======================================================== multimodal suite
+
+# media table synthesized from documents: payload = UTF-8 text bytes,
+# modality cycles by id (operators/multimodal.py). DuckDB twin pieces:
+_MM_MODALITY = ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+                "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+# nth byte-pair of the md5 hex digest as an integer
+_MM_HEX8 = "CAST('0x' || substr(md5(text), {start}, 8) AS BIGINT)"
+
+
+def mm_decode(spark, sf_dir):
+    """Multimodal decode: binary payload → typed metadata via Arrow-batched
+    mapInPandas (deterministic fake codec; real codec stubbed)."""
+    from vectordb_testbricks_spark.operators.multimodal import (
+        decode_media, media_from_documents)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_media(media).orderBy("media_id")
+
+
+SQL_MM_DECODE = f"""
+SELECT doc_id AS media_id,
+  {_MM_MODALITY} AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  CASE WHEN doc_id % 3 <> 1
+       THEN 64 + {_MM_HEX8.format(start=1)} % 1920 END AS width,
+  CASE WHEN doc_id % 3 <> 1
+       THEN 64 + {_MM_HEX8.format(start=9)} % 1080 END AS height,
+  CASE WHEN doc_id % 3 <> 0
+       THEN CAST(octet_length(encode(text)) AS BIGINT) * 10 END AS duration_ms,
+  CASE WHEN doc_id % 3 = 2
+       THEN 1 + {_MM_HEX8.format(start=17)} % 240 END AS n_frames
+FROM documents ORDER BY media_id
+"""
+
+
+def mm_resize(spark, sf_dir):
+    """Multimodal resize planning: aspect-preserving target dims (JVM-side
+    column math over decoded metadata)."""
+    from vectordb_testbricks_spark.operators.multimodal import (
+        decode_media, media_from_documents, resize_plan)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    plan = resize_plan(decode_media(media), max_side=256)
+    return (plan.select("media_id", "width", "height",
+                        F.round("scale", 6).alias("scale"),
+                        "target_w", "target_h")
+            .orderBy("media_id"))
+
+
+SQL_MM_RESIZE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         64 + {_MM_HEX8.format(start=1)} % 1920 AS width,
+         64 + {_MM_HEX8.format(start=9)} % 1080 AS height
+  FROM documents WHERE doc_id % 3 <> 1),
+s AS (
+  SELECT *, CASE WHEN greatest(width, height) > 256
+                 THEN 256.0 / CAST(greatest(width, height) AS DOUBLE)
+                 ELSE 1.0 END AS scale
+  FROM d)
+SELECT media_id, width, height, ROUND(scale, 6) AS scale,
+       CAST(floor(width * scale) AS BIGINT) AS target_w,
+       CAST(floor(height * scale) AS BIGINT) AS target_h
+FROM s ORDER BY media_id
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every-10th frame index per video clip
+    (sequence + explode — one output row per sampled frame)."""
+    from vectordb_testbricks_spark.operators.multimodal import (
+        decode_media, frame_sample_plan, media_from_documents)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return (frame_sample_plan(decode_media(media), every_n=10)
+            .orderBy("media_id", "frame_idx"))
+
+
+SQL_MM_FRAMES = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         1 + {_MM_HEX8.format(start=17)} % 240 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+FROM v ORDER BY media_id, frame_idx
+"""
+
+
+def mm_features(spark, sf_dir):
+    """Multimodal feature extraction: payload → fixed-dim vector via
+    mapInPandas (fake featurizer: md5 digest bytes / 256)."""
+    from vectordb_testbricks_spark.operators.multimodal import (
+        extract_features, media_from_documents)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 4), 6).alias("f3"),
+        F.round(F.element_at("feature", 8), 6).alias("f7"),
+    ).orderBy("media_id")
+
+
+def _mm_feat_sql(i: int) -> str:
+    return (f"ROUND(CAST('0x' || substr(md5(text), {2 * i + 1}, 2) AS BIGINT)"
+            f" / 256.0, 6)")
+
+
+SQL_MM_FEATURES = f"""
+SELECT doc_id AS media_id,
+       {_mm_feat_sql(0)} AS f0,
+       {_mm_feat_sql(3)} AS f3,
+       {_mm_feat_sql(7)} AS f7
+FROM documents ORDER BY media_id
+"""
+
+
+def mm_modality_stats(spark, sf_dir):
+    """Per-modality corpus stats over decoded metadata (payload never
+    shuffled — metadata-only aggregate)."""
+    from vectordb_testbricks_spark.operators.multimodal import (
+        decode_media, media_from_documents, modality_stats)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    stats = modality_stats(decode_media(media))
+    return stats.select("modality", "n_items", "total_bytes",
+                        F.round("avg_width", 4).alias("avg_width"),
+                        "total_duration_ms")
+
+
+SQL_MM_STATS = f"""
+WITH d AS (
+  SELECT doc_id AS media_id, {_MM_MODALITY} AS modality,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    CASE WHEN doc_id % 3 <> 1
+         THEN 64 + {_MM_HEX8.format(start=1)} % 1920 END AS width,
+    CASE WHEN doc_id % 3 <> 0
+         THEN CAST(octet_length(encode(text)) AS BIGINT) * 10 END AS duration_ms
+  FROM documents)
+SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+       ROUND(AVG(CAST(width AS DOUBLE)), 4) AS avg_width,
+       SUM(duration_ms) AS total_duration_ms
+FROM d GROUP BY modality ORDER BY modality
+"""
+
+
 def part_route_counts(spark, sf_dir):
     """T1/T2: partition-key routing (hash-mod buckets) + partition-scoped
     aggregate — the layout Catalyst prunes when persisted with partitionBy."""
@@ -1104,6 +1248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
         "tx_fingerprint": tx_fingerprint,
+        "mm_decode": mm_decode,
+        "mm_resize": mm_resize,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_features": mm_features,
+        "mm_modality_stats": mm_modality_stats,
         "part_route_counts": part_route_counts,
         "st_window_agg": st_window_agg,
     }
@@ -1149,6 +1298,11 @@ def oracle_sql() -> dict[str, str]:
         "tx_quality": SQL_TX_QUALITY,
         "tx_langid": SQL_TX_LANGID,
         "tx_fingerprint": SQL_TX_FINGERPRINT,
+        "mm_decode": SQL_MM_DECODE,
+        "mm_resize": SQL_MM_RESIZE,
+        "mm_frame_sample": SQL_MM_FRAMES,
+        "mm_features": SQL_MM_FEATURES,
+        "mm_modality_stats": SQL_MM_STATS,
         "part_route_counts": SQL_PART_ROUTE,
         "st_window_agg": SQL_ST_WINDOW,
     }

@@ -1,0 +1,180 @@
+"""Multimodal (image/audio/video) column pipeline.
+
+Large-scale training-data pipelines carry media as opaque ``binary`` columns
+with typed metadata alongside (the reference moves media-adjacent payloads the
+same way: parquet bulk files with schema-declared columns,
+``milvus_client/query_iterator.py:225-260``, ``tpuffer/parquet_to_json.py``).
+
+Design (the Spark-side plumbing is real; only the codec is faked):
+
+* media rows = ``(id, modality, payload binary, meta struct)``;
+* decode / feature-extract / resize / frame-sample run as **Arrow-batched
+  ``mapInPandas``** stages — one Python worker per partition, zero-copy
+  batches, never per-row UDF calls;
+* the actual image/audio codec libraries are not in this container, so
+  ``decode_media`` computes a **deterministic fake decode** derived from the
+  payload bytes (documented below, reproducible in SQL for the oracle) and
+  the real-codec hook raises ``NotImplementedError`` behind
+  ``require_real_codecs()``.
+
+At 100 TB the unit of work is the Arrow batch: payloads stay in the executor,
+metadata-only plans never touch the binary column (column pruning — callers
+should select the payload column only in the decode stage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REAL_CODECS_AVAILABLE = False  # PIL / torchaudio / ffmpeg not in container
+
+
+def require_real_codecs() -> None:
+    """Gate for the real decode path. STUB: raises until codec libs exist."""
+    raise NotImplementedError(
+        "real media codecs (PIL/libav) are not installed in this container; "
+        "use the deterministic fake decode (decode_media) instead")
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Synthesize a media table from the documents fixture: the UTF-8 text
+    bytes stand in for an encoded payload. Columns:
+    (media_id, modality, payload binary, n_bytes).
+
+    modality cycles image/audio/video by id — deterministic, oracle-friendly.
+    """
+    modality = (F.when(F.col(id_col) % 3 == 0, "image")
+                .when(F.col(id_col) % 3 == 1, "audio")
+                .otherwise("video"))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        modality.alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------- fake codec
+
+def _fake_decode(payload: bytes, modality: str) -> dict:
+    """Deterministic fake decode. Derivation is pure bytes → metadata:
+
+    * ``digest`` = md5 hex of the payload (content address);
+    * ``width``  = 64 + (first 8 digest hex chars as int) % 1920  (image/video)
+    * ``height`` = 64 + (next 8 hex chars as int) % 1080
+    * ``duration_ms`` = (n_bytes * 10)                            (audio/video)
+    * ``n_frames`` = 1 + digest-derived % 240                     (video)
+
+    Every field is reproducible in DuckDB from md5()/octet_length() — the
+    oracle in __spark_entry__ recomputes them in SQL.
+    """
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[:8], 16) % 1920
+    height = 64 + int(digest[8:16], 16) % 1080
+    n_frames = 1 + int(digest[16:24], 16) % 240
+    return {
+        "digest": digest,
+        "width": width if modality in ("image", "video") else None,
+        "height": height if modality in ("image", "video") else None,
+        "duration_ms": len(payload) * 10 if modality in ("audio", "video") else None,
+        "n_frames": n_frames if modality == "video" else None,
+    }
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+])
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: payload binary → typed metadata via ``mapInPandas``.
+
+    The payload column is dropped on output — downstream stages are
+    metadata-only and must not re-shuffle gigabytes of media bytes.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mod, payload in zip(pdf["media_id"], pdf["modality"],
+                                         pdf["payload"]):
+                d = _fake_decode(bytes(payload), mod)
+                rows.append((mid, mod, len(bytes(payload)), d["digest"],
+                             d["width"], d["height"], d["duration_ms"],
+                             d["n_frames"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+
+    cols = media.select("media_id", "modality", "payload")
+    return cols.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage (images/video): compute target dims preserving aspect
+    ratio — pure column math, JVM-side; the pixel work would live in the
+    (stubbed) codec. Returns rows with (target_w, target_h, scale)."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side,
+                   F.lit(max_side) / longest.cast("double")).otherwise(F.lit(1.0))
+    return (decoded.filter(F.col("width").isNotNull())
+            .withColumn("scale", scale)
+            .withColumn("target_w", F.floor(w * F.col("scale")).cast("bigint"))
+            .withColumn("target_h", F.floor(h * F.col("scale")).cast("bigint")))
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stage (video): explode sampled frame indices
+    (0, every_n, 2·every_n, …) per clip — `sequence` + `explode`, JVM-side.
+    Output: one row per (media_id, frame_idx)."""
+    vids = decoded.filter(F.col("modality") == "video")
+    idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return (vids.withColumn("frame_idx", F.explode(idxs))
+            .select("media_id", "n_frames", "frame_idx"))
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extract stage: payload → fixed-dim float vector via
+    ``mapInPandas`` (the embedding-model hook). Fake featurizer: bytes of the
+    md5 digest scaled to [0, 1) — deterministic, shape-correct Arrow batches
+    (what a real vision/audio encoder would emit)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                vec = [digest[i % 16] / 256.0 for i in range(dim)]
+                out.append((mid, vec))
+            yield pd.DataFrame(out, columns=["media_id", "feature"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, FEATURE_SCHEMA)
+
+
+def modality_stats(decoded: DataFrame) -> DataFrame:
+    """Per-modality corpus stats over decoded metadata (no payload touched)."""
+    return (decoded.groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.avg(F.col("width").cast("double")).alias("avg_width"),
+                 F.sum("duration_ms").alias("total_duration_ms"))
+            .orderBy("modality"))
