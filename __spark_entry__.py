@@ -862,12 +862,15 @@ WITH e2 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+         label
+  FROM e2),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-           AS cosine
-  FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id < b.vec_id)
+         list_dot_product(a.nv, b.nv) AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
 """
 

