@@ -1,0 +1,168 @@
+"""Schema validation rules (reference schema.py:175-243) + collection
+lifecycle: create/drop/alias/partitions/DML round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.manager import PARTITION_COL, CollectionManager
+from vectordb_testbricks_spark.schema import (
+    FieldSpec, FunctionSpec, IndexSpec, SchemaError, SchemaSpec)
+
+
+def base_fields():
+    return [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("category", "INT64"),
+        FieldSpec("name", "VARCHAR", max_length=64, nullable=True),
+        FieldSpec("emb", "FLOAT_VECTOR", dim=8),
+    ]
+
+
+def test_valid_schema_passes_and_maps():
+    spec = SchemaSpec("c1", base_fields(),
+                      indexes=[IndexSpec("emb", "IVF_FLAT", "COSINE")],
+                      enable_dynamic_field=True).validate()
+    st = spec.to_struct_type()
+    assert st.fieldNames() == ["id", "category", "name", "emb", "_dynamic"]
+    assert st["emb"].dataType.simpleString() == "array<float>"
+    assert st["_dynamic"].dataType.simpleString() == "map<string,string>"
+    assert spec.pk.name == "id"
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda f: [x for x in f if not x.primary], "exactly one primary"),
+    (lambda f: f + [FieldSpec("id2", "INT64", primary=True)], "exactly one primary"),
+    (lambda f: f + [FieldSpec("bad", "FLOAT_VECTOR")], "needs dim"),
+    (lambda f: f + [FieldSpec("arr", "ARRAY")], "needs element_type"),
+    (lambda f: f + [FieldSpec("category", "INT64")], "duplicate"),
+    (lambda f: f + [FieldSpec("pk2", "DOUBLE", is_partition_key=True)],
+     "partition key must be"),
+])
+def test_invalid_schemas_rejected(mutate, msg):
+    with pytest.raises(SchemaError, match=msg):
+        SchemaSpec("bad", mutate(base_fields())).validate()
+
+
+def test_auto_id_only_on_pk():
+    fields = base_fields() + [FieldSpec("x", "INT64", auto_id=True)]
+    with pytest.raises(SchemaError, match="auto_id"):
+        SchemaSpec("bad", fields).validate()
+
+
+def test_partition_key_xor_partitions():
+    fields = base_fields() + [FieldSpec("tenant", "VARCHAR",
+                                        is_partition_key=True)]
+    with pytest.raises(SchemaError, match="mutually exclusive"):
+        SchemaSpec("bad", fields, partitions=["p0", "p1"]).validate()
+
+
+def test_bm25_function_spec():
+    fields = base_fields() + [
+        FieldSpec("text", "VARCHAR", enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR")]
+    spec = SchemaSpec("c2", fields, functions=[
+        FunctionSpec("fts", "BM25", "text", "sparse_bm25")]).validate()
+    assert spec.functions[0].output_field == "sparse_bm25"
+    with pytest.raises(SchemaError, match="unknown fields"):
+        SchemaSpec("c3", base_fields(), functions=[
+            FunctionSpec("fts", "BM25", "nope", "nope2")]).validate()
+
+
+# ---------------------------------------------------------------- manager
+
+@pytest.fixture()
+def mgr(spark, tmp_path):
+    return CollectionManager(spark, str(tmp_path / "wh"))
+
+
+def _mk(mgr, name="col_a", partitions=None, pkey=False):
+    fields = base_fields()
+    if pkey:
+        fields.append(FieldSpec("tenant", "VARCHAR", is_partition_key=True))
+    spec = SchemaSpec(name, fields, partitions=partitions,
+                      num_partitions=4 if pkey else None)
+    mgr.create_collection(spec)
+    return spec
+
+
+def _rows(spark, n, start=0, tenant=False):
+    df = spark.range(start, start + n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("category"),
+        F.concat(F.lit("n_"), F.col("id")).alias("name"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.col("id") + i).cast("float")).alias("emb"))
+    if tenant:
+        df = df.withColumn(
+            "tenant", F.concat(F.lit("t"), (F.col("id") % 3).cast("string")))
+    return df
+
+
+def test_create_list_drop_alias(mgr, spark):
+    _mk(mgr, "col_a")
+    _mk(mgr, "col_b")
+    assert mgr.list_collections() == ["col_a", "col_b"]
+    mgr.alter_alias("prod", "col_a")
+    assert mgr.resolve("prod") == "col_a"
+    mgr.insert("col_a", _rows(spark, 5))
+    assert mgr.read("prod").count() == 5          # alias read
+    mgr.alter_alias("prod", "col_b")              # repoint
+    assert mgr.read("prod").count() == 0
+    mgr.drop_collection("col_a")
+    assert mgr.list_collections() == ["col_b"]
+    with pytest.raises(SchemaError):
+        mgr.alter_alias("x", "col_a")
+
+
+def test_explicit_partitions_and_scoped_read(mgr, spark):
+    _mk(mgr, "col_p", partitions=["p0", "p1"])
+    mgr.insert("col_p", _rows(spark, 4), partition_name="p0")
+    mgr.insert("col_p", _rows(spark, 6, start=100), partition_name="p1")
+    assert mgr.list_partitions("col_p") == ["p0", "p1"]
+    assert mgr.has_partition("col_p", "p1")
+    assert mgr.read("col_p").count() == 10
+    assert mgr.read("col_p", partition_names=["p1"]).count() == 6
+    with pytest.raises(SchemaError, match="unknown partition"):
+        mgr.insert("col_p", _rows(spark, 1), partition_name="nope")
+
+
+def test_partition_key_routing(mgr, spark):
+    _mk(mgr, "col_k", pkey=True)
+    mgr.insert("col_k", _rows(spark, 30, tenant=True))
+    parts = mgr.list_partitions("col_k")
+    assert 1 < len(parts) <= 4
+    # scoped read sees a strict subset
+    sub = mgr.read("col_k", partition_names=parts[:1]).count()
+    assert 0 < sub < 30
+
+
+def test_upsert_delete_roundtrip(mgr, spark):
+    _mk(mgr, "col_d")
+    mgr.insert("col_d", _rows(spark, 10))
+    updates = _rows(spark, 3).withColumn("category", F.lit(99))
+    mgr.upsert("col_d", updates)
+    df = mgr.read("col_d")
+    assert df.count() == 10
+    assert df.filter("category = 99").count() == 3
+    mgr.delete("col_d", "id >= 5 && id <= 7")
+    assert mgr.read("col_d").count() == 7
+    mgr.flush("col_d")
+    mgr.load("col_d")
+    assert mgr.loaded("col_d")
+    mgr.release("col_d")
+    assert not mgr.loaded("col_d")
+
+
+def test_schema_roundtrip_preserves_indexes(mgr):
+    fields = base_fields()
+    spec = SchemaSpec("col_ix", fields, indexes=[
+        IndexSpec("emb", "HNSW", "L2", {"M": 30}),
+        IndexSpec("category", "BITMAP")])
+    mgr.create_collection(spec)
+    back = mgr.describe_collection("col_ix")
+    assert [i.index_type for i in back.indexes] == ["HNSW", "BITMAP"]
+    assert back.indexes[0].params == {"M": 30}
+    assert back.field("emb").dim == 8

@@ -1,0 +1,124 @@
+"""Workload dispatcher + validators: the reference's own test strategy
+(tests/test_workload.py asserts exact filter strings; validate_phase_dml_dql
+sequences insert→upsert→delete→validate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark import validators as V
+from vectordb_testbricks_spark import workload as W
+from vectordb_testbricks_spark.manager import CollectionManager
+from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+
+SEED = 42
+DIM = 8
+
+
+def test_delete_range_expr_matches_reference_shape():
+    # the exact string the reference's tests assert (test_workload.py:11-28)
+    assert W.delete_range_expr("id", 30000020, 30000029) == \
+        "id >= 30000020 && id <= 30000029"
+
+
+def test_pk_in_expr_quotes_strings():
+    assert W.pk_in_expr("pk", [1, 2]) == "pk in [1, 2]"
+    assert W.pk_in_expr("pk", ["a", "b"]) == 'pk in ["a", "b"]'
+
+
+def test_expression_corpus_deterministic_and_compilable(spark, tables):
+    corpus = W.expression_corpus(10, seed=7)
+    assert corpus == W.expression_corpus(10, seed=7)
+    assert len(set(corpus)) > 5
+    from vectordb_testbricks_spark.datagen import gen_rows
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    df = gen_rows(spark, 0, 100, seed=SEED, dim=DIM)
+    for e in corpus:
+        df.filter(compile_expr(e, df)).count()  # must compile + run
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    spec = SchemaSpec("wl", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("category", "INT64"),
+        FieldSpec("float_1", "DOUBLE"),
+        FieldSpec("varchar_1", "VARCHAR"),
+        FieldSpec("json_1", "JSON"),
+        FieldSpec("embedding", "FLOAT_VECTOR", dim=DIM),
+    ])
+    mgr.create_collection(spec)
+    return W.WorkloadRunner(mgr, "wl", "pk", vec_col="embedding",
+                            seed=SEED, dim=DIM)
+
+
+def test_dml_dql_phase_pipeline(runner):
+    """The validate_phase_dml_dql shape: seed → upsert → delete → validate
+    counts, pk samples, deleted absence, upsert-applied, search smoke."""
+    runner.op_insert(300)
+    runner.op_upsert(0, 50)          # seed+101 rows for pks 0..49
+    runner.op_delete_range(290, 299)
+
+    df = runner.mgr.read("wl")
+    assert V.check_count(df, 290)["ok"]
+    assert V.check_pk_presence(df, "pk", [0, 10, 100])["ok"]
+    absent = V.check_pk_presence(df, "pk", [290, 295, 299],
+                                 expect_present=False)
+    assert absent["ok"]
+
+    upserted = V.check_upsert_applied(df, "pk", [0, 5, 49], seed=SEED, dim=DIM)
+    assert upserted["ok"], upserted
+    # rows NOT upserted must fail the seed+101 equality
+    not_upserted = V.check_upsert_applied(df, "pk", [60, 70], seed=SEED,
+                                          dim=DIM)
+    assert not not_upserted["ok"]
+    assert not_upserted["failure"] == "UPSERT_NOT_APPLIED"
+
+    smoke = V.check_search_smoke(df, "embedding", "pk",
+                                 [0.1] * DIM)
+    assert smoke["ok"]
+
+
+def test_count_and_iterator_ops(runner):
+    runner.op_insert(120)
+    assert runner.op_count() == 120
+    assert runner.op_count("category == 0") > 0
+    pages = list(runner.op_query_iterator(batch_size=50))
+    assert [p.count() for p in pages] == [50, 50, 20]
+
+
+def test_search_and_search_delete(runner):
+    runner.op_insert(100)
+    hits = runner.op_search([[0.2] * DIM], k=5)
+    assert hits.count() == 5
+    res = runner.op_search_delete([0.2] * DIM, nb=5)
+    assert res.detail["deleted"] == 5
+    assert runner.op_count() == 95
+
+
+def test_pressure_mix(runner):
+    results = runner.pressure(rounds=2, nb=10)
+    ops = [r.op for r in results]
+    assert ops == ["insert", "upsert", "delete", "count"] * 2
+    assert all(r.ok for r in results)
+
+
+def test_search_all_collections(spark, tmp_path):
+    mgr = CollectionManager(spark, str(tmp_path / "wh2"))
+    for name in ("c_a", "c_b"):
+        mgr.create_collection(SchemaSpec(name, [
+            FieldSpec("pk", "INT64", primary=True),
+            FieldSpec("embedding", "FLOAT_VECTOR", dim=DIM)]))
+        from vectordb_testbricks_spark.datagen import gen_rows
+        mgr.insert(name, gen_rows(spark, 0, 50, seed=SEED, dim=DIM)
+                   .select("pk", "embedding"))
+    # one collection without the vector column is skipped
+    mgr.create_collection(SchemaSpec("c_scalar", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("x", "INT64")]))
+    out = W.search_all_collections(mgr, [[0.3] * DIM], "embedding", k=3)
+    assert sorted(out) == ["c_a", "c_b"]
+    assert all(df.count() == 3 for df in out.values())

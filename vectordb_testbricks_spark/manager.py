@@ -1,0 +1,222 @@
+"""Collection lifecycle manager: create/drop/alias, partitions, DML surface.
+
+Reference bricks covered (SURVEY.md §2.1 S5/S8, §2.5 T1-T4):
+  * create/drop/describe/list collections, multi-collection loops
+    (create_multi_collections.py, requests_10kplus_collections.py)
+  * aliases (alter_alias.py:1-91) — alias → collection indirection
+  * flush / load / release lifecycle (load_release.py, 2.6/common.py:1132-1137)
+  * explicit partitions + partition-key routing (validate_phase_dml_dql.py:
+    105-138; schema.py:200-219) — rows land in partition dirs, reads prune
+  * insert / upsert / delete persisted as parquet versions
+
+Storage layout: one warehouse dir, one subdir per collection, parquet data
+partitioned by the routing column when the schema declares partitions. The
+schema spec is stored as JSON alongside (round-trips for C8 index-compat
+validation). At cluster scale the same layout maps onto object storage;
+``partitionBy`` + partition-column predicates give Catalyst partition
+pruning, which is the reference's partition-key speedup
+(parkey_query_n_search.py:149-202).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.schema import (
+    DYNAMIC_FIELD_COL, FieldSpec, FunctionSpec, IndexSpec, SchemaError,
+    SchemaSpec)
+
+PARTITION_COL = "_partition"  # physical routing column
+
+
+def _spec_to_json(spec: SchemaSpec) -> str:
+    return json.dumps(dataclasses.asdict(spec), indent=1, sort_keys=True)
+
+
+def _spec_from_json(s: str) -> SchemaSpec:
+    d = json.loads(s)
+    d["fields"] = [FieldSpec(**f) for f in d["fields"]]
+    d["indexes"] = [IndexSpec(**i) for i in d["indexes"]]
+    d["functions"] = [FunctionSpec(**f) for f in d["functions"]]
+    return SchemaSpec(**d)
+
+
+class CollectionManager:
+    """Warehouse-backed collection catalog."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._aliases_file = os.path.join(warehouse, "_aliases.json")
+        self._loaded: set[str] = set()
+
+    # ------------------------------------------------------------- paths
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self._dir(name), "data")
+
+    def _schema_file(self, name: str) -> str:
+        return os.path.join(self._dir(name), "schema.json")
+
+    # ----------------------------------------------------------- aliases
+    def _read_aliases(self) -> dict[str, str]:
+        if os.path.exists(self._aliases_file):
+            with open(self._aliases_file) as fh:
+                return json.load(fh)
+        return {}
+
+    def alter_alias(self, alias: str, collection: str) -> None:
+        """Point ``alias`` at ``collection`` (create or repoint —
+        alter_alias.py semantics)."""
+        if not self.has_collection(collection):
+            raise SchemaError(f"alias target {collection!r} does not exist")
+        aliases = self._read_aliases()
+        aliases[alias] = collection
+        with open(self._aliases_file, "w") as fh:
+            json.dump(aliases, fh)
+
+    def drop_alias(self, alias: str) -> None:
+        aliases = self._read_aliases()
+        aliases.pop(alias, None)
+        with open(self._aliases_file, "w") as fh:
+            json.dump(aliases, fh)
+
+    def resolve(self, name: str) -> str:
+        """Alias → collection name (identity for real collections)."""
+        return self._read_aliases().get(name, name)
+
+    # ------------------------------------------------------- collections
+    def create_collection(self, spec: SchemaSpec) -> None:
+        spec.validate()
+        if self.has_collection(spec.name):
+            raise SchemaError(f"collection {spec.name!r} already exists")
+        os.makedirs(self._dir(spec.name))
+        with open(self._schema_file(spec.name), "w") as fh:
+            fh.write(_spec_to_json(spec))
+
+    def has_collection(self, name: str) -> bool:
+        return os.path.exists(self._schema_file(self.resolve(name)))
+
+    def drop_collection(self, name: str) -> None:
+        real = self.resolve(name)
+        shutil.rmtree(self._dir(real), ignore_errors=True)
+        aliases = {a: c for a, c in self._read_aliases().items() if c != real}
+        with open(self._aliases_file, "w") as fh:
+            json.dump(aliases, fh)
+
+    def list_collections(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.exists(self._schema_file(d)))
+
+    def describe_collection(self, name: str) -> SchemaSpec:
+        with open(self._schema_file(self.resolve(name))) as fh:
+            return _spec_from_json(fh.read())
+
+    # -------------------------------------------------------- partitions
+    def _route(self, spec: SchemaSpec, df: DataFrame,
+               partition_name: str | None) -> DataFrame:
+        """Attach the physical routing column: explicit partition name, hash
+        of the partition key (pmod(hash, N) — reference hash routing), or
+        the default partition."""
+        if partition_name is not None:
+            if spec.partitions and partition_name not in spec.partitions:
+                raise SchemaError(
+                    f"unknown partition {partition_name!r} in {spec.name}")
+            return df.withColumn(PARTITION_COL, F.lit(partition_name))
+        pkey = spec.partition_key
+        if pkey is not None:
+            n = spec.num_partitions or 16
+            return df.withColumn(
+                PARTITION_COL,
+                F.concat(F.lit("p"),
+                         F.pmod(F.hash(F.col(pkey.name)), F.lit(n))
+                          .cast("string")))
+        return df.withColumn(PARTITION_COL, F.lit("_default"))
+
+    def list_partitions(self, name: str) -> list[str]:
+        data = self._data_dir(self.resolve(name))
+        if not os.path.exists(data):
+            return []
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(data)
+            if d.startswith(f"{PARTITION_COL}="))
+
+    def has_partition(self, name: str, partition: str) -> bool:
+        return partition in self.list_partitions(name)
+
+    # --------------------------------------------------------------- DML
+    def insert(self, name: str, df: DataFrame,
+               partition_name: str | None = None) -> None:
+        """S1: append a row batch (optionally into an explicit partition)."""
+        spec = self.describe_collection(name)
+        routed = self._route(spec, df, partition_name)
+        (routed.write.mode("append").partitionBy(PARTITION_COL)
+         .parquet(self._data_dir(self.resolve(name))))
+
+    def upsert(self, name: str, df: DataFrame,
+               partition_name: str | None = None) -> None:
+        """S2: latest-write-wins merge by PK, persisted back."""
+        from vectordb_testbricks_spark.operators.dml import upsert as _upsert
+        spec = self.describe_collection(name)
+        base = self.read(name)
+        merged = _upsert(base.drop(PARTITION_COL), df, spec.pk.name)
+        self._overwrite(name, spec, merged, partition_name)
+
+    def delete(self, name: str, flt: str) -> None:
+        """S4: delete-by-filter (anti-filter rewrite, persisted)."""
+        from vectordb_testbricks_spark.operators.dml import delete_by_filter
+        spec = self.describe_collection(name)
+        base = self.read(name)
+        left = delete_by_filter(base.drop(PARTITION_COL), flt)
+        self._overwrite(name, spec, left, None)
+
+    def _overwrite(self, name: str, spec: SchemaSpec, df: DataFrame,
+                   partition_name: str | None) -> None:
+        routed = self._route(spec, df, partition_name)
+        staged = routed.cache()
+        staged.count()  # materialize before truncating the source dir
+        (staged.write.mode("overwrite").partitionBy(PARTITION_COL)
+         .parquet(self._data_dir(self.resolve(name))))
+        staged.unpersist()
+
+    # -------------------------------------------------------------- read
+    def read(self, name: str,
+             partition_names: list[str] | None = None) -> DataFrame:
+        """Scan a collection (T3: optionally partition-scoped — the predicate
+        on the partition column prunes at file-listing time)."""
+        real = self.resolve(name)
+        data = self._data_dir(real)
+        spec = self.describe_collection(real)
+        if not os.path.exists(data):
+            return self.spark.createDataFrame(
+                [], spec.to_struct_type().add(PARTITION_COL, "string"))
+        df = self.spark.read.parquet(data)
+        if partition_names:
+            df = df.filter(F.col(PARTITION_COL).isin(partition_names))
+        return df
+
+    # ---------------------------------------------------- S5 lifecycle ops
+    def flush(self, name: str) -> None:
+        """Parquet writes are atomic-on-commit; flush is a no-op."""
+
+    def load(self, name: str) -> None:
+        """Memory residency: cache the collection (reference load state)."""
+        self.read(name).cache()
+        self._loaded.add(self.resolve(name))
+
+    def release(self, name: str) -> None:
+        self.read(name).unpersist()
+        self._loaded.discard(self.resolve(name))
+
+    def loaded(self, name: str) -> bool:
+        return self.resolve(name) in self._loaded

@@ -8,20 +8,21 @@ raw-string query returns top-k scored documents
 
 Spark design — BM25 as two batch tables + one score expression:
 
-    tf(doc, term)   = groupBy(doc_id, term).count()           [ingest time]
-    df(term), N, avgdl                                        [tiny stats]
-    score(q, d)     = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    tf(doc, term, dl)  per-row array expression + one explode  [NO shuffle]
+    df(term), N, avgdl one groupBy over distinct doc-terms     [one shuffle]
+    score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
 
-The per-query plan is: query terms (literal array, broadcast) ⨝ tf table on
-term → groupBy(doc) partial-aggregated sum → top-k. Everything is built-in
-aggregates; the tf table is the materialized analogue of Milvus's
-server-computed function field. idf = ln(1 + (N - df + 0.5)/(df + 0.5))
-(Lucene/Milvus BM25 variant).
+The per-query plan filters the tf table to the query's terms FIRST (broadcast
+semi-join on a handful of terms), so idf/score math runs only on matching
+rows, then partial-aggregates the per-doc sum. The tf table is the
+materialized analogue of Milvus's server-computed function field — build it
+once at ingest (``term_frequencies``) and pass it in for the production path.
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene/Milvus BM25 variant).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_testbricks_spark.exprlang import compile_expr
@@ -31,40 +32,56 @@ K1 = 1.2
 B = 0.75
 
 
-def doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exploded (id, term) pairs — one row per token occurrence."""
-    return (docs
-            .select(id_col, F.explode(tokenize(F.col(text_col))).alias("term")))
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks) — tokens materialized once (HOF lambdas don't CSE)."""
+    return docs.select(id_col, tokenize(F.col(text_col)).alias("_toks"))
 
 
 def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """The materialized BM25 'function field': (id, term, tf, dl)."""
-    toks = doc_terms(docs, id_col, text_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    return tf.join(dl, id_col)
+    """The materialized BM25 'function field': (id, term, tf, dl).
+
+    Row-local tf: for each distinct token, count its occurrences in the doc's
+    own array — one projection + one explode, zero shuffles (the earlier
+    explode→groupBy×2→join shape shuffled the token stream three times)."""
+    tk = _tokens(docs, id_col, text_col)
+    toks = F.col("_toks")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda u: F.struct(
+            u.alias("term"),
+            F.size(F.filter(toks, lambda x: x == u)).alias("tf")))
+    return (tk.select(id_col, F.size(toks).alias("dl"),
+                      F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.term").alias("term"),
+                    F.col("p.tf").alias("tf"), "dl"))
 
 
 def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(term, df_t, n_docs, avgdl) — the tiny IDF side, broadcastable."""
-    toks = doc_terms(docs, id_col, text_col).distinct()
-    dl = (doc_terms(docs, id_col, text_col)
-          .groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")))
-    totals = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl"))
-    df_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    """(term, df_t, n_docs, avgdl) — the tiny IDF side, broadcastable.
+    One groupBy over per-doc distinct terms; N/avgdl from doc lengths alone
+    (no token explosion)."""
+    tk = _tokens(docs, id_col, text_col)
+    totals = tk.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg(F.size("_toks")).alias("avgdl"))
+    df_t = (tk.select(F.explode(F.array_distinct(F.col("_toks"))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df_t")))
     return df_t.crossJoin(F.broadcast(totals))
+
+
+def bm25_contrib() -> Column:
+    """Per-(doc, term) BM25 contribution over (tf, dl, df_t, n_docs, avgdl)."""
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    tf_part = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    return idf * tf_part
 
 
 def bm25_score_components(tf_df: DataFrame, stats: DataFrame,
                           id_col: str) -> DataFrame:
     """Join tf × stats and emit the per-(doc, term) BM25 contribution."""
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5))
-    tf_part = (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
     return (tf_df.join(F.broadcast(stats), "term")
-            .select(id_col, "term", (idf * tf_part).alias("contrib")))
+            .select(id_col, "term", bm25_contrib().alias("contrib")))
 
 
 def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
@@ -90,8 +107,10 @@ def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
     # sums per occurrence — we keep each occurrence)
     qterms_df = (docs.sparkSession.range(1)
                  .select(F.explode(tokenize(F.lit(query_text))).alias("term")))
-    comp = bm25_score_components(tf_df, stats, id_col)
-    scored = (comp.join(F.broadcast(qterms_df), "term")
+    # restrict the tf table to query terms FIRST — the scoring math then only
+    # touches ~|q| terms' postings instead of the whole corpus
+    matched = tf_df.join(F.broadcast(qterms_df), "term")
+    scored = (bm25_score_components(matched, stats, id_col)
               .groupBy(id_col).agg(F.sum("contrib").alias("score"))
               .select(F.lit(0).alias("query_id"), id_col, "score"))
     from vectordb_testbricks_spark.operators.search import _ranked

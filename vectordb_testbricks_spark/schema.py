@@ -1,0 +1,238 @@
+"""Collection schema system: declared fields, indexes, functions, partitions.
+
+Re-expresses the reference's schema spec semantics
+(``milvus-bricks/milvus_client/common/schema.py:13-62``) on Spark types:
+
+* ``FieldSpec`` — name, dtype, primary, auto_id, nullable, is_partition_key,
+  dim, max_length, element_type, max_capacity, enable_analyzer (schema.py:13-27)
+* ``IndexSpec`` — field, index_type, metric_type, params (schema.py:29-34)
+* ``FunctionSpec`` — BM25 input/output fields (schema.py:37-43)
+* ``SchemaSpec`` — fields + indexes + functions + enable_dynamic_field +
+  num_partitions/partitions + checksum_fields (schema.py:47-62)
+
+Validation rules ported from schema.py:175-243:
+  - exactly one primary-key field
+  - auto_id only on the PK
+  - at most one partition key, INT64 or VARCHAR only
+  - partition key XOR explicit partition list
+  - vector fields require dim (except sparse)
+  - ARRAY fields require element_type
+
+Type mapping (SURVEY.md §1.4): precision vector variants (FLOAT16/BFLOAT16/
+INT8) compute in float32 — ArrayType(FloatType); BINARY_VECTOR packs to
+BinaryType; SPARSE_FLOAT_VECTOR is MapType(int→float); GEOMETRY is WKT text;
+dynamic fields land in a MapType(string→string) catch-all column.
+
+Index specs are *physical hints* here: Catalyst has no scalar secondary
+indexes, so BITMAP/INVERTED/STL_SORT/TRIE/NGRAM map to layout advice
+(sort/bucket on write) and vector index types map to the IVF builder
+(operators/ann_index.py). They are validated and carried as metadata so
+catalog round-trips preserve them (reference C8 validation,
+validate_index_compatibility.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------- dtypes
+
+SCALAR_DTYPES: dict[str, T.DataType] = {
+    "BOOL": T.BooleanType(),
+    "INT8": T.ByteType(),
+    "INT16": T.ShortType(),
+    "INT32": T.IntegerType(),
+    "INT64": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "VARCHAR": T.StringType(),
+    "JSON": T.StringType(),           # JSON text + JSON-path accessors
+    "GEOMETRY": T.StringType(),       # WKT ("POINT (x y)")
+    "TIMESTAMPTZ": T.TimestampType(),  # UTC
+}
+
+VECTOR_DTYPES: dict[str, T.DataType] = {
+    "FLOAT_VECTOR": T.ArrayType(T.FloatType()),
+    "FLOAT16_VECTOR": T.ArrayType(T.FloatType()),   # compute in fp32
+    "BFLOAT16_VECTOR": T.ArrayType(T.FloatType()),  # compute in fp32
+    "INT8_VECTOR": T.ArrayType(T.FloatType()),      # compute in fp32
+    "BINARY_VECTOR": T.BinaryType(),                # packed bits
+    "SPARSE_FLOAT_VECTOR": T.MapType(T.IntegerType(), T.FloatType()),
+}
+
+VECTOR_INDEX_TYPES = {
+    "HNSW", "FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_RABITQ", "DISKANN",
+    "AUTOINDEX", "BIN_IVF_FLAT", "SPARSE_INVERTED_INDEX",
+}
+SCALAR_INDEX_TYPES = {"BITMAP", "INVERTED", "STL_SORT", "TRIE", "NGRAM",
+                      "RTREE", "AUTOINDEX"}
+METRIC_TYPES = {"L2", "IP", "COSINE", "HAMMING", "BM25"}
+
+PARTITION_KEY_DTYPES = {"INT64", "VARCHAR"}
+
+DYNAMIC_FIELD_COL = "_dynamic"  # MapType(string→string) catch-all
+
+
+class SchemaError(ValueError):
+    """Raised for spec violations (reference schema.py:175-243 rules)."""
+
+
+# -------------------------------------------------------------------- specs
+
+@dataclass
+class FieldSpec:
+    name: str
+    dtype: str
+    primary: bool = False
+    auto_id: bool = False
+    nullable: bool = False
+    is_partition_key: bool = False
+    dim: int | None = None
+    max_length: int | None = None
+    element_type: str | None = None
+    max_capacity: int | None = None
+    enable_analyzer: bool = False
+    analyzer_params: dict | None = None
+
+    @property
+    def is_vector(self) -> bool:
+        return self.dtype in VECTOR_DTYPES
+
+    def spark_type(self) -> T.DataType:
+        if self.dtype in VECTOR_DTYPES:
+            return VECTOR_DTYPES[self.dtype]
+        if self.dtype == "ARRAY":
+            if self.element_type not in SCALAR_DTYPES:
+                raise SchemaError(
+                    f"field {self.name}: ARRAY element_type "
+                    f"{self.element_type!r} is not a scalar dtype")
+            return T.ArrayType(SCALAR_DTYPES[self.element_type])
+        if self.dtype in SCALAR_DTYPES:
+            return SCALAR_DTYPES[self.dtype]
+        raise SchemaError(f"field {self.name}: unknown dtype {self.dtype!r}")
+
+
+@dataclass
+class IndexSpec:
+    field: str
+    index_type: str
+    metric_type: str | None = None
+    params: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class FunctionSpec:
+    """Server-computed field function — BM25 text→sparse (schema.py:37-43)."""
+    name: str
+    function_type: str  # "BM25"
+    input_field: str
+    output_field: str
+
+
+@dataclass
+class SchemaSpec:
+    name: str
+    fields: list[FieldSpec]
+    indexes: list[IndexSpec] = dc_field(default_factory=list)
+    functions: list[FunctionSpec] = dc_field(default_factory=list)
+    enable_dynamic_field: bool = False
+    num_partitions: int | None = None
+    partitions: list[str] | None = None
+    checksum_fields: list[str] | None = None
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def pk(self) -> FieldSpec:
+        return next(f for f in self.fields if f.primary)
+
+    @property
+    def partition_key(self) -> FieldSpec | None:
+        return next((f for f in self.fields if f.is_partition_key), None)
+
+    @property
+    def vector_fields(self) -> list[FieldSpec]:
+        return [f for f in self.fields if f.is_vector]
+
+    def field(self, name: str) -> FieldSpec:
+        return next(f for f in self.fields if f.name == name)
+
+    # -- validation (schema.py:175-243) ------------------------------------
+    def validate(self) -> "SchemaSpec":
+        names = [f.name for f in self.fields]
+        if len(names) != len(set(names)):
+            raise SchemaError(f"{self.name}: duplicate field names")
+
+        pks = [f for f in self.fields if f.primary]
+        if len(pks) != 1:
+            raise SchemaError(
+                f"{self.name}: exactly one primary field required, got {len(pks)}")
+        pk = pks[0]
+        if pk.dtype not in ("INT64", "VARCHAR"):
+            raise SchemaError(f"{self.name}: PK must be INT64 or VARCHAR")
+        if pk.nullable:
+            raise SchemaError(f"{self.name}: PK cannot be nullable")
+
+        for f in self.fields:
+            if f.auto_id and not f.primary:
+                raise SchemaError(
+                    f"{self.name}: auto_id only allowed on the primary field")
+
+        pkeys = [f for f in self.fields if f.is_partition_key]
+        if len(pkeys) > 1:
+            raise SchemaError(f"{self.name}: at most one partition key")
+        if pkeys and pkeys[0].dtype not in PARTITION_KEY_DTYPES:
+            raise SchemaError(
+                f"{self.name}: partition key must be INT64 or VARCHAR")
+        if pkeys and pkeys[0].primary:
+            raise SchemaError(f"{self.name}: PK cannot be the partition key")
+        if pkeys and self.partitions:
+            raise SchemaError(
+                f"{self.name}: partition key and explicit partitions are "
+                f"mutually exclusive")
+
+        for f in self.fields:
+            if f.is_vector and f.dtype != "SPARSE_FLOAT_VECTOR" \
+                    and f.dtype != "BINARY_VECTOR" and not f.dim:
+                raise SchemaError(f"{self.name}: vector field {f.name} needs dim")
+            if f.dtype == "BINARY_VECTOR" and not f.dim:
+                raise SchemaError(f"{self.name}: binary vector {f.name} needs dim")
+            if f.dtype == "ARRAY" and not f.element_type:
+                raise SchemaError(
+                    f"{self.name}: ARRAY field {f.name} needs element_type")
+            if f.dtype == "VARCHAR" and f.max_length is not None \
+                    and f.max_length <= 0:
+                raise SchemaError(
+                    f"{self.name}: VARCHAR {f.name} max_length must be > 0")
+
+        fields_by_name = {f.name for f in self.fields}
+        for ix in self.indexes:
+            if ix.field not in fields_by_name:
+                raise SchemaError(
+                    f"{self.name}: index on unknown field {ix.field}")
+            if ix.index_type not in VECTOR_INDEX_TYPES | SCALAR_INDEX_TYPES:
+                raise SchemaError(
+                    f"{self.name}: unknown index type {ix.index_type}")
+            if ix.metric_type is not None and ix.metric_type not in METRIC_TYPES:
+                raise SchemaError(
+                    f"{self.name}: unknown metric {ix.metric_type}")
+        for fn in self.functions:
+            if fn.input_field not in fields_by_name \
+                    or fn.output_field not in fields_by_name:
+                raise SchemaError(
+                    f"{self.name}: function {fn.name} references unknown fields")
+            if fn.function_type != "BM25":
+                raise SchemaError(
+                    f"{self.name}: unknown function type {fn.function_type}")
+        return self
+
+    # -- Spark mapping ------------------------------------------------------
+    def to_struct_type(self) -> T.StructType:
+        out = [T.StructField(f.name, f.spark_type(), f.nullable)
+               for f in self.fields]
+        if self.enable_dynamic_field:
+            out.append(T.StructField(
+                DYNAMIC_FIELD_COL, T.MapType(T.StringType(), T.StringType()),
+                True))
+        return T.StructType(out)

@@ -94,6 +94,41 @@ def check_pk_presence(df: DataFrame, pk_col: str, pks: list,
             "failure": None if ok else "DELETED_PK_PRESENT"}
 
 
+def check_upsert_applied(df: DataFrame, pk_col: str, pks: list[int],
+                         seed: int, dim: int = 8,
+                         vec_col: str = "embedding") -> dict:
+    """C4: upsert-applied check — re-generate the expected rows from
+    (seed + 101, pk) and compare the vector field value
+    (validate_phase_dml_dql.py:389-467)."""
+    from vectordb_testbricks_spark.datagen import regen_expected
+
+    expected = regen_expected(df.sparkSession, pks, seed=seed + 101, dim=dim)
+    exp = expected.select(F.col("pk").alias(pk_col),
+                          F.col(vec_col).alias("_expected_vec"))
+    got = df.filter(F.col(pk_col).isin(pks)).select(pk_col, vec_col)
+    joined = got.join(exp, pk_col, "full_outer")
+    mismatch = joined.filter(
+        F.col(vec_col).isNull() | F.col("_expected_vec").isNull()
+        | (F.col(vec_col).cast("array<double>")
+           != F.col("_expected_vec").cast("array<double>")))
+    bad = [r[pk_col] for r in mismatch.select(pk_col).collect()]
+    return {"ok": not bad, "mismatched_pks": bad,
+            "failure": None if not bad else "UPSERT_NOT_APPLIED"}
+
+
+def check_search_smoke(df: DataFrame, vec_col: str, id_col: str,
+                       qvec: list[float], metric: str = "COSINE") -> dict:
+    """C5: search smoke — one query per vector field must return ≥ 1 hit
+    (workload.py:221-247, validate_phase_dml_dql.py:332-369)."""
+    from vectordb_testbricks_spark.operators.search import (
+        knn_search, queries_df)
+
+    q = queries_df(df.sparkSession, [qvec])
+    hits = knn_search(df, q, vec_col, id_col, metric=metric, k=1).count()
+    return {"ok": hits >= 1, "hits": hits,
+            "failure": None if hits >= 1 else "SEARCH_NO_HITS"}
+
+
 def percentile_stats(latencies_ms: list[float]) -> dict:
     """C7: the reference's latency metric set (search_permanently.py:54-96)."""
     import numpy as np

@@ -1,0 +1,184 @@
+"""Workload harness: operation dispatcher, pressure mix, expression corpus.
+
+Reference surface (SURVEY.md §2.3 Q8, §2.4 V9-V11, §2.6 G4, §2.7 C7):
+  * operation dispatcher insert/upsert/delete/query/count/query_iterator/
+    search (milvus_client/common/workload.py:335-397)
+  * pressure bricks: max_workers × batches of each op
+    (milvus_client/requests/_pressure.py:32-68)
+  * delete-range filter form ``id >= a && id <= b`` (workload.py:250-270 —
+    the exact string asserted by the reference's own tests,
+    tests/test_workload.py:11-28)
+  * random expression-family corpus: LIKE / RANGE / JSON-LIKE / JSON-IN /
+    USER-EQUAL (search_permanently.py:104-134)
+  * search over every collection in the catalog
+    (search_all_collections.py:161-186)
+  * search-based delete: top-nb ids then pk-in delete (2.6/common.py:217-231)
+
+The dispatcher is deliberately harness-level code: it sequences engine
+operators; all heavy lifting stays in the operator modules.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from vectordb_testbricks_spark.manager import CollectionManager
+
+
+def delete_range_expr(pk_col: str, start: int, end: int) -> str:
+    """The reference's delete-range filter string, verbatim shape
+    (workload.py:250-270): ``id >= {start} && id <= {end}``."""
+    return f"{pk_col} >= {start} && {pk_col} <= {end}"
+
+
+def pk_in_expr(pk_col: str, pks: list) -> str:
+    vals = ", ".join(
+        f'"{p}"' if isinstance(p, str) else str(p) for p in pks)
+    return f"{pk_col} in [{vals}]"
+
+
+# ------------------------------------------------------ expression families
+
+def random_expression(family: str, rng: random.Random,
+                      json_col: str = "json_1",
+                      varchar_col: str = "varchar_1",
+                      int_col: str = "category") -> str:
+    """G4: one random filter expression from the reference's families
+    (search_permanently.py:104-134)."""
+    if family == "LIKE":
+        return f'{varchar_col} like "%{rng.randint(0, 99)}"'
+    if family == "RANGE":
+        lo = rng.randint(0, 500)
+        return f"{lo} <= {int_col} <= {lo + rng.randint(1, 500)}"
+    if family == "JSON-LIKE":
+        return f'{json_col}["checksum"] like "%{rng.randint(0, 9)}%"'
+    if family == "JSON-IN":
+        vals = sorted(rng.sample(range(16), 3))
+        return f'{json_col}["bucket"] in {vals}'
+    if family == "USER-EQUAL":
+        return f"{int_col} == {rng.randint(0, 1023)}"
+    raise ValueError(f"unknown expression family {family!r}")
+
+
+def expression_corpus(n: int, seed: int = 0,
+                      families: tuple[str, ...] = (
+                          "LIKE", "RANGE", "JSON-LIKE", "JSON-IN",
+                          "USER-EQUAL")) -> list[str]:
+    """Deterministic corpus of n expressions cycling through families."""
+    rng = random.Random(seed)
+    return [random_expression(families[i % len(families)], rng)
+            for i in range(n)]
+
+
+# ------------------------------------------------------------- dispatcher
+
+@dataclass
+class OpResult:
+    op: str
+    ok: bool
+    detail: dict = field(default_factory=dict)
+
+
+class WorkloadRunner:
+    """Q8: sequencing harness over a managed collection."""
+
+    def __init__(self, mgr: CollectionManager, name: str, pk_col: str,
+                 vec_col: str | None = None, seed: int = 42, dim: int = 8):
+        self.mgr = mgr
+        self.name = name
+        self.pk_col = pk_col
+        self.vec_col = vec_col
+        self.seed = seed
+        self.dim = dim
+        self._next_pk = 0
+
+    # each op mirrors workload.py:335-397's dispatch table
+    def op_insert(self, nb: int) -> OpResult:
+        from vectordb_testbricks_spark.datagen import gen_rows
+        rows = gen_rows(self.mgr.spark, self._next_pk, nb, seed=self.seed,
+                        dim=self.dim)
+        spec = self.mgr.describe_collection(self.name)
+        cols = [f.name for f in spec.fields]
+        self.mgr.insert(self.name, rows.select(*cols))
+        self._next_pk += nb
+        return OpResult("insert", True, {"nb": nb, "next_pk": self._next_pk})
+
+    def op_upsert(self, start: int, nb: int, seed_shift: int = 101) -> OpResult:
+        """Upsert with seed+101 — the reference's upsert-equality convention
+        (validate_phase_dml_dql.py:598-604)."""
+        from vectordb_testbricks_spark.datagen import gen_rows
+        rows = gen_rows(self.mgr.spark, start, nb,
+                        seed=self.seed + seed_shift, dim=self.dim)
+        spec = self.mgr.describe_collection(self.name)
+        cols = [f.name for f in spec.fields]
+        self.mgr.upsert(self.name, rows.select(*cols))
+        return OpResult("upsert", True, {"start": start, "nb": nb})
+
+    def op_delete_range(self, start: int, end: int) -> OpResult:
+        self.mgr.delete(self.name, delete_range_expr(self.pk_col, start, end))
+        return OpResult("delete", True, {"filter":
+                        delete_range_expr(self.pk_col, start, end)})
+
+    def op_query(self, flt: str, limit: int = 100) -> DataFrame:
+        from vectordb_testbricks_spark.operators.query import query
+        return query(self.mgr.read(self.name), flt,
+                     order_by=[self.pk_col], limit=limit)
+
+    def op_count(self, flt: str | None = None) -> int:
+        from vectordb_testbricks_spark.operators.query import count_star
+        return count_star(self.mgr.read(self.name), flt).collect()[0]["cnt"]
+
+    def op_query_iterator(self, batch_size: int = 100):
+        from vectordb_testbricks_spark.operators.query import query_iterator
+        return query_iterator(self.mgr.read(self.name), self.pk_col,
+                              batch_size)
+
+    def op_search(self, qvecs: list[list[float]], k: int = 10,
+                  flt: str | None = None, metric: str = "COSINE") -> DataFrame:
+        from vectordb_testbricks_spark.operators.search import (
+            knn_search, queries_df)
+        q = queries_df(self.mgr.spark, qvecs)
+        return knn_search(self.mgr.read(self.name), q, self.vec_col,
+                          self.pk_col, metric=metric, k=k, flt=flt)
+
+    def op_search_delete(self, qvec: list[float], nb: int,
+                         metric: str = "COSINE") -> OpResult:
+        """V11: search top-nb then delete those ids (2.6/common.py:217-231)."""
+        hits = self.op_search([qvec], k=nb, metric=metric)
+        ids = [r[self.pk_col] for r in
+               hits.select(self.pk_col).collect()]
+        self.mgr.delete(self.name, pk_in_expr(self.pk_col, ids))
+        return OpResult("search_delete", True, {"deleted": len(ids)})
+
+    def pressure(self, rounds: int, nb: int = 10) -> list[OpResult]:
+        """_pressure.py-style op mix: one batch of each op per round."""
+        out = []
+        for r in range(rounds):
+            out.append(self.op_insert(nb))
+            out.append(self.op_upsert(self._next_pk - nb, max(1, nb // 2)))
+            start = self._next_pk - nb
+            out.append(self.op_delete_range(start, start + max(0, nb // 5 - 1)))
+            cnt = self.op_count()
+            out.append(OpResult("count", True, {"count": cnt}))
+        return out
+
+
+def search_all_collections(mgr: CollectionManager, qvecs: list[list[float]],
+                           vec_col: str, k: int = 5,
+                           metric: str = "COSINE") -> dict[str, DataFrame]:
+    """V9: run the same search against every collection in the catalog that
+    has the vector column (search_all_collections.py:161-186)."""
+    from vectordb_testbricks_spark.operators.search import (
+        knn_search, queries_df)
+    out: dict[str, DataFrame] = {}
+    for name in mgr.list_collections():
+        spec = mgr.describe_collection(name)
+        if not any(f.name == vec_col and f.is_vector for f in spec.fields):
+            continue
+        q = queries_df(mgr.spark, qvecs)
+        out[name] = knn_search(mgr.read(name), q, vec_col, spec.pk.name,
+                               metric=metric, k=k)
+    return out
