@@ -1180,6 +1180,43 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def st_sessionize(spark, sf_dir):
+    """Stateful sessionization (batch twin of the applyInPandasWithState
+    streaming operator, streaming/sessionize.py): 30-min-gap sessions per
+    user over the events stream."""
+    from vectordb_testbricks_spark.streaming.sessionize import sessionize_batch
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_idx",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "n_events", "total_value")
+
+
+SQL_ST_SESSIONIZE = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                         AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+x AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM w)
+SELECT user_id, session_idx,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x GROUP BY user_id, session_idx
+"""
+
+
 def v_ivf_cosine(spark, sf_dir):
     """IVF (KMeans-centroid) approximate search — the performance path with
     nprobe=4 over 16 lists. Approximate by design → no SQL oracle (driver
@@ -1258,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_modality_stats": mm_modality_stats,
         "part_route_counts": part_route_counts,
         "st_window_agg": st_window_agg,
+        "st_sessionize": st_sessionize,
     }
 
 
@@ -1308,4 +1346,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_modality_stats": SQL_MM_STATS,
         "part_route_counts": SQL_PART_ROUTE,
         "st_window_agg": SQL_ST_WINDOW,
+        "st_sessionize": SQL_ST_SESSIONIZE,
     }

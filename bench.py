@@ -37,11 +37,17 @@ HEADLINE = [
     "dd_exact",
     "dd_minhash",
     "dd_simhash",
+    "dd_ngram_jaccard",
     "dd_embed_cosine",
     "tx_quality",
     "tx_langid",
+    "tx_fingerprint",
+    "mm_decode",
+    "mm_features",
+    "v_weighted_fusion",
     "part_route_counts",
     "st_window_agg",
+    "st_sessionize",
 ]
 
 
