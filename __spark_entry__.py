@@ -810,24 +810,25 @@ SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id
 
 def dd_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dups via a frequency-capped inverted shingle
-    index (max_df = 50), threshold 0.7."""
+    index (max_df = 50, ≥3 shared rare shingles to become a candidate),
+    threshold 0.7."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                                n=3, threshold=0.7, max_df=50)
+                                n=3, threshold=0.7, max_df=50, min_shared=3)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 SQL_DD_NGRAM = f"""
 WITH {_SQL_D2},
 {_SQL_CODES},
-sh AS (
-  SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingle_lists)),
-rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
-posting AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+sh AS (SELECT doc_id, unnest(codes) AS code FROM
+       (SELECT doc_id, list(code) AS codes FROM codes GROUP BY doc_id)),
+rare AS (SELECT code FROM sh GROUP BY code HAVING COUNT(*) <= 50),
+posting AS (SELECT sh.doc_id, sh.code FROM sh JOIN rare USING (code)),
 cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM posting a JOIN posting b ON a.s = b.s WHERE a.doc_id < b.doc_id),
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM posting a JOIN posting b ON a.code = b.code AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM codes GROUP BY doc_id),
 inter AS (
   SELECT p.id_a, p.id_b, COUNT(*) AS i
@@ -846,18 +847,25 @@ SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.7
 
 
 def dd_embed_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label, threshold 0.99
-    (doubled corpus → each vector pairs with its copy at cosine ≈ 1)."""
+    """Embedding-cosine near-dup pairs, blocked by (label, 16-bit sign
+    bucket), threshold 0.99 (doubled corpus → each vector pairs with its
+    copy at cosine ≈ 1). The sign bucket is the LSH scale path: it prunes
+    the quadratic pair stream ~2^16× while exact dups always collide."""
     from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     e2 = e.unionByName(e.select((F.col("vec_id") + 1000000).alias("vec_id"),
                                 "embedding", "label"))
     pairs = embedding_near_dups(e2, "vec_id", "embedding",
-                                block_col="label", threshold=0.99)
+                                block_col="label", threshold=0.99,
+                                sign_bits=16)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-SQL_DD_EMBED = """
+_SB_SQL = " + ".join(
+    f"(CASE WHEN nv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(16))
+
+SQL_DD_EMBED = f"""
 WITH e2 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
   UNION ALL
@@ -867,10 +875,12 @@ n AS (
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
          label
   FROM e2),
+nb AS (SELECT vec_id, nv, label, {_SB_SQL} AS sb FROM n),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.nv, b.nv) AS cosine
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM nb a JOIN nb b
+    ON a.label = b.label AND a.sb = b.sb AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
 """
 

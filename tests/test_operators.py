@@ -1,0 +1,130 @@
+"""Operator-level unit tests: ANN recall, ranking invariants, dedup
+behavior, checksum order-insensitivity, data expansion."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.functions.vector import to_double_array
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"].df
+
+
+@pytest.fixture(scope="module")
+def queries3(emb):
+    return (emb.filter(F.col("vec_id").isin([0, 1, 2]))
+            .select(F.col("vec_id").alias("query_id"),
+                    to_double_array(F.col("embedding")).alias("qvec")))
+
+
+def test_ivf_recall_vs_brute_force(emb, queries3):
+    """IVF@nprobe=8/16 lists must reach ≥ 0.8 recall@10 against the exact
+    ranking (the reference's nprobe knob trades recall for scan fraction)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+    approx = ivf_search(model, queries3, k=10, nprobe=8)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_ivf_full_probe_equals_exact(emb, queries3):
+    """nprobe = n_lists ⇒ nothing pruned ⇒ identical to brute force."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    exact = [(r["query_id"], r["vec_id"]) for r in
+             knn_search(emb, queries3, "embedding", "vec_id",
+                        metric="COSINE", k=5).collect()]
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=8, seed=7)
+    approx = [(r["query_id"], r["vec_id"]) for r in
+              ivf_search(model, queries3, k=5, nprobe=8).collect()]
+    assert sorted(exact) == sorted(approx)
+
+
+def test_two_phase_topk_equals_single_phase(emb, queries3):
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    one = knn_search(emb, queries3, "embedding", "vec_id", metric="L2",
+                     k=7, two_phase=False)
+    two = knn_search(emb, queries3, "embedding", "vec_id", metric="L2",
+                     k=7, two_phase=True)
+    assert [tuple(r) for r in one.orderBy("query_id", "rank").collect()] == \
+        [tuple(r) for r in two.orderBy("query_id", "rank").collect()]
+
+
+def test_result_shape_check(emb, queries3):
+    from vectordb_testbricks_spark.operators.search import (
+        check_result_shape, knn_search)
+    hits = knn_search(emb, queries3, "embedding", "vec_id", k=10)
+    shape = check_result_shape(hits, nq=3, topk=10, min_ratio=0.5)
+    assert shape["nq_ok"] and shape["all_nonempty"]
+    assert shape["underfilled"] == []
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    from vectordb_testbricks_spark.operators.dedup import (
+        dedup_exact, exact_duplicates)
+    rows = [(1, "Spark is fast"), (2, "spark IS fast!"), (3, "other text"),
+            (9, "spark is fast")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1
+    assert groups[0]["dup_count"] == 3
+    kept = sorted(r["doc_id"] for r in
+                  dedup_exact(docs, "doc_id", "text").collect())
+    assert kept == [1, 3]
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    from vectordb_testbricks_spark.operators.dedup import simhash_near_dups
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "completely different words entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_sign_block_key_exact_dups_collide(spark, emb):
+    from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
+    e = emb.select("vec_id", "embedding", "label").limit(200)
+    e2 = e.unionByName(e.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                                "embedding", "label"))
+    pairs = embedding_near_dups(e2, "vec_id", "embedding", block_col="label",
+                                threshold=0.999, sign_bits=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every vector must pair with its exact copy
+    want = {(r["vec_id"], r["vec_id"] + 10_000) for r in e.collect()}
+    assert want <= got
+
+
+def test_checksum_order_insensitive(tables):
+    from vectordb_testbricks_spark.validators import collection_checksum
+    li = tables["lineitem"].df
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    a = collection_checksum(li, cols).collect()[0]
+    b = collection_checksum(li.repartition(7).sortWithinPartitions("l_partkey"),
+                            cols).collect()[0]
+    assert a["checksum"] == b["checksum"] and a["n_rows"] == b["n_rows"]
+
+
+def test_expand_data(spark):
+    from vectordb_testbricks_spark.datagen import expand_data, gen_rows
+    base = gen_rows(spark, 0, 100, seed=1, dim=4)
+    out = expand_data(base, copies=3, pk_col="pk")
+    assert out.count() == 300
+    assert out.select("pk").distinct().count() == 300

@@ -26,6 +26,24 @@ def tokenize(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def materialized_tokens(docs, id_col: str, text_col: str,
+                        extra_cols: tuple[str, ...] = ()):
+    """(id[, extra...], _toks) with the token array *persisted*.
+
+    This is a materialization barrier, not a convenience: Catalyst's
+    CollapseProject inlines a projected expression into downstream
+    higher-order-function lambdas, and lambda bodies are not
+    common-subexpression-eliminated — so any per-element reference to the
+    token array would re-run the regex split once per element. Persisting
+    makes ``_toks`` a column attribute (cheap to reference). Identical
+    logical plans share one cache entry, so repeated calls over the same
+    input cost one materialization; at cluster scale this is the familiar
+    "tokenize once, reuse" intermediate table."""
+    tk = docs.select(*[F.col(c) for c in (id_col, *extra_cols)],
+                     tokenize(F.col(text_col)).alias("_toks"))
+    return tk.persist()
+
+
 def md5_long(c: Column) -> Column:
     """Portable 60-bit non-negative integer hash of a string column."""
     return hex_to_long(F.md5(c))

@@ -33,8 +33,10 @@ B = 0.75
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, _toks) — tokens materialized once (HOF lambdas don't CSE)."""
-    return docs.select(id_col, tokenize(F.col(text_col)).alias("_toks"))
+    """(id, _toks) — persisted token barrier (HOF lambdas don't CSE; plan
+    equality means tf and stats share one cached materialization)."""
+    from vectordb_testbricks_spark.functions.text import materialized_tokens
+    return materialized_tokens(docs, id_col, text_col)
 
 
 def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
