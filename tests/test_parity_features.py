@@ -1,0 +1,127 @@
+"""Parity features: dynamic-field expressions, TTL collections, packed
+binary-vector hamming, C8 index-compat validation."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.exprlang import compile_expr
+from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+from vectordb_testbricks_spark.manager import CollectionManager
+from vectordb_testbricks_spark.schema import (
+    FieldSpec, IndexSpec, SchemaSpec)
+from vectordb_testbricks_spark.validators import check_index_compatibility
+
+
+# ------------------------------------------------------------ dynamic field
+
+@pytest.fixture(scope="module")
+def dyn_df(spark):
+    return spark.range(20).select(
+        F.col("id").alias("pk"),
+        F.create_map(
+            F.lit("dyn_bucket"), (F.col("id") % 4).cast("string"),
+            F.lit("dyn_text"), F.concat(F.lit("t_"), F.col("id")),
+            F.lit("dyn_json"),
+            F.concat(F.lit('{"k": '), F.col("id"), F.lit("}")),
+        ).alias("_dynamic"))
+
+
+def test_dynamic_field_numeric_compare(dyn_df):
+    # undeclared name resolves into the dynamic map; numeric literal casts
+    assert dyn_df.filter(compile_expr("dyn_bucket == 2", dyn_df)).count() == 5
+    assert dyn_df.filter(compile_expr("dyn_bucket >= 2", dyn_df)).count() == 10
+
+
+def test_dynamic_field_string_and_json(dyn_df):
+    assert dyn_df.filter(
+        compile_expr('dyn_text == "t_7"', dyn_df)).count() == 1
+    assert dyn_df.filter(
+        compile_expr('dyn_json["k"] < 5', dyn_df)).count() == 5
+    assert dyn_df.filter(
+        compile_expr('dyn_text like "t_1%"', dyn_df)).count() == 11
+
+
+def test_unknown_column_without_dynamic_field_raises(spark):
+    df = spark.range(3).select(F.col("id").alias("pk"))
+    with pytest.raises(ExprCompileError, match="unknown column"):
+        compile_expr("nope == 1", df)
+
+
+# --------------------------------------------------------------------- TTL
+
+def test_ttl_collection_expires_rows(spark, tmp_path):
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    mgr.create_collection(SchemaSpec("ttl_col", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("v", "INT64")], ttl_seconds=2))
+    rows = spark.range(5).select(F.col("id").alias("pk"),
+                                 (F.col("id") * 10).alias("v"))
+    mgr.insert("ttl_col", rows)
+    assert mgr.read("ttl_col").count() == 5
+    time.sleep(3)
+    assert mgr.read("ttl_col").count() == 0  # expired
+    mgr.insert("ttl_col", rows)  # fresh batch visible again
+    assert mgr.read("ttl_col").count() == 5
+
+
+# ------------------------------------------------------------ packed binary
+
+def _pack_py(vec: list[float]) -> list[int]:
+    words = []
+    for w in range(0, len(vec), 32):
+        acc = 0
+        for i, x in enumerate(vec[w:w + 32]):
+            if x >= 0:
+                acc |= 1 << i
+        words.append(acc)
+    return words
+
+
+def test_packed_hamming_matches_signwise(spark, tables):
+    from vectordb_testbricks_spark.functions.vector import (
+        hamming_packed, hamming_sign, pack_sign_bits, to_double_array)
+    emb = tables["embeddings"].df.limit(50)
+    v = to_double_array(F.col("embedding"))
+    q = emb.select(v.alias("qv")).first()["qv"]
+    q_words = F.array(*[F.lit(w).cast("bigint") for w in _pack_py(list(q))])
+    both = emb.select(
+        hamming_sign(v, F.array(*[F.lit(float(x)) for x in q])).alias("h_sign"),
+        hamming_packed(pack_sign_bits(v), q_words).alias("h_packed"))
+    for r in both.collect():
+        assert r["h_sign"] == r["h_packed"]
+
+
+def test_pack_sign_bits_word_layout(spark):
+    from vectordb_testbricks_spark.functions.vector import pack_sign_bits
+    df = spark.createDataFrame(
+        [([1.0] * 3 + [-1.0] * 29 + [1.0, -1.0],)], "v array<double>")
+    words = df.select(pack_sign_bits(F.col("v")).alias("w")).first()["w"]
+    assert len(words) == 2          # 34 dims → 2 words
+    assert words[0] == 0b111        # first three dims positive
+    assert words[1] == 0b01         # dim 33 positive, dim 34 negative
+
+
+# ----------------------------------------------------------- C8 index compat
+
+def test_index_compatibility_validator():
+    fields = [FieldSpec("id", "INT64", primary=True),
+              FieldSpec("emb", "FLOAT_VECTOR", dim=4)]
+    before = SchemaSpec("c", fields, indexes=[
+        IndexSpec("emb", "HNSW", "L2", {"M": 30}),
+        IndexSpec("id", "STL_SORT")])
+    same = SchemaSpec("c", fields, indexes=[
+        IndexSpec("id", "STL_SORT"),
+        IndexSpec("emb", "HNSW", "L2", {"M": 30})])
+    assert check_index_compatibility(before, same)["ok"]
+
+    drifted = SchemaSpec("c", fields, indexes=[
+        IndexSpec("emb", "HNSW", "L2", {"M": 16})])
+    rep = check_index_compatibility(before, drifted)
+    assert not rep["ok"]
+    assert rep["failure"] == "INDEX_DRIFT"
+    assert rep["missing"] == ["id"] and rep["changed"] == ["emb"]

@@ -81,7 +81,7 @@ class _Compiler:
 
     def path(self, node: ast.Path) -> _Operand:
         if node.name not in self.schema:
-            raise ExprCompileError(f"unknown column {node.name!r}")
+            return self._dynamic_path(node)
         dtype = self.schema[node.name]
         col = F.col(node.name)
         if not node.accessors:
@@ -116,6 +116,26 @@ class _Compiler:
                 raise ExprCompileError(
                     f"cannot index into {cur_type.simpleString()} ({node.name!r})")
         return _Operand(cur, "col", cur_type)
+
+    def _dynamic_path(self, node: ast.Path) -> _Operand:
+        """Milvus dynamic-field semantics: an undeclared name in a filter
+        resolves to the dynamic catch-all map (schema.py:59 enable_dynamic_
+        field; generated dyn_* keys at data.py:216-221). Values are strings;
+        the JSON cast discipline (literal-driven try_cast) applies."""
+        from vectordb_testbricks_spark.schema import DYNAMIC_FIELD_COL
+
+        dyn = self.schema.get(DYNAMIC_FIELD_COL)
+        if not isinstance(dyn, T.MapType):
+            raise ExprCompileError(
+                f"unknown column {node.name!r} (and no dynamic field column)")
+        col = F.col(DYNAMIC_FIELD_COL).getItem(node.name)
+        if not node.accessors:
+            return _Operand(col, "json", None)
+        path = "$" + "".join(
+            f"[{a}]" if isinstance(a, int) else f".{a}"
+            for a in node.accessors)
+        return _Operand(F.get_json_object(col, path), "json", None,
+                        json_path_of=(col, path))
 
     # ---------------------------------------------------------- predicates
 

@@ -79,6 +79,35 @@ def hamming_sign(a: Column, b: Column) -> Column:
     )
 
 
+def pack_sign_bits(a: Column) -> Column:
+    """BINARY_VECTOR packing: sign-binarize a float vector and pack bits
+    into 32-bit words → ``array<bigint>`` (the reference packs bits to bytes,
+    2.6/common.py:317-325; words are the compute-friendly Spark layout —
+    one integer op covers 32 dims). Bit j of word w = [a[32w + j] >= 0].
+
+    Packing is a reverse-order accumulate (acc·2 + bit), which needs no
+    variable shift and stays far from int64 overflow (ANSI mode throws on
+    wrap, so 64-bit words with a sign bit would be unsafe)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(a) / 32).cast("int") - 1),
+        lambda w: F.aggregate(
+            F.reverse(F.slice(a, w * 32 + 1, 32)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + F.when(x >= 0, F.lit(1).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint"))))
+
+
+def hamming_packed(a: Column, b: Column) -> Column:
+    """HAMMING distance over packed bit-word arrays: popcount(xor) per word,
+    summed — 64 dims per integer op instead of one comparison per dim."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v.cast("bigint"),
+    )
+
+
 def sparse_dot_map(a: Column, b: Column) -> Column:
     """Inner product of two MapType(int/str -> float) sparse vectors
     (SPARSE_FLOAT_VECTOR, reference data.py:57-59): sum over the key

@@ -33,6 +33,7 @@ from vectordb_testbricks_spark.schema import (
     SchemaSpec)
 
 PARTITION_COL = "_partition"  # physical routing column
+INGEST_TS_COL = "_ingest_ts"  # TTL stamp (only on ttl_seconds collections)
 
 
 def _spec_to_json(spec: SchemaSpec) -> str:
@@ -157,9 +158,12 @@ class CollectionManager:
     # --------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
-        """S1: append a row batch (optionally into an explicit partition)."""
+        """S1: append a row batch (optionally into an explicit partition).
+        TTL collections stamp each batch with the ingest timestamp."""
         spec = self.describe_collection(name)
         routed = self._route(spec, df, partition_name)
+        if spec.ttl_seconds:
+            routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
         (routed.write.mode("append").partitionBy(PARTITION_COL)
          .parquet(self._data_dir(self.resolve(name))))
 
@@ -203,6 +207,12 @@ class CollectionManager:
         df = self.spark.read.parquet(data)
         if partition_names:
             df = df.filter(F.col(PARTITION_COL).isin(partition_names))
+        if spec.ttl_seconds:
+            # TTL read filter (reference collection property ttl.seconds):
+            # only rows ingested within the last ttl_seconds survive
+            cutoff = F.current_timestamp() - F.make_interval(
+                secs=F.lit(float(spec.ttl_seconds)))
+            df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
         return df
 
     # ---------------------------------------------------- S5 lifecycle ops

@@ -141,6 +141,10 @@ class SchemaSpec:
     num_partitions: int | None = None
     partitions: list[str] | None = None
     checksum_fields: list[str] | None = None
+    # collection TTL (reference 2.6/common.py:1050-1053): rows expire
+    # ttl_seconds after ingest; 0/None disables (Milvus convention).
+    # Spark mapping: ingest-timestamp stamp + read-time filter.
+    ttl_seconds: int | None = None
 
     # -- accessors ---------------------------------------------------------
     @property

@@ -129,6 +129,24 @@ def check_search_smoke(df: DataFrame, vec_col: str, id_col: str,
             "failure": None if hits >= 1 else "SEARCH_NO_HITS"}
 
 
+def check_index_compatibility(before, after) -> dict:
+    """C8: index list/params preserved across an upgrade (catalog metadata
+    comparison — validate_index_compatibility.py). ``before``/``after`` are
+    SchemaSpecs; returns drift report keyed by field."""
+    def _ix_map(spec):
+        return {i.field: (i.index_type, i.metric_type,
+                          tuple(sorted((i.params or {}).items())))
+                for i in spec.indexes}
+
+    b, a = _ix_map(before), _ix_map(after)
+    missing = sorted(set(b) - set(a))
+    added = sorted(set(a) - set(b))
+    changed = sorted(f for f in set(b) & set(a) if b[f] != a[f])
+    ok = not (missing or added or changed)
+    return {"ok": ok, "missing": missing, "added": added, "changed": changed,
+            "failure": None if ok else "INDEX_DRIFT"}
+
+
 def percentile_stats(latencies_ms: list[float]) -> dict:
     """C7: the reference's latency metric set (search_permanently.py:54-96)."""
     import numpy as np
