@@ -330,6 +330,72 @@ def v_knn_prefilter(spark, sf_dir):
     return _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]")
 
 
+def v_knn_fields(spark, sf_dir):
+    """V1 + Q2: search with output_fields — hits carry scalar columns from
+    the base table (search_permanently.py output_fields surface)."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb, q = _emb_queries(spark, sf_dir)
+    hits = knn_search(emb, q, "embedding", "vec_id", metric="IP", k=5,
+                      output_fields=["label"])
+    return hits.select("query_id", "vec_id", "label",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_KNN_FIELDS = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {_SQL_DOT} AS score
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, label, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, label, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def v_grouping_sized(spark, sf_dir):
+    """V5 with group_size > 1: best 2 hits per (query, label), top-3 groups
+    (Milvus group_by_field + group_size)."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb, q = _emb_queries(spark, sf_dir)
+    hits = knn_search(emb, q, "embedding", "vec_id", metric="IP", k=3,
+                      group_by="label", group_size=2)
+    return hits.select("query_id", "label", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("in_group_rank"),
+                       F.col("group_rank").cast("bigint").alias("group_rank"))
+
+
+SQL_V_GROUPING_SIZED = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {_SQL_DOT} AS score
+  FROM embeddings e CROSS JOIN q),
+best AS (
+  SELECT query_id, label, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id, label
+                            ORDER BY score DESC, vec_id) AS in_group_rank
+  FROM scored QUALIFY in_group_rank <= 2),
+keyed AS (
+  SELECT *, MAX(score) OVER (PARTITION BY query_id, label) AS gs
+  FROM best),
+groups AS (
+  SELECT query_id, label, vec_id, score, in_group_rank,
+         DENSE_RANK() OVER (PARTITION BY query_id
+                            ORDER BY gs DESC, label) AS group_rank
+  FROM keyed)
+SELECT query_id, label, vec_id, ROUND(score, 4) AS score, in_group_rank,
+       group_rank
+FROM groups WHERE group_rank <= 3
+"""
+
+
 def v_grouping_search(spark, sf_dir):
     """V5: grouping search — best hit per label, top-5 groups per query."""
     from vectordb_testbricks_spark.operators.search import knn_search
@@ -1227,15 +1293,26 @@ FROM x GROUP BY user_id, session_idx
 """
 
 
+_IVF_CACHE: dict[str, object] = {}
+
+
 def v_ivf_cosine(spark, sf_dir):
     """IVF (KMeans-centroid) approximate search — the performance path with
     nprobe=4 over 16 lists. Approximate by design → no SQL oracle (driver
     records the rows-only check); recall vs brute force is asserted in
-    tests/test_ann_index.py."""
+    tests/test_operators.py.
+
+    The index is built once per sf_dir and cached (index builds are
+    ingest-time batch jobs in the reference's model — the search path
+    probes a pre-built assignment table)."""
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search)
     emb, q = _emb_queries(spark, sf_dir)
-    model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+    model = _IVF_CACHE.get(sf_dir)
+    if model is None:
+        model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+        model.assigned = model.assigned.cache()
+        _IVF_CACHE[sf_dir] = model
     hits = ivf_search(model, q, k=10, nprobe=4)
     return hits.select("query_id", "vec_id",
                        F.round("score", 4).alias("score"),
@@ -1277,7 +1354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_knn_cosine": v_knn_cosine,
         "v_knn_hamming": v_knn_hamming,
         "v_knn_prefilter": v_knn_prefilter,
+        "v_knn_fields": v_knn_fields,
         "v_grouping_search": v_grouping_search,
+        "v_grouping_sized": v_grouping_sized,
         "v_sparse_dot": v_sparse_dot,
         "v_bm25": v_bm25,
         "v_rrf_fusion": v_rrf_fusion,
@@ -1328,7 +1407,9 @@ def oracle_sql() -> dict[str, str]:
         "v_knn_hamming": _SQL_KNN_TMPL.format(score=_SQL_HAM, where="", ord="ASC"),
         "v_knn_prefilter": _SQL_KNN_TMPL.format(
             score=_SQL_COS, where="WHERE e.label IN (1, 3, 5, 7)", ord="DESC"),
+        "v_knn_fields": SQL_V_KNN_FIELDS,
         "v_grouping_search": SQL_V_GROUPING,
+        "v_grouping_sized": SQL_V_GROUPING_SIZED,
         "v_sparse_dot": SQL_V_SPARSE,
         "v_bm25": SQL_V_BM25,
         "v_rrf_fusion": SQL_V_RRF,

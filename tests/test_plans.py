@@ -1,0 +1,102 @@
+"""Physical-plan regression guards: the properties that make these plans
+survive a 100× scale-up. A correctness-neutral change that breaks predicate
+pushdown, drops a broadcast, or adds a shuffle fails here, not in prod."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.functions.vector import to_double_array
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_scan(tables):
+    from vectordb_testbricks_spark.operators.query import query
+    ev = tables["events"].df
+    p = _plan(query(ev, 'event_type == "purchase" and value > 50',
+                    output_fields=["event_id", "value"]))
+    scan = next(line for line in p.splitlines() if "FileScan" in line)
+    # predicate pushdown: both filters in the scan's pushed filters
+    assert "PushedFilters" in scan
+    assert "event_type" in scan.split("PushedFilters")[1][:200]
+    # column pruning: scan reads only the referenced columns
+    read = scan.split("ReadSchema")[1] if "ReadSchema" in scan else scan
+    assert "props" not in read.split("struct")[1][:200]
+
+
+def test_knn_broadcasts_queries_not_base(tables):
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb = tables["embeddings"].df
+    q = (emb.filter(F.col("vec_id").isin([0, 1]))
+         .select(F.col("vec_id").alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+    p = _plan(knn_search(emb, q, "embedding", "vec_id", k=5))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_pk_range_prunes_via_pushdown(tables):
+    from vectordb_testbricks_spark.operators.query import query_pk_range
+    li = tables["lineitem"].df
+    p = _plan(query_pk_range(li, "l_orderkey", 100, 200))
+    scan = next(line for line in p.splitlines() if "FileScan" in line)
+    pushed = scan.split("PushedFilters")[1][:250]
+    assert "GreaterThanOrEqual" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_token_codes_is_shuffle_free(tables):
+    from vectordb_testbricks_spark.operators.dedup import _token_codes
+    docs = tables["documents"].df
+    p = _optimized(_token_codes(docs, "doc_id", "text", 3))
+    assert "Exchange" not in p and "Aggregate" not in p
+
+
+def test_tf_table_is_shuffle_free(tables):
+    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
+    docs = tables["documents"].df
+    p = _optimized(term_frequencies(docs, "doc_id", "text"))
+    assert "Exchange" not in p and "Aggregate" not in p
+
+
+def test_bm25_broadcasts_stats_and_query_terms(tables):
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    docs = tables["documents"].df
+    p = _plan(bm25_search(docs, "spark query join", "doc_id", "text", k=5))
+    assert p.count("BroadcastExchange") >= 2  # stats + qterms
+
+
+def test_ivf_probe_join_broadcasts_probe_list(tables):
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search)
+    emb = tables["embeddings"].df
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=4, seed=7)
+    p = _plan(ivf_search(model, q, k=5, nprobe=2))
+    assert "BroadcastExchange" in p
+
+
+def test_partition_scoped_read_prunes_files(spark, tmp_path):
+    """Partition-column predicates must show up as PartitionFilters (pruned
+    at file listing), not as row filters."""
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    mgr.create_collection(SchemaSpec("pp", [
+        FieldSpec("pk", "INT64", primary=True)], partitions=["p0", "p1"]))
+    rows = spark.range(10).select(F.col("id").alias("pk"))
+    mgr.insert("pp", rows, partition_name="p0")
+    mgr.insert("pp", rows, partition_name="p1")
+    p = _plan(mgr.read("pp", partition_names=["p0"]))
+    scan = next(line for line in p.splitlines() if "FileScan" in line)
+    part_filters = scan.split("PartitionFilters")[1][:120]
+    assert "_partition" in part_filters
