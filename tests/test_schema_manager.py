@@ -156,6 +156,22 @@ def test_upsert_delete_roundtrip(mgr, spark):
     assert not mgr.loaded("col_d")
 
 
+def test_many_collections_catalog_ops(mgr):
+    """S8 scale brick shape (requests_10kplus_collections.py): catalog ops
+    stay O(1)-ish per collection across a large catalog."""
+    for i in range(100):
+        mgr.create_collection(SchemaSpec(f"bulk_{i:04d}", base_fields()))
+    names = mgr.list_collections()
+    assert len(names) == 100 and names[0] == "bulk_0000"
+    assert mgr.describe_collection("bulk_0057").name == "bulk_0057"
+    mgr.alter_alias("hot", "bulk_0098")
+    assert mgr.resolve("hot") == "bulk_0098"
+    for i in range(0, 100, 2):
+        mgr.drop_collection(f"bulk_{i:04d}")
+    assert len(mgr.list_collections()) == 50
+    assert not mgr.has_collection("hot")  # alias died with its target
+
+
 def test_schema_roundtrip_preserves_indexes(mgr):
     fields = base_fields()
     spec = SchemaSpec("col_ix", fields, indexes=[

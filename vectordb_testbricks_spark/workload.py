@@ -34,9 +34,19 @@ def delete_range_expr(pk_col: str, start: int, end: int) -> str:
     return f"{pk_col} >= {start} && {pk_col} <= {end}"
 
 
+def format_filter_value(value) -> str:
+    """P14: literal rendering for filter strings — strings double-quoted
+    with backslash escaping (validators.py:38-42)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        escaped = value.replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{escaped}"'
+    return str(value)
+
+
 def pk_in_expr(pk_col: str, pks: list) -> str:
-    vals = ", ".join(
-        f'"{p}"' if isinstance(p, str) else str(p) for p in pks)
+    vals = ", ".join(format_filter_value(p) for p in pks)
     return f"{pk_col} in [{vals}]"
 
 
