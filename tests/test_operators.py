@@ -128,3 +128,36 @@ def test_expand_data(spark):
     out = expand_data(base, copies=3, pk_col="pk")
     assert out.count() == 300
     assert out.select("pk").distinct().count() == 300
+
+
+def test_rrf_fusion_offset(spark):
+    """Milvus offset semantics on fused results (issue_45203)."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    rows = [(0, i, 0.0, i) for i in range(1, 8)]
+    b = spark.createDataFrame(rows, "query_id int, doc_id int, score double, rank int")
+    full = rrf_fuse([b], "doc_id", k=5)
+    paged = rrf_fuse([b], "doc_id", k=3, offset=2)
+    assert [r["doc_id"] for r in full.orderBy("rank").collect()] == [1, 2, 3, 4, 5]
+    assert [(r["doc_id"], r["rank"]) for r in paged.orderBy("rank").collect()] == \
+        [(3, 3), (4, 4), (5, 5)]
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark, tables, tmp_path):
+    """write_ivf partitions by centroid_id; probing must prune partitions at
+    file-listing time (the IVF inverted-list read path at scale)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search, read_ivf, write_ivf)
+    emb = tables["embeddings"].df
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=4, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf(model, path)
+    reloaded = read_ivf(spark, path, "embedding", "vec_id", model.centroids)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+    hits = ivf_search(reloaded, q, k=5, nprobe=2)
+    assert hits.count() == 5
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "ivf" in l)
+    assert "centroid_id" in scan.split("PartitionFilters")[1][:200]

@@ -25,15 +25,19 @@ from pyspark.sql import functions as F
 RRF_K = 60
 
 
-def _rerank(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+def _rerank(scored: DataFrame, id_col: str, k: int,
+            offset: int = 0) -> DataFrame:
+    """Fused re-rank with Milvus offset semantics (issue_45203.py:89-137:
+    RRFRanker + offset): skip the first ``offset`` fused ranks, return the
+    next ``k``; ``rank`` stays the absolute fused rank."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k)))
 
 
 def rrf_fuse(branches: list[DataFrame], id_col: str, k: int = 10,
-             rrf_k: int = RRF_K) -> DataFrame:
+             rrf_k: int = RRF_K, offset: int = 0) -> DataFrame:
     """V3: reciprocal-rank fusion over ranked branch results.
 
     Each branch must carry (query_id, <id_col>, rank). Returns
@@ -46,12 +50,12 @@ def rrf_fuse(branches: list[DataFrame], id_col: str, k: int = 10,
     for p in parts[1:]:
         u = u.unionByName(p)
     scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
-    return _rerank(scored, id_col, k)
+    return _rerank(scored, id_col, k, offset)
 
 
 def weighted_fuse(branches: list[DataFrame], weights: list[float],
                   id_col: str, k: int = 10,
-                  normalize: bool = True) -> DataFrame:
+                  normalize: bool = True, offset: int = 0) -> DataFrame:
     """V4: weighted-sum fusion. Branch scores are min-max normalized per
     (branch, query) to [0, 1] before weighting (higher = better; pass
     ascending-metric branches through ``invert_scores`` first)."""
@@ -70,7 +74,7 @@ def weighted_fuse(branches: list[DataFrame], weights: list[float],
     for p in parts[1:]:
         u = u.unionByName(p)
     scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
-    return _rerank(scored, id_col, k)
+    return _rerank(scored, id_col, k, offset)
 
 
 def invert_scores(branch: DataFrame) -> DataFrame:
