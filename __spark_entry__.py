@@ -874,6 +874,44 @@ SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 16-bit signatures, upper-byte blocking,
+    hamming ≤ 3 (doubled corpus)."""
+    from vectordb_testbricks_spark.operators.dedup import simhash_near_dups
+    pairs = simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
+                              max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
+SQL_DD_SIMHASH_PAIRS = f"""
+WITH {_SQL_D2},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM d2)
+  GROUP BY doc_id, term),
+coded AS (
+  SELECT doc_id, {MD5L.format(s='term')} % 2147483647 AS code, tf FROM tf),
+params AS (
+  SELECT i, 2 * i + 3 AS a, (1000003 * (i + 1)) % 2147483647 AS b
+  FROM range(0, 16) t(i)),
+bits AS (
+  SELECT c.doc_id, p.i,
+         CASE WHEN SUM(c.tf * (((c.code * p.a + p.b) % 2147483647) % 2 * 2 - 1)) > 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE 0 END AS bit
+  FROM coded c CROSS JOIN params p GROUP BY c.doc_id, p.i),
+sigs AS (SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id),
+blocked AS (SELECT doc_id, simhash, simhash // 256 AS block FROM sigs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 3
+"""
+
+
 def dd_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dups via a frequency-capped inverted shingle
     index (max_df = 50, ≥3 shared rare shingles to become a candidate),
@@ -1069,6 +1107,33 @@ s AS (
 SELECT doc_id, content_md5,
        list_min(list_transform(kgrams, g -> {MD5L.format(s='g')})) AS min_kgram_hash
 FROM s ORDER BY doc_id
+"""
+
+
+def q_dynamic_field(spark, sf_dir):
+    """Dynamic-field filter (schema.py:59, data.py:216-221): undeclared
+    names in the expression resolve into the ``_dynamic`` map; numeric
+    literals drive a cast on the string value."""
+    ev = _t(spark, sf_dir, "events")
+    withdyn = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("dyn_bucket"), (F.col("user_id") % 16).cast("string"),
+            F.lit("dyn_text"),
+            F.concat(F.lit("dyn_"), F.col("event_type")),
+        ).alias("_dynamic"))
+    expr = 'dyn_bucket >= 12 && dyn_text like "dyn_p%"'
+    return (withdyn.filter(compile_expr(expr, withdyn))
+            .select("event_id").orderBy("event_id"))
+
+
+SQL_Q_DYNAMIC = """
+SELECT event_id FROM (
+  SELECT event_id, CAST(user_id % 16 AS VARCHAR) AS dyn_bucket,
+         'dyn_' || event_type AS dyn_text
+  FROM events)
+WHERE CAST(dyn_bucket AS DOUBLE) >= 12 AND dyn_text LIKE 'dyn_p%'
+ORDER BY event_id
 """
 
 
@@ -1349,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_contains": q_geo_contains,
         "q_agg_extension": q_agg_extension,
         "q_count_buckets": q_count_buckets,
+        "q_dynamic_field": q_dynamic_field,
         "v_knn_l2": v_knn_l2,
         "v_knn_ip": v_knn_ip,
         "v_knn_cosine": v_knn_cosine,
@@ -1371,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
         "dd_simhash": dd_simhash,
+        "dd_simhash_pairs": dd_simhash_pairs,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_embed_cosine": dd_embed_cosine,
         "tx_tokcount": tx_tokcount,
@@ -1401,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_contains": SQL_Q_GEO,
         "q_agg_extension": SQL_Q_AGG,
         "q_count_buckets": SQL_Q_BUCKETS,
+        "q_dynamic_field": SQL_Q_DYNAMIC,
         "v_knn_l2": _SQL_KNN_TMPL.format(score=_SQL_L2, where="", ord="ASC"),
         "v_knn_ip": _SQL_KNN_TMPL.format(score=_SQL_DOT, where="", ord="DESC"),
         "v_knn_cosine": _SQL_KNN_TMPL.format(score=_SQL_COS, where="", ord="DESC"),
@@ -1424,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact": SQL_DD_EXACT,
         "dd_minhash": SQL_DD_MINHASH,
         "dd_simhash": SQL_DD_SIMHASH,
+        "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
         "dd_ngram_jaccard": SQL_DD_NGRAM,
         "dd_embed_cosine": SQL_DD_EMBED,
         "tx_tokcount": SQL_TX_TOKCOUNT,
