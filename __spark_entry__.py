@@ -1384,6 +1384,20 @@ def v_ivf_cosine(spark, sf_dir):
                        F.col("rank").cast("bigint").alias("rank"))
 
 
+def v_lsh_cosine(spark, sf_dir):
+    """LSH-bucketed approximate cosine search (random-hyperplane sign
+    buckets, multi-probe flip=1) — the second ANN scale path beside IVF.
+    Approximate → rows-only check; recall asserted in tests."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_lsh, lsh_search)
+    emb, q = _emb_queries(spark, sf_dir)
+    indexed = build_lsh(emb, "embedding", "vec_id", bits=6)
+    hits = lsh_search(indexed, q, "vec_id", k=10, bits=6, flip=2)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
 # ================================================================ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1428,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_rrf_fusion": v_rrf_fusion,
         "v_weighted_fusion": v_weighted_fusion,
         "v_ivf_cosine": v_ivf_cosine,
+        "v_lsh_cosine": v_lsh_cosine,
         "dml_upsert": dml_upsert,
         "dml_partial_update": dml_partial_update,
         "dml_delete": dml_delete,

@@ -161,3 +161,23 @@ def test_persisted_ivf_probe_prunes_partitions(spark, tables, tmp_path):
     scan = next(l for l in plan.splitlines()
                 if "FileScan" in l and "ivf" in l)
     assert "centroid_id" in scan.split("PartitionFilters")[1][:200]
+
+
+def test_lsh_search_recall_and_self_hit(emb, queries3):
+    """Multi-probe LSH must return the query vector itself as rank 1 and
+    reach reasonable recall vs brute force."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_lsh, lsh_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    indexed = build_lsh(emb, "embedding", "vec_id", bits=6)
+    approx = lsh_search(indexed, queries3, "vec_id", k=10, bits=6, flip=2)
+    rows = approx.collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # exact self-match survives bucketing
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(e & a) / len(e) >= 0.5  # LSH@6 bits, flip=2 probes ~1/3 of buckets

@@ -138,6 +138,59 @@ def read_ivf(spark, path: str, vec_col: str, id_col: str,
                     vec_col=vec_col, id_col=id_col)
 
 
+def build_lsh(base: DataFrame, vec_col: str, id_col: str,
+              bits: int = 12) -> DataFrame:
+    """LSH-bucketed ANN table: rows keyed by the sign bucket of their
+    normalized vector (coordinate-hyperplane SimHash, dedup.sign_block_key).
+    Persist partitioned by `bucket` for pruned probes at scale — the
+    random-projection sibling of the IVF centroid index."""
+    from vectordb_testbricks_spark.functions.vector import (
+        l2_normalize, to_double_array)
+    from vectordb_testbricks_spark.operators.dedup import sign_block_key
+
+    nv = l2_normalize(to_double_array(F.col(vec_col)))
+    x = base.select(F.col(id_col), nv.alias("_nv")).persist()
+    return x.withColumn("bucket", sign_block_key(F.col("_nv"), bits))
+
+
+def lsh_search(indexed: DataFrame, queries: DataFrame, id_col: str,
+               k: int = 10, bits: int = 12, flip: int = 1) -> DataFrame:
+    """Multi-probe LSH cosine search: probe the query's bucket plus every
+    bucket within ``flip`` sign flips (flip=1 → bits+1 buckets — near
+    neighbors whose borderline components straddle zero land there), then
+    exact-rank the union. Approximate, like IVF/nprobe; brute force stays
+    the oracle. Both sides are unit-normalized, so the score is a plain dot
+    product (cosine)."""
+    import itertools
+
+    from vectordb_testbricks_spark.functions.vector import dot, l2_normalize
+    from vectordb_testbricks_spark.operators.dedup import sign_block_key
+    from vectordb_testbricks_spark.operators.search import _ranked
+
+    # normalized query projection: materialized by collect + broadcast, so
+    # the normalize expression is never inlined into per-pair lambdas
+    q = (queries.select("query_id",
+                        l2_normalize(F.col("qvec")).alias("qvec"))
+         .withColumn("_qb", sign_block_key(F.col("qvec"), bits)))
+    qrows = q.collect()
+    masks = [0]
+    for n_flips in range(1, flip + 1):
+        masks += [sum(1 << i for i in combo) for combo in
+                  itertools.combinations(range(bits), n_flips)]
+    probe = [(int(r["query_id"]), int(r["_qb"]) ^ m)
+             for r in qrows for m in masks]
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(probe, "query_id int, bucket bigint")
+    qn = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qvec"])) for r in qrows],
+        "query_id int, qvec array<double>")
+    pruned = indexed.join(F.broadcast(probe_df), "bucket")
+    scored = (pruned.join(F.broadcast(qn), "query_id")
+              .select("query_id", id_col,
+                      dot(F.col("_nv"), F.col("qvec")).alias("score")))
+    return _ranked(scored, id_col, asc=False, k=k)
+
+
 def _nearest_lists(qvec: list[float], centroids: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side: nprobe nearest centroids by L2 (tiny)."""
