@@ -485,12 +485,34 @@ bm25_scored AS (SELECT doc_id, SUM(contrib) AS score FROM comp GROUP BY doc_id)
 """
 
 
+# ingest-time BM25 tables per sf_dir — in Milvus the BM25 function field is
+# server-computed at insert (schema_matrix_2_6.yaml:65-69); the search path
+# only joins against the materialized tf/stats tables
+_BM25_CACHE: dict[str, tuple] = {}
+
+
+def _bm25_tables(spark, sf_dir):
+    cached = _BM25_CACHE.get(sf_dir)
+    if cached is None:
+        from vectordb_testbricks_spark.operators.bm25 import (
+            corpus_stats, term_frequencies)
+        docs = _t(spark, sf_dir, "documents")
+        tf = term_frequencies(docs, "doc_id", "text").cache()
+        stats = corpus_stats(docs, "doc_id", "text").cache()
+        cached = (tf, stats)
+        _BM25_CACHE[sf_dir] = cached
+    return cached
+
+
 def v_bm25(spark, sf_dir):
     """V7: BM25 full-text search (raw-string query, k1=1.2, b=0.75,
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5)))."""
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))) over the ingest-time tf/stats
+    tables."""
     from vectordb_testbricks_spark.operators.bm25 import bm25_search
     docs = _t(spark, sf_dir, "documents")
-    hits = bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10)
+    tf, stats = _bm25_tables(spark, sf_dir)
+    hits = bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10,
+                       tf_df=tf, stats=stats)
     return hits.select("query_id", "doc_id",
                        F.round("score", 4).alias("score"),
                        F.col("rank").cast("bigint").alias("rank"))
@@ -521,7 +543,9 @@ def _dense_branch(spark, sf_dir, limit=20):
 def _bm25_branch(spark, sf_dir, limit=20):
     from vectordb_testbricks_spark.operators.bm25 import bm25_search
     docs = _t(spark, sf_dir, "documents")
-    return (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=limit)
+    tf, stats = _bm25_tables(spark, sf_dir)
+    return (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=limit,
+                        tf_df=tf, stats=stats)
             .select("query_id", "doc_id", "score", "rank"))
 
 
