@@ -488,11 +488,11 @@ bm25_scored AS (SELECT doc_id, SUM(contrib) AS score FROM comp GROUP BY doc_id)
 # ingest-time BM25 tables per sf_dir — in Milvus the BM25 function field is
 # server-computed at insert (schema_matrix_2_6.yaml:65-69); the search path
 # only joins against the materialized tf/stats tables
-_BM25_CACHE: dict[str, tuple] = {}
+_BM25_CACHE: dict[tuple, tuple] = {}
 
 
 def _bm25_tables(spark, sf_dir):
-    cached = _BM25_CACHE.get(sf_dir)
+    cached = _BM25_CACHE.get((id(spark), sf_dir))
     if cached is None:
         from vectordb_testbricks_spark.operators.bm25 import (
             corpus_stats, term_frequencies)
@@ -500,7 +500,7 @@ def _bm25_tables(spark, sf_dir):
         tf = term_frequencies(docs, "doc_id", "text").cache()
         stats = corpus_stats(docs, "doc_id", "text").cache()
         cached = (tf, stats)
-        _BM25_CACHE[sf_dir] = cached
+        _BM25_CACHE[(id(spark), sf_dir)] = cached
     return cached
 
 
@@ -1382,7 +1382,7 @@ FROM x GROUP BY user_id, session_idx
 """
 
 
-_IVF_CACHE: dict[str, object] = {}
+_IVF_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 
 def v_ivf_cosine(spark, sf_dir):
@@ -1397,11 +1397,12 @@ def v_ivf_cosine(spark, sf_dir):
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search)
     emb, q = _emb_queries(spark, sf_dir)
-    model = _IVF_CACHE.get(sf_dir)
+    key = (id(spark), sf_dir)
+    model = _IVF_CACHE.get(key)
     if model is None:
         model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
         model.assigned = model.assigned.cache()
-        _IVF_CACHE[sf_dir] = model
+        _IVF_CACHE[key] = model
     hits = ivf_search(model, q, k=10, nprobe=4)
     return hits.select("query_id", "vec_id",
                        F.round("score", 4).alias("score"),
