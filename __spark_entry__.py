@@ -1409,6 +1409,44 @@ def v_ivf_cosine(spark, sf_dir):
                        F.col("rank").cast("bigint").alias("rank"))
 
 
+_SQ8_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
+
+
+def v_ivf_sq8(spark, sf_dir):
+    """IVF_SQ8 (reference index vocabulary, 2.6/common.py:882-898):
+    nprobe-pruned probe over 8-bit scalar-quantized vectors (4× smaller
+    scan than float32), exact cosine rescore of the top rerank_k
+    candidates. Approximate → rows-only check; recall and the
+    full-probe==exact identity are asserted in tests/test_operators.py."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf_sq8, ivf_sq8_search)
+    emb, q = _emb_queries(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    model = _SQ8_CACHE.get(key)
+    if model is None:
+        model = build_ivf_sq8(emb, "embedding", "vec_id", n_lists=16, seed=7)
+        model.quantized = model.quantized.cache()
+        _SQ8_CACHE[key] = model
+    hits = ivf_sq8_search(model, q, k=10, nprobe=4)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def v_binary_rerank(spark, sf_dir):
+    """1-bit quantized candidate scan (packed sign bits, 32× smaller than
+    float32) + exact cosine rescore — IVF_RABITQ/BIN_IVF_FLAT analogue
+    (2.6/common.py:882-898, mc_create_rabitq_mmap.py). Approximate →
+    rows-only check; recall and full-rerank==exact asserted in tests."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        binary_rerank_search)
+    emb, q = _emb_queries(spark, sf_dir)
+    hits = binary_rerank_search(emb, q, "embedding", "vec_id", k=10)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
 def v_lsh_cosine(spark, sf_dir):
     """LSH-bucketed approximate cosine search (random-hyperplane sign
     buckets, multi-probe flip=1) — the second ANN scale path beside IVF.
@@ -1467,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_rrf_fusion": v_rrf_fusion,
         "v_weighted_fusion": v_weighted_fusion,
         "v_ivf_cosine": v_ivf_cosine,
+        "v_ivf_sq8": v_ivf_sq8,
+        "v_binary_rerank": v_binary_rerank,
         "v_lsh_cosine": v_lsh_cosine,
         "dml_upsert": dml_upsert,
         "dml_partial_update": dml_partial_update,

@@ -55,6 +55,82 @@ def test_ivf_full_probe_equals_exact(emb, queries3):
     assert sorted(exact) == sorted(approx)
 
 
+def test_ivf_sq8_recall_vs_brute_force(emb, queries3):
+    """SQ8 quantized probe + exact rescore must reach ≥ 0.9 recall@10 —
+    quantization error only matters for candidates near the rerank_k
+    boundary because the final ordering is exact-rescored."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf_sq8, ivf_sq8_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    model = build_ivf_sq8(emb, "embedding", "vec_id", n_lists=16, seed=7)
+    approx = ivf_sq8_search(model, queries3, k=10, nprobe=8)
+
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ivf_sq8_full_probe_full_rerank_equals_exact(emb, queries3):
+    """nprobe = n_lists and rerank_k ≥ corpus ⇒ every row is exact-rescored
+    ⇒ identical to brute force (quantization drops out entirely)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf_sq8, ivf_sq8_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    n = emb.count()
+    exact = [(r["query_id"], r["vec_id"]) for r in
+             knn_search(emb, queries3, "embedding", "vec_id",
+                        metric="COSINE", k=5).collect()]
+    model = build_ivf_sq8(emb, "embedding", "vec_id", n_lists=8, seed=7)
+    approx = [(r["query_id"], r["vec_id"]) for r in
+              ivf_sq8_search(model, queries3, k=5, nprobe=8,
+                             rerank_k=n).collect()]
+    assert sorted(exact) == sorted(approx)
+
+
+def test_ivf_sq8_stores_one_byte_elements(emb):
+    """The quantized column must be array<tinyint> — the 4× scan-size
+    reduction vs float32 is the whole point of SQ8 at scale."""
+    from pyspark.sql import types as T
+
+    from vectordb_testbricks_spark.operators.ann_index import build_ivf_sq8
+
+    model = build_ivf_sq8(emb, "embedding", "vec_id", n_lists=4, seed=7)
+    field = dict(model.quantized.dtypes)["_q8"]
+    assert field == "array<tinyint>", field
+    row = model.quantized.select("_q8").first()
+    assert isinstance(model.quantized.schema["_q8"].dataType.elementType,
+                      T.ByteType)
+    assert all(-128 <= v <= 127 for v in row["_q8"])
+
+
+def test_binary_rerank_recall_and_full_rerank_identity(emb, queries3):
+    """1-bit hamming candidates + exact rescore: decent recall at
+    rerank_k=8k, and rerank_k ≥ corpus ⇒ identical to brute force."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        binary_rerank_search)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    approx = binary_rerank_search(emb, queries3, "embedding", "vec_id", k=10)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"recall {recall}"
+
+    n = emb.count()
+    full = binary_rerank_search(emb, queries3, "embedding", "vec_id",
+                                k=10, rerank_k=n)
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert f == e
+
+
 def test_two_phase_topk_equals_single_phase(emb, queries3):
     from vectordb_testbricks_spark.operators.search import knn_search
 

@@ -191,6 +191,178 @@ def lsh_search(indexed: DataFrame, queries: DataFrame, id_col: str,
     return _ranked(scored, id_col, asc=False, k=k)
 
 
+@dataclass
+class Sq8Model:
+    quantized: DataFrame           # id_col, centroid_id, _q8 array<tinyint>
+    vmin: list[float]              # per-dim lower quantization bound
+    inv_scale: list[float]         # per-dim (vmax - vmin) / 255
+    centroids: list[list[float]]   # trained on *normalized* vectors
+    base: DataFrame                # original float table (exact rescore side)
+    vec_col: str
+    id_col: str
+
+
+def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
+                  n_lists: int = 16, seed: int = 7, max_iter: int = 10,
+                  train_sample: int = 20_000) -> Sq8Model:
+    """IVF_SQ8 (reference index vocabulary, 2.6/common.py:882-898): IVF
+    centroid lists over 8-bit scalar-quantized vectors.
+
+    The 100-TB point of SQ8 is scan size: the stored vector column shrinks
+    4× vs float32 (8× vs double), so the probe phase reads a quarter of the
+    bytes — per-dim min/max bounds are trained on the same driver-side
+    sample as the centroids (the Faiss recipe: bounds from ~10-20k samples
+    hold regardless of corpus size).
+
+    Vectors are L2-normalized *before* quantization, so inner product ==
+    cosine and one quantization serves both metrics. The normalized
+    projection is persisted first — HOF lambdas are not CSE'd, and feeding
+    an un-materialized normalize into zip_with re-evaluates it per element.
+    """
+    from vectordb_testbricks_spark.functions.vector import (
+        l2_normalize, to_double_array)
+
+    nv = l2_normalize(to_double_array(F.col(vec_col)))
+    x = base.select(id_col, nv.alias("_nv")).persist()
+
+    rows = (x.select("_nv").sample(0.5, seed=seed)
+            .limit(train_sample).collect())
+    if len(rows) < train_sample:
+        rows = x.select("_nv").limit(train_sample).collect()
+    sample = np.asarray([list(r["_nv"]) for r in rows], dtype=np.float64)
+    cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
+    vmin = sample.min(axis=0)
+    inv = np.maximum((sample.max(axis=0) - vmin) / 255.0, 1e-12)
+
+    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
+        assign = _assign_expr_jvm("_nv", cent)
+    else:
+        assign = _assign_expr_pandas("_nv", cent, base.sparkSession)
+
+    vmin_arr = F.array(*[F.lit(float(v)) for v in vmin])
+    inv_arr = F.array(*[F.lit(float(v)) for v in inv])
+    # q = clamp(round((x - vmin)/inv), 0, 255) - 128, stored as tinyint
+    q8 = F.zip_with(
+        F.zip_with(F.col("_nv"), vmin_arr, lambda a, b: a - b),
+        inv_arr,
+        lambda d, s: (F.greatest(F.lit(0.0),
+                                 F.least(F.lit(255.0), F.round(d / s)))
+                      .cast("int") - 128).cast("tinyint"))
+    quantized = x.select(id_col, assign.alias("centroid_id"), q8.alias("_q8"))
+    return Sq8Model(quantized=quantized, vmin=[float(v) for v in vmin],
+                    inv_scale=[float(v) for v in inv],
+                    centroids=cent.tolist(), base=base,
+                    vec_col=vec_col, id_col=id_col)
+
+
+def ivf_sq8_search(model: Sq8Model, queries: DataFrame, k: int = 10,
+                   nprobe: int = 8, rerank_k: int | None = None) -> DataFrame:
+    """Probe nprobe lists, rank candidates on the quantized column, then
+    exact-rescore the top ``rerank_k`` on the original float vectors.
+
+    The quantized approximate score folds dequantization into the *query*
+    side: with stored q_i = round((x_i - vmin_i)/inv_i) - 128,
+    IP(x̂, q⃗) = Σ q_i·(inv_i·q⃗_i) + Σ (vmin_i + 128·inv_i)·q⃗_i — a plain
+    dot against a per-query reweighted vector plus a per-query constant,
+    both computed driver-side. The stored-side expression is therefore the
+    same codegen dot product as the float path, but over 1-byte elements.
+
+    Rescore joins the nq×rerank_k candidate set back to the float table by
+    broadcast hash join — no shuffle of the base; at scale, a base laid out
+    bucketed by id turns that scan into pruned file reads.
+    """
+    from vectordb_testbricks_spark.functions.vector import cosine_sim, dot
+    from vectordb_testbricks_spark.operators.search import _ranked
+
+    rerank_k = rerank_k or max(4 * k, 32)
+    vmin = np.asarray(model.vmin)
+    inv = np.asarray(model.inv_scale)
+    qrows = queries.collect()  # nq small by contract (reference nq ≤ 100)
+    probes, qweights, qfloat = [], [], []
+    for r in qrows:
+        qid = int(r["query_id"])
+        qv = np.asarray(list(r["qvec"]), dtype=np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        probes += [(qid, int(c))
+                   for c in _nearest_lists(qn.tolist(), model.centroids,
+                                           nprobe)]
+        qweights.append((qid, [float(v) for v in inv * qn],
+                         float(((vmin + 128.0 * inv) * qn).sum())))
+        qfloat.append((qid, [float(v) for v in qv]))
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id int, centroid_id int")
+    qw = spark.createDataFrame(
+        qweights, "query_id int, w array<double>, c double")
+
+    pruned = model.quantized.join(F.broadcast(probe_df), "centroid_id")
+    approx = (pruned.join(F.broadcast(qw), "query_id")
+              .select("query_id", model.id_col,
+                      (dot(F.col("_q8"), F.col("w")) + F.col("c"))
+                      .alias("score")))
+    cand = (_ranked(approx, model.id_col, asc=False, k=rerank_k)
+            .select("query_id", model.id_col))
+
+    qn_df = spark.createDataFrame(qfloat, "query_id int, qvec array<double>")
+    rescored = (model.base.join(F.broadcast(cand), model.id_col)
+                .join(F.broadcast(qn_df), "query_id")
+                .select("query_id", model.id_col,
+                        cosine_sim(F.col(model.vec_col), F.col("qvec"))
+                        .alias("score")))
+    return _ranked(rescored, model.id_col, asc=False, k=k)
+
+
+def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
+                         id_col: str, k: int = 10,
+                         rerank_k: int | None = None) -> DataFrame:
+    """1-bit quantized search with exact rescore — the IVF_RABITQ /
+    BIN_IVF_FLAT analogue (reference index vocabulary 2.6/common.py:882-898;
+    RaBitQ brick mc_create_rabitq_mmap.py).
+
+    Candidate generation scans sign-bit-packed vectors (32× smaller than
+    float32 — at 100 TB the candidate scan reads ~3 TB) ranked by packed
+    hamming distance (popcount(xor), 64 dims per integer op), then the top
+    ``rerank_k`` candidates are exact-rescored on the float column via
+    broadcast join, exactly like the SQ8 path. Monotone cosine ↔ hamming
+    correlation on normalized data makes sign-bit hamming a sound coarse
+    ranker; the rescore restores exact ordering within the candidate set.
+    """
+    from vectordb_testbricks_spark.functions.vector import (
+        cosine_sim, hamming_packed, pack_sign_bits)
+    from vectordb_testbricks_spark.operators.search import _ranked
+
+    rerank_k = rerank_k or max(8 * k, 64)
+    packed = base.select(id_col, pack_sign_bits(F.col(vec_col)).alias("_bits"))
+
+    qrows = queries.collect()
+    dim = len(list(qrows[0]["qvec"])) if qrows else 0
+    qmeta = []
+    for r in qrows:
+        qv = [float(x) for x in r["qvec"]]
+        words = []
+        for w in range((dim + 31) // 32):
+            acc = 0
+            for x in reversed(qv[w * 32: w * 32 + 32]):
+                acc = acc * 2 + (1 if x >= 0 else 0)
+            words.append(acc)
+        qmeta.append((int(r["query_id"]), words, qv))
+    spark = queries.sparkSession
+    qdf = spark.createDataFrame(
+        qmeta, "query_id int, qbits array<bigint>, qvec array<double>")
+
+    approx = (packed.crossJoin(F.broadcast(qdf.select("query_id", "qbits")))
+              .select("query_id", id_col,
+                      hamming_packed(F.col("_bits"), F.col("qbits"))
+                      .alias("score")))
+    cand = (_ranked(approx, id_col, asc=True, k=rerank_k)
+            .select("query_id", id_col))
+    rescored = (base.join(F.broadcast(cand), id_col)
+                .join(F.broadcast(qdf.select("query_id", "qvec")), "query_id")
+                .select("query_id", id_col,
+                        cosine_sim(F.col(vec_col), F.col("qvec"))
+                        .alias("score")))
+    return _ranked(rescored, id_col, asc=False, k=k)
+
+
 def _nearest_lists(qvec: list[float], centroids: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side: nprobe nearest centroids by L2 (tiny)."""
