@@ -255,6 +255,23 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
                     vec_col=vec_col, id_col=id_col)
 
 
+def write_sq8(model: Sq8Model, path: str) -> None:
+    """Persist the quantized table partitioned by centroid_id — probing
+    prunes file groups on the read path, and the stored bytes are the
+    1-byte-per-dim layout (the scan-size win survives the round-trip)."""
+    model.quantized.write.mode("overwrite") \
+        .partitionBy("centroid_id").parquet(path)
+
+
+def read_sq8(spark, path: str, model_meta: Sq8Model) -> Sq8Model:
+    """Reload a persisted SQ8 table; bounds/centroids travel separately
+    (tiny driver-side metadata, like read_ivf)."""
+    return Sq8Model(quantized=spark.read.parquet(path),
+                    vmin=model_meta.vmin, inv_scale=model_meta.inv_scale,
+                    centroids=model_meta.centroids, base=model_meta.base,
+                    vec_col=model_meta.vec_col, id_col=model_meta.id_col)
+
+
 def ivf_sq8_search(model: Sq8Model, queries: DataFrame, k: int = 10,
                    nprobe: int = 8, rerank_k: int | None = None) -> DataFrame:
     """Probe nprobe lists, rank candidates on the quantized column, then
