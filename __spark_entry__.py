@@ -1345,6 +1345,28 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def st_dedup(spark, sf_dir):
+    """Ingest-time streaming dedup, batch-twin semantics (streaming/
+    dedup_stream.py: dropDuplicatesWithinWatermark bounds state to the
+    watermark horizon — the unbounded-feed dedup the batch family can't
+    express). The key set is the contract (which duplicate survives is
+    arrival order); reported as distinct-key counts per event_type.
+    Stream==batch key-set equality asserted in tests/test_streaming.py."""
+    from vectordb_testbricks_spark.streaming.dedup_stream import dedup_batch
+    ev = _t(spark, sf_dir, "events")
+    return (dedup_batch(ev, ["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("uniq_users"))
+            .orderBy("event_type"))
+
+
+SQL_ST_DEDUP = """
+SELECT event_type, COUNT(*) AS uniq_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def st_sessionize(spark, sf_dir):
     """Stateful sessionization (batch twin of the applyInPandasWithState
     streaming operator, streaming/sessionize.py): 30-min-gap sessions per
@@ -1532,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_route_counts": part_route_counts,
         "st_window_agg": st_window_agg,
         "st_sessionize": st_sessionize,
+        "st_dedup": st_dedup,
     }
 
 
@@ -1587,4 +1610,5 @@ def oracle_sql() -> dict[str, str]:
         "part_route_counts": SQL_PART_ROUTE,
         "st_window_agg": SQL_ST_WINDOW,
         "st_sessionize": SQL_ST_SESSIONIZE,
+        "st_dedup": SQL_ST_DEDUP,
     }

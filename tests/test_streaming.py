@@ -75,3 +75,28 @@ def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
     assert g, "stream emitted no sessions"
     for k, v in g.items():
         assert w.get(k) == v, f"session {k}: stream {v} != batch {w.get(k)}"
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tables, tmp_path):
+    """Streaming watermarked dedup must emit each (user_id, event_type) key
+    exactly once, and the emitted key set must equal the batch distinct."""
+    from vectordb_testbricks_spark.streaming.dedup_stream import (
+        dedup_batch, run_dedup_stream)
+
+    ev = (tables["events"].df
+          .filter(F.col("user_id") < 50)
+          .select("user_id", "event_type", "ts"))
+    src = str(tmp_path / "dd_src")
+    ev.write.parquet(src)
+    q = run_dedup_stream(spark, src, str(tmp_path / "dd_cp"),
+                         str(tmp_path / "dd_out"),
+                         key_cols=["user_id", "event_type"],
+                         watermark="2 hours")
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "dd_out"))
+    keys = [(r["user_id"], r["event_type"]) for r in got.collect()]
+    assert len(keys) == len(set(keys)), "a key was emitted more than once"
+    want = {(r["user_id"], r["event_type"]) for r in
+            dedup_batch(spark.read.parquet(src),
+                        ["user_id", "event_type"]).collect()}
+    assert set(keys) == want
