@@ -75,23 +75,43 @@ def main() -> None:
         for name in HEADLINE:
             qmap[name](spark, sf_dir).count()
 
+    # SPARK_GRAFT_BENCH_REPEAT=N (default 1) runs each query N times and
+    # reports the reference's latency metric set (avg/p50/p95/p99/min/max,
+    # search_permanently.py:36-96) per query; the headline per-query value
+    # stays a single steady-state wall-clock (the median across runs) so
+    # totals remain comparable with the recorded BASELINE.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
+    latency: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", flush=True)
+        if repeat > 1:
+            from vectordb_testbricks_spark.validators import percentile_stats
+            latency[name] = {k: round(v, 4) for k, v in
+                             percentile_stats(runs).items()}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }), flush=True)
+    }
+    if latency:
+        out["latency"] = latency
+        out["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)
+                      for name, s in latency.items()}
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
