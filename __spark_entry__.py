@@ -463,6 +463,54 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_SPARSE_DROP_MAP = {"spark": 2.0, "query": 1.5, "join": 0.3,
+                    "fast": 1.0, "table": 0.2}
+_SPARSE_DROP_RATIO = 0.4  # drops the two lowest weights: table, join
+
+
+def v_sparse_drop(spark, sf_dir):
+    """V6 + drop_ratio_search (SPARSE_INVERTED_INDEX search param,
+    workload.py:140-152): the lowest-weight 40% of query dims are dropped
+    before scoring. The oracle embeds the same post-drop term set, computed
+    by the shared drop_query_terms logic at import time."""
+    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
+    from vectordb_testbricks_spark.operators.search import sparse_search
+    docs = _t(spark, sf_dir, "documents")
+    tf = term_frequencies(docs, "doc_id", "text")
+    sparse = (tf.groupBy("doc_id")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct(
+                      F.col("term"), F.col("tf").cast("double")))))
+                  .alias("svec")))
+    hits = sparse_search(sparse, _SPARSE_DROP_MAP, "svec", "doc_id", k=10,
+                         drop_ratio_search=_SPARSE_DROP_RATIO)
+    return hits.select("query_id", "doc_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def _sparse_drop_sql() -> str:
+    from vectordb_testbricks_spark.operators.search import drop_query_terms
+    kept = drop_query_terms(_SPARSE_DROP_MAP, _SPARSE_DROP_RATIO)
+    vals = ", ".join(f"('{t}', {w})" for t, w in sorted(kept.items()))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+qw(term, w) AS (VALUES {vals}),
+scored AS (
+  SELECT tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
+  FROM tf JOIN qw USING (term) GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0)
+SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_V_SPARSE_DROP = _sparse_drop_sql()
+
+
 BM25_QUERY = "spark query join fast table"
 
 _SQL_BM25_SCORED = f"""
@@ -1523,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_grouping_search": v_grouping_search,
         "v_grouping_sized": v_grouping_sized,
         "v_sparse_dot": v_sparse_dot,
+        "v_sparse_drop": v_sparse_drop,
         "v_bm25": v_bm25,
         "v_rrf_fusion": v_rrf_fusion,
         "v_weighted_fusion": v_weighted_fusion,
@@ -1582,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "v_grouping_search": SQL_V_GROUPING,
         "v_grouping_sized": SQL_V_GROUPING_SIZED,
         "v_sparse_dot": SQL_V_SPARSE,
+        "v_sparse_drop": SQL_V_SPARSE_DROP,
         "v_bm25": SQL_V_BM25,
         "v_rrf_fusion": SQL_V_RRF,
         "v_weighted_fusion": SQL_V_WEIGHTED,

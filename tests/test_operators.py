@@ -142,6 +142,19 @@ def test_two_phase_topk_equals_single_phase(emb, queries3):
         [tuple(r) for r in two.orderBy("query_id", "rank").collect()]
 
 
+def test_drop_query_terms_semantics():
+    """drop_ratio_search drops the lowest-|weight| floor(n*ratio) query
+    dims, ties broken by key; ratio 0 is identity."""
+    from vectordb_testbricks_spark.operators.search import drop_query_terms
+    m = {"a": 2.0, "b": 1.5, "c": 0.3, "d": 1.0, "e": 0.2}
+    assert drop_query_terms(m, 0.0) == m
+    assert sorted(drop_query_terms(m, 0.4)) == ["a", "b", "d"]
+    assert sorted(drop_query_terms(m, 0.9)) == ["a"]  # floor(5*0.9)=4 dropped
+    # tie on |weight| → key order decides deterministically
+    t = {"x": 1.0, "y": 1.0, "z": 2.0}
+    assert sorted(drop_query_terms(t, 0.34)) == ["y", "z"]
+
+
 def test_result_shape_check(emb, queries3):
     from vectordb_testbricks_spark.operators.search import (
         check_result_shape, knn_search)

@@ -106,14 +106,28 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     return _ranked(scored, id_col, asc, k, two_phase=two_phase)
 
 
+def drop_query_terms(query_map: dict, drop_ratio_search: float) -> dict:
+    """SPARSE_INVERTED_INDEX ``drop_ratio_search`` (reference search params,
+    workload.py:140-152): drop the lowest-|weight| fraction of *query*
+    dimensions before scoring — fewer postings traversed, negligible score
+    loss. Deterministic tie-break by key."""
+    if drop_ratio_search <= 0 or not query_map:
+        return query_map
+    items = sorted(query_map.items(), key=lambda kv: (abs(kv[1]), str(kv[0])))
+    return dict(items[int(len(items) * drop_ratio_search):])
+
+
 def sparse_search(base: DataFrame, query_map: dict, map_col: str, id_col: str,
-                  k: int = 10, flt: str | Column | None = None) -> DataFrame:
+                  k: int = 10, flt: str | Column | None = None,
+                  drop_ratio_search: float = 0.0) -> DataFrame:
     """V6: inner-product search over SPARSE_FLOAT_VECTOR (MapType) columns.
 
     The query is a {index: weight} dict (reference DOK form, data.py:57-59).
     Compiled as a literal map → map_zip_with dot product, no shuffle at all
-    until the top-k reduction.
+    until the top-k reduction. ``drop_ratio_search`` prunes low-weight query
+    dims first (see drop_query_terms).
     """
+    query_map = drop_query_terms(query_map, drop_ratio_search)
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
         base = base.filter(pred)
