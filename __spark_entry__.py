@@ -145,6 +145,35 @@ WHERE p_name LIKE '%ge%' AND p_brand LIKE 'Brand#_3' ORDER BY p_partkey
 """
 
 
+_NGRAM_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
+
+
+def q_like_ngram(spark, sf_dir):
+    """Infix LIKE served through the NGRAM(3,3) inverted posting index
+    (scalar-index vocabulary, schema_matrix_3_0.yaml:25,
+    create_horizon_collection.py:120-141): posting probe → all-grams
+    candidates → exact LIKE re-verify. Results are bit-identical to the
+    plain filter — the oracle is the unindexed LIKE query. The posting
+    table is ingest-time (cached per dataset, like the BM25 tables)."""
+    from vectordb_testbricks_spark.operators.ngram_index import (
+        build_ngram_index, like_with_index)
+    docs = _t(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir)
+    posting = _NGRAM_CACHE.get(key)
+    if posting is None:
+        posting = build_ngram_index(docs, "doc_id", "text", 3, 3).cache()
+        _NGRAM_CACHE[key] = posting
+    hits = like_with_index(docs, posting, "%stream spark%", "doc_id", "text")
+    return (hits.select("doc_id", "lang", "source")
+            .orderBy("doc_id"))
+
+
+SQL_Q_LIKE_NGRAM = """
+SELECT doc_id, lang, source FROM documents
+WHERE text LIKE '%stream spark%' ORDER BY doc_id
+"""
+
+
 def q_array_ops(spark, sf_dir):
     """P8/P9/P10: array element access + array_contains(_any) over a real
     ArrayType column (derived by tokenizing p_type, as the reference derives
@@ -1557,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pk_range": q_pk_range,
         "q_iterator_pages": q_iterator_pages,
         "q_like": q_like,
+        "q_like_ngram": q_like_ngram,
         "q_array_ops": q_array_ops,
         "q_geo_contains": q_geo_contains,
         "q_agg_extension": q_agg_extension,
@@ -1616,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pk_range": SQL_Q_PK_RANGE,
         "q_iterator_pages": SQL_Q_ITER,
         "q_like": SQL_Q_LIKE,
+        "q_like_ngram": SQL_Q_LIKE_NGRAM,
         "q_array_ops": SQL_Q_ARRAY,
         "q_geo_contains": SQL_Q_GEO,
         "q_agg_extension": SQL_Q_AGG,

@@ -155,6 +155,33 @@ def test_drop_query_terms_semantics():
     assert sorted(drop_query_terms(t, 0.34)) == ["y", "z"]
 
 
+def test_pattern_grams_literal_runs():
+    from vectordb_testbricks_spark.operators.ngram_index import pattern_grams
+    assert pattern_grams("%stream%", 3) == sorted(
+        {"str", "tre", "rea", "eam"})
+    # wildcard splits runs; longest run wins
+    assert pattern_grams("%ab_streams%", 3) == sorted(
+        {"str", "tre", "rea", "eam", "ams"})
+    assert pattern_grams("%ab%", 3) == []  # no run >= n → fallback
+
+
+def test_like_with_index_matches_plain_filter(tables):
+    """The NGRAM-index path must be bit-identical to the unindexed LIKE
+    filter (the index only prunes; exact verify restores semantics),
+    including the short-literal fallback."""
+    from vectordb_testbricks_spark.operators.ngram_index import (
+        build_ngram_index, like_with_index)
+    docs = tables["documents"].df
+    posting = build_ngram_index(docs, "doc_id", "text", 3, 3)
+    for pat in ["%stream spark%", "%vector dup%", "%sp%", "no_match_xyz%"]:
+        want = sorted(r["doc_id"] for r in
+                      docs.filter(F.col("text").like(pat)).collect())
+        got = sorted(r["doc_id"] for r in
+                     like_with_index(docs, posting, pat,
+                                     "doc_id", "text").collect())
+        assert got == want, pat
+
+
 def test_result_shape_check(emb, queries3):
     from vectordb_testbricks_spark.operators.search import (
         check_result_shape, knn_search)

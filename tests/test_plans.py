@@ -122,6 +122,24 @@ def test_persisted_sq8_probe_prunes_partitions(spark, tables, tmp_path):
     assert "dynamicpruning" in scan or "PartitionFilters: [" in scan
 
 
+def test_ngram_posting_probe_pushes_gram_filter(spark, tables, tmp_path):
+    """A persisted NGRAM posting probe must push the gram isin() to the
+    posting scan — the index read is a keyed probe, not a full scan."""
+    from vectordb_testbricks_spark.operators.ngram_index import (
+        build_ngram_index, like_with_index)
+    docs = tables["documents"].df
+    path = str(tmp_path / "ngram_posting")
+    build_ngram_index(docs, "doc_id", "text", 3, 3) \
+        .write.mode("overwrite").parquet(path)
+    posting = spark.read.parquet(path)
+    p = _plan(like_with_index(docs, posting, "%stream spark%",
+                              "doc_id", "text"))
+    scan = next(line for line in p.splitlines()
+                if "FileScan" in line and "ngram_posting" in line)
+    pushed = scan.split("PushedFilters")[1][:250]
+    assert "In(gram" in pushed
+
+
 def test_partition_scoped_read_prunes_files(spark, tmp_path):
     """Partition-column predicates must show up as PartitionFilters (pruned
     at file listing), not as row filters."""
