@@ -145,6 +145,32 @@ WHERE p_name LIKE '%ge%' AND p_brand LIKE 'Brand#_3' ORDER BY p_partkey
 """
 
 
+def q_json_shred(spark, sf_dir):
+    """JSON-path shredding (INVERTED-on-JSON-path analogue,
+    schema_matrix_json_shredding.yaml:19-25): materialize $.k of the props
+    JSON as a typed column at ingest, then filter/aggregate on it as an
+    ordinary column. Persisted shredded layouts get parquet pushdown —
+    guarded in test_plans; the oracle re-derives the same values with
+    DuckDB json_extract."""
+    from vectordb_testbricks_spark.operators.json_shred import shred_json_path
+    ev = _t(spark, sf_dir, "events")
+    shredded = shred_json_path(ev, "props", "$.k", "int", "props_k")
+    return (shredded.filter((F.col("props_k") >= 50) & (F.col("props_k") <= 80))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("props_k"), 4).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+SQL_Q_JSON_SHRED = """
+SELECT event_type, COUNT(*) AS cnt,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 50 AND 80
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 _NGRAM_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 
@@ -1587,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_iterator_pages": q_iterator_pages,
         "q_like": q_like,
         "q_like_ngram": q_like_ngram,
+        "q_json_shred": q_json_shred,
         "q_array_ops": q_array_ops,
         "q_geo_contains": q_geo_contains,
         "q_agg_extension": q_agg_extension,
@@ -1647,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "q_iterator_pages": SQL_Q_ITER,
         "q_like": SQL_Q_LIKE,
         "q_like_ngram": SQL_Q_LIKE_NGRAM,
+        "q_json_shred": SQL_Q_JSON_SHRED,
         "q_array_ops": SQL_Q_ARRAY,
         "q_geo_contains": SQL_Q_GEO,
         "q_agg_extension": SQL_Q_AGG,

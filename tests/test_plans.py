@@ -140,6 +140,25 @@ def test_ngram_posting_probe_pushes_gram_filter(spark, tables, tmp_path):
     assert "In(gram" in pushed
 
 
+def test_shredded_json_column_pushes_filter(spark, tables, tmp_path):
+    """A predicate on a persisted shredded JSON-path column must reach the
+    parquet scan as a pushed filter and prune the read schema to the
+    shredded column — neither is possible against the raw JSON string."""
+    from vectordb_testbricks_spark.operators.json_shred import shred_json_path
+    ev = tables["events"].df
+    path = str(tmp_path / "shredded")
+    shred_json_path(ev, "props", "$.k", "int", "props_k") \
+        .write.mode("overwrite").parquet(path)
+    df = (spark.read.parquet(path)
+          .filter(F.col("props_k") >= 50)
+          .select("event_id", "props_k"))
+    scan = next(line for line in _plan(df).splitlines() if "FileScan" in line)
+    pushed = scan.split("PushedFilters")[1][:200]
+    assert "props_k" in pushed and "GreaterThanOrEqual" in pushed
+    read = scan.split("ReadSchema")[1][:200]
+    assert "props_k" in read and "props:" not in read
+
+
 def test_partition_scoped_read_prunes_files(spark, tmp_path):
     """Partition-column predicates must show up as PartitionFilters (pruned
     at file listing), not as row filters."""
