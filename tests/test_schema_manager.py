@@ -182,3 +182,23 @@ def test_schema_roundtrip_preserves_indexes(mgr):
     assert [i.index_type for i in back.indexes] == ["HNSW", "BITMAP"]
     assert back.indexes[0].params == {"M": 30}
     assert back.field("emb").dim == 8
+
+
+def test_shards_num_controls_write_files(mgr, spark):
+    """shards_num repartitions each insert batch by PK hash → exactly
+    shards_num data files per batch regardless of incoming partitioning,
+    and the round-trip row set is unchanged."""
+    import glob
+    fields = [f for f in base_fields() if f.name != "emb"]
+    spec = SchemaSpec("sharded", fields, shards_num=4)
+    mgr.create_collection(spec)
+    rows = (spark.range(100).repartition(13)
+            .select(F.col("id"), (F.col("id") % 7).alias("category"),
+                    F.lit("n").alias("name")))
+    mgr.insert("sharded", rows)
+    files = [f for f in glob.glob(mgr._data_dir("sharded") + "/**/*.parquet",
+                                  recursive=True)]
+    assert len(files) == 4, files
+    got = mgr.read("sharded")
+    assert got.count() == 100
+    assert got.agg(F.sum("id")).collect()[0][0] == 4950

@@ -164,6 +164,11 @@ class CollectionManager:
         routed = self._route(spec, df, partition_name)
         if spec.ttl_seconds:
             routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
+        if spec.shards_num:
+            # shard by PK hash (2.6/common.py:1054-1055): fixes write
+            # parallelism and file count per batch regardless of the
+            # incoming partitioning
+            routed = routed.repartition(spec.shards_num, F.col(spec.pk.name))
         (routed.write.mode("append").partitionBy(PARTITION_COL)
          .parquet(self._data_dir(self.resolve(name))))
 

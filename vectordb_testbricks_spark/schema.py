@@ -145,6 +145,12 @@ class SchemaSpec:
     # ttl_seconds after ingest; 0/None disables (Milvus convention).
     # Spark mapping: ingest-timestamp stamp + read-time filter.
     ttl_seconds: int | None = None
+    # shards_num (reference 2.6/common.py:1054-1055): write-path hash
+    # distribution of the PK across shards. Spark mapping: repartition by
+    # hash(pk) into shards_num tasks before the write, so every insert
+    # lands shards_num parquet files per partition — write parallelism and
+    # file sizing at scale. None → leave incoming partitioning alone.
+    shards_num: int | None = None
 
     # -- accessors ---------------------------------------------------------
     @property
