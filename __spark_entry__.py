@@ -695,6 +695,60 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _sparse_branch(spark, sf_dir, limit=20):
+    """Sparse-IP branch over the per-doc TF map (reuses the cached
+    ingest-time tf table) for multi-modal fusion."""
+    from vectordb_testbricks_spark.operators.search import sparse_search
+    tf, _ = _bm25_tables(spark, sf_dir)
+    sparse = (tf.groupBy("doc_id")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct(
+                      F.col("term"), F.col("tf").cast("double")))))
+                  .alias("svec")))
+    hits = sparse_search(sparse, {"spark": 2.0, "query": 1.5, "join": 1.0},
+                         "svec", "doc_id", k=limit)
+    return hits.select("query_id", "doc_id", "score", "rank")
+
+
+def v_rrf_tri(spark, sf_dir):
+    """V3/V8 with three modalities: dense cosine + BM25 + sparse-IP branches
+    fused by RRFRanker — the MultiQuery shape of tpuffer/hybrid_search.go:
+    416-441 extended to the full branch mix the reference drives."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    fused = rrf_fuse([_dense_branch(spark, sf_dir),
+                      _bm25_branch(spark, sf_dir),
+                      _sparse_branch(spark, sf_dir)],
+                     "doc_id", k=10)
+    return fused.select("query_id", "doc_id",
+                        F.round("score", 6).alias("score"),
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_RRF_TRI = f"""
+WITH {_SQL_FUSION_BRANCHES},
+qw(term, w) AS (VALUES ('spark', 2.0), ('query', 1.5), ('join', 1.0)),
+sparse_scored AS (
+  SELECT tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
+  FROM tf JOIN qw USING (term) GROUP BY tf.doc_id),
+sparse AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sparse_scored WHERE score > 0 QUALIFY rank <= 20),
+parts AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS part FROM dense
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS part FROM bm25
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS part FROM sparse),
+fused AS (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT 0 AS query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def v_weighted_fusion(spark, sf_dir):
     """V4: WeightedRanker fusion (weights [0.6, 0.4] — the go_bench operating
     point, search_horizon_perf.go:455-461) with per-branch min-max
@@ -1631,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_sparse_drop": v_sparse_drop,
         "v_bm25": v_bm25,
         "v_rrf_fusion": v_rrf_fusion,
+        "v_rrf_tri": v_rrf_tri,
         "v_weighted_fusion": v_weighted_fusion,
         "v_ivf_cosine": v_ivf_cosine,
         "v_ivf_sq8": v_ivf_sq8,
@@ -1693,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "v_sparse_drop": SQL_V_SPARSE_DROP,
         "v_bm25": SQL_V_BM25,
         "v_rrf_fusion": SQL_V_RRF,
+        "v_rrf_tri": SQL_V_RRF_TRI,
         "v_weighted_fusion": SQL_V_WEIGHTED,
         # v_ivf_cosine: intentionally no oracle (approximate physical path)
         "dml_upsert": SQL_DML_UPSERT,
