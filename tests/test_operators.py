@@ -108,6 +108,49 @@ def test_ivf_sq8_stores_one_byte_elements(emb):
     assert all(-128 <= v <= 127 for v in row["_q8"])
 
 
+def test_ivf_assignment_jvm_and_pandas_paths_agree(emb, spark):
+    """The JVM-codegen and Arrow-batched assignment expressions must assign
+    every row to the same centroid — the Pandas path only kicks in beyond
+    the codegen cell budget, so this is its correctness coverage."""
+    import numpy as np
+
+    from vectordb_testbricks_spark.operators.ann_index import (
+        _assign_expr_jvm, _assign_expr_pandas, _train_centroids)
+    from vectordb_testbricks_spark.functions.vector import to_double_array
+
+    rows = emb.select("embedding").limit(200).collect()
+    sample = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    cent = _train_centroids(sample, 8, seed=7, max_iter=5)
+    base = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    both = base.select(
+        "vec_id",
+        _assign_expr_jvm("v", cent).alias("jvm"),
+        _assign_expr_pandas("v", cent, spark).alias("arrow"))
+    diff = both.filter(F.col("jvm") != F.col("arrow")).count()
+    assert diff == 0
+
+
+def test_binary_rerank_driver_packing_matches_pack_sign_bits(emb, spark):
+    """binary_rerank_search packs the query driver-side in Python; the bits
+    must equal pack_sign_bits of the same vector — a mismatch would silently
+    degrade the hamming candidate ranking (exact rescore hides it)."""
+    from vectordb_testbricks_spark.functions.vector import (
+        pack_sign_bits, to_double_array)
+
+    row = emb.select(to_double_array(F.col("embedding")).alias("v")).first()
+    qv = [float(x) for x in row["v"]]
+    spark_words = spark.createDataFrame([(qv,)], "v array<double>") \
+        .select(pack_sign_bits(F.col("v")).alias("w")).first()["w"]
+    # replicate the driver-side packing from binary_rerank_search
+    words = []
+    for w in range((len(qv) + 31) // 32):
+        acc = 0
+        for x in reversed(qv[w * 32: w * 32 + 32]):
+            acc = acc * 2 + (1 if x >= 0 else 0)
+        words.append(acc)
+    assert words == list(spark_words)
+
+
 def test_binary_rerank_recall_and_full_rerank_identity(emb, queries3):
     """1-bit hamming candidates + exact rescore: decent recall at
     rerank_k=8k, and rerank_k ≥ corpus ⇒ identical to brute force."""
