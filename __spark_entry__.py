@@ -338,9 +338,15 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score {ord}, vec_id) AS rank
   FROM scored)
-SELECT query_id, vec_id, ROUND(score, 4) AS score, rank
+SELECT query_id, vec_id, {scoreout} AS score, rank
 FROM ranked WHERE rank <= 10
 """
+
+# Spark's HAMMING score is BIGINT (integer popcount sum); DuckDB's
+# list_sum widens to HUGEINT/DOUBLE, which the driver hashes differently
+# even when values match — cast the integer metric explicitly (r01 fix).
+_SQL_SCORE_F = "ROUND(score, 4)"
+_SQL_SCORE_I = "CAST(score AS BIGINT)"
 
 _SQL_DOT = "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
 _SQL_L2 = ("list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),"
@@ -890,12 +896,12 @@ def val_checksum(spark, sf_dir):
 
 SQL_VAL_CHECKSUM = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CAST('0x' || substr(md5(concat_ws('|',
+       CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
            'l_linenumber=' || CAST(l_linenumber AS VARCHAR),
            'l_orderkey=' || CAST(l_orderkey AS VARCHAR),
            'l_quantity=' || printf('%.5f', l_quantity),
            'l_returnflag=' || l_returnflag)), 1, 15) AS BIGINT)
-           % 1000000000000) AS checksum
+           % 1000000000000) AS BIGINT) AS checksum
 FROM lineitem WHERE l_orderkey <= 1000
 """
 
@@ -1051,7 +1057,8 @@ bits AS (
          CASE WHEN SUM(c.tf * (((c.code * p.a + p.b) % 2147483647) % 2 * 2 - 1)) > 0
               THEN CAST(1 AS BIGINT) << p.i ELSE 0 END AS bit
   FROM coded c CROSS JOIN params p GROUP BY c.doc_id, p.i)
-SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id
+SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1184,9 +1191,10 @@ def tx_tokcount(spark, sf_dir):
 SQL_TX_TOKCOUNT = f"""
 SELECT doc_id,
   CAST(len({TOKS_SQL.format(col='text')}) AS BIGINT) AS n_tokens,
-  list_sum(list_transform({TOKS_SQL.format(col='text')},
+  CAST(list_sum(list_transform({TOKS_SQL.format(col='text')},
            t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
-    + length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS bpe_pieces
+    + length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS BIGINT)
+    AS bpe_pieces
 FROM documents ORDER BY doc_id
 """
 
@@ -1455,7 +1463,8 @@ WITH d AS (
     CASE WHEN doc_id % 3 <> 0
          THEN CAST(octet_length(encode(text)) AS BIGINT) * 10 END AS duration_ms
   FROM documents)
-SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS total_bytes,
+SELECT modality, COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        ROUND(AVG(CAST(width AS DOUBLE)), 4) AS avg_width,
        SUM(duration_ms) AS total_duration_ms
 FROM d GROUP BY modality ORDER BY modality
@@ -1549,8 +1558,9 @@ WITH w AS (
   FROM events),
 x AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_idx
   FROM w)
 SELECT user_id, session_idx,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
@@ -1735,12 +1745,17 @@ def oracle_sql() -> dict[str, str]:
         "q_agg_extension": SQL_Q_AGG,
         "q_count_buckets": SQL_Q_BUCKETS,
         "q_dynamic_field": SQL_Q_DYNAMIC,
-        "v_knn_l2": _SQL_KNN_TMPL.format(score=_SQL_L2, where="", ord="ASC"),
-        "v_knn_ip": _SQL_KNN_TMPL.format(score=_SQL_DOT, where="", ord="DESC"),
-        "v_knn_cosine": _SQL_KNN_TMPL.format(score=_SQL_COS, where="", ord="DESC"),
-        "v_knn_hamming": _SQL_KNN_TMPL.format(score=_SQL_HAM, where="", ord="ASC"),
+        "v_knn_l2": _SQL_KNN_TMPL.format(
+            score=_SQL_L2, where="", ord="ASC", scoreout=_SQL_SCORE_F),
+        "v_knn_ip": _SQL_KNN_TMPL.format(
+            score=_SQL_DOT, where="", ord="DESC", scoreout=_SQL_SCORE_F),
+        "v_knn_cosine": _SQL_KNN_TMPL.format(
+            score=_SQL_COS, where="", ord="DESC", scoreout=_SQL_SCORE_F),
+        "v_knn_hamming": _SQL_KNN_TMPL.format(
+            score=_SQL_HAM, where="", ord="ASC", scoreout=_SQL_SCORE_I),
         "v_knn_prefilter": _SQL_KNN_TMPL.format(
-            score=_SQL_COS, where="WHERE e.label IN (1, 3, 5, 7)", ord="DESC"),
+            score=_SQL_COS, where="WHERE e.label IN (1, 3, 5, 7)", ord="DESC",
+            scoreout=_SQL_SCORE_F),
         "v_knn_fields": SQL_V_KNN_FIELDS,
         "v_grouping_search": SQL_V_GROUPING,
         "v_grouping_sized": SQL_V_GROUPING_SIZED,

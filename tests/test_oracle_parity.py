@@ -16,6 +16,22 @@ QUERIES = E.queries()
 ORACLES = E.oracle_sql()
 
 
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: int vs float vs bool vs everything-else. DuckDB widening
+    (SUM(BIGINT) -> HUGEINT -> float64/object in pandas) lands in a
+    different kind than Spark's int64 and must fail here — r01 shipped four
+    hash-fails this coercing gate masked."""
+    s = str(dtype).lower()
+    if "bool" in s:
+        return "bool"
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    return "obj"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -33,8 +49,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k in ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     from tests.conftest import SF_DIR
-    sdf = normalize(QUERIES[name](spark, SF_DIR).toPandas())
-    odf = normalize(duck.execute(ORACLES[name]).df())
+    raw_s = QUERIES[name](spark, SF_DIR).toPandas()
+    raw_o = duck.execute(ORACLES[name]).df()
+    if len(raw_s) and len(raw_o):  # empty frames carry placeholder dtypes
+        kinds_s = {c: dtype_kind(raw_s[c].dtype) for c in raw_s.columns}
+        kinds_o = {c: dtype_kind(raw_o[c].dtype) for c in raw_o.columns}
+        assert kinds_s == kinds_o, \
+            f"{name}: dtype-kind drift spark={kinds_s} oracle={kinds_o}"
+    sdf = normalize(raw_s)
+    odf = normalize(raw_o)
     assert list(sdf.columns) == list(odf.columns), \
         f"{name}: columns {list(sdf.columns)} != {list(odf.columns)}"
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} rows vs {len(odf)}"
