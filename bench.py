@@ -60,7 +60,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
-    qmap = entrymod.queries()
+    # Resolve module-level query functions first: the driver registry
+    # consolidates variants (e.g. v_knn_* union) to fit its correctness-row
+    # budget, but the bench keeps the original per-variant functions so
+    # per-query timings stay comparable with the recorded BASELINE.
+    registry = entrymod.queries()
+    qmap = {name: getattr(entrymod, name, None) or registry[name]
+            for name in HEADLINE}
 
     # warm the JVM/file-listing paths outside the timed region
     from vectordb_testbricks_spark.catalog import load_table
