@@ -1177,8 +1177,8 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 
 
 def dd_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 16-bit signatures, upper-byte blocking,
-    hamming ≤ 3 (doubled corpus)."""
+    """SimHash near-dup pairs: 16-bit signatures, banded blocking
+    (4 bands × 4 bits, pigeonhole-complete for ham ≤ 3), doubled corpus."""
     from vectordb_testbricks_spark.operators.dedup import simhash_near_dups
     pairs = simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
                               max_hamming=3)
@@ -1202,13 +1202,19 @@ bits AS (
          CASE WHEN SUM(c.tf * (((c.code * p.a + p.b) % 2147483647) % 2 * 2 - 1)) > 0
               THEN CAST(1 AS BIGINT) << p.i ELSE 0 END AS bit
   FROM coded c CROSS JOIN params p GROUP BY c.doc_id, p.i),
-sigs AS (SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id),
-blocked AS (SELECT doc_id, simhash, simhash // 256 AS block FROM sigs),
+sigs AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id),
+-- banded blocking (4 bands x 4 bits) is pigeonhole-complete for ham<=3,
+-- so this equals the unblocked all-pairs result; DISTINCT mirrors the
+-- multi-band candidate dedup
+bands AS (
+  SELECT doc_id, simhash, i AS band, (simhash >> (i * 4)) & 15 AS key
+  FROM sigs CROSS JOIN range(0, 4) t(i)),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM blocked a JOIN blocked b
-    ON a.block = b.block AND a.doc_id < b.doc_id)
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= 3
 """

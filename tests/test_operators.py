@@ -258,6 +258,46 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_banded_blocking_is_complete(spark, tables):
+    """Banded candidate blocking must find EVERY ham<=3 pair the
+    unblocked all-pairs scan finds — including pairs differing only in
+    upper bits, which the r01 single upper-byte block missed."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        simhash_near_dups, simhash_signatures)
+    docs = tables["documents"].df.select("doc_id", "text").limit(300)
+    sigs = simhash_signatures(docs, "doc_id", "text").cache()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      ham.alias("hamming"))
+              .filter(F.col("hamming") <= 3)).collect()}
+    banded = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+              simhash_near_dups(docs, "doc_id", "text",
+                                max_hamming=3).collect()}
+    assert banded == brute
+    assert brute  # the corpus must actually produce near-dup pairs
+
+
+def test_simhash_64bit_signatures(spark):
+    """bits=64 packs into the full long (incl. the sign bit) and banded
+    near-dup detection still finds exact duplicates."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        simhash_near_dups, simhash_signatures)
+    rows = [(i, f"token{i} alpha beta common words here {i % 7}")
+            for i in range(40)] + [(100, "token3 alpha beta common words "
+                                         "here 3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_signatures(docs, "doc_id", "text", bits=64).collect()}
+    assert len(set(sigs.values())) > 1
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=0,
+                              bits=64).collect()
+    assert any(p["id_a"] == 3 and p["id_b"] == 100 for p in pairs)
+
+
 def test_sign_block_key_exact_dups_collide(spark, emb):
     from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
     e = emb.select("vec_id", "embedding", "label").limit(200)
