@@ -156,6 +156,42 @@ def test_upsert_delete_roundtrip(mgr, spark):
     assert not mgr.loaded("col_d")
 
 
+def test_upsert_delete_preserve_partition_layout(mgr, spark):
+    """Upsert/delete must not collapse an explicit-partition layout:
+    surviving rows stay in their partitions; only incoming rows route to
+    the named partition (r01 ADVICE — _overwrite stamped every merged row
+    '_default', destroying the layout)."""
+    _mk(mgr, "col_pp", partitions=["p0", "p1"])
+    mgr.insert("col_pp", _rows(spark, 4), partition_name="p0")
+    mgr.insert("col_pp", _rows(spark, 6, start=100), partition_name="p1")
+    # update two p0 rows in place, insert one new row into p1
+    updates = _rows(spark, 3, start=2).withColumn("category", F.lit(77))
+    mgr.upsert("col_pp", updates, partition_name="p1")
+    assert sorted(mgr.list_partitions("col_pp")) == ["p0", "p1"]
+    p0 = mgr.read("col_pp", partition_names=["p0"])
+    p1 = mgr.read("col_pp", partition_names=["p1"])
+    assert p0.count() == 2                      # ids 0,1 stayed in p0
+    assert p1.count() == 9                      # 6 + moved 2,3 + new 4
+    assert p1.filter("category = 77").count() == 3
+    # delete from p1 only; p0 untouched and still partition-scoped
+    mgr.delete("col_pp", "id >= 100 && id <= 102")
+    assert mgr.read("col_pp", partition_names=["p0"]).count() == 2
+    assert mgr.read("col_pp", partition_names=["p1"]).count() == 6
+
+
+def test_partition_key_layout_survives_upsert(mgr, spark):
+    """Partition-key collections re-route merged rows by the same hash, so
+    the bucket layout (and scoped-read pruning) survives upserts."""
+    _mk(mgr, "col_kk", pkey=True)
+    mgr.insert("col_kk", _rows(spark, 30, tenant=True))
+    before = mgr.list_partitions("col_kk")
+    mgr.upsert("col_kk", _rows(spark, 5, tenant=True)
+               .withColumn("category", F.lit(42)))
+    assert mgr.list_partitions("col_kk") == before
+    sub = mgr.read("col_kk", partition_names=before[:1]).count()
+    assert 0 < sub < 30
+
+
 def test_many_collections_catalog_ops(mgr):
     """S8 scale brick shape (requests_10kplus_collections.py): catalog ops
     stay O(1)-ish per collection across a large catalog."""

@@ -174,29 +174,49 @@ class CollectionManager:
 
     def upsert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
-        """S2: latest-write-wins merge by PK, persisted back."""
+        """S2: latest-write-wins merge by PK, persisted back.
+
+        Only the incoming rows are routed (into ``partition_name``, the
+        partition-key hash, or the default partition); surviving base rows
+        keep the ``_partition`` they already live in, so explicit-partition
+        layouts survive upserts."""
         from vectordb_testbricks_spark.operators.dml import upsert as _upsert
         spec = self.describe_collection(name)
         base = self.read(name)
-        merged = _upsert(base.drop(PARTITION_COL), df, spec.pk.name)
-        self._overwrite(name, spec, merged, partition_name)
+        incoming = self._route(spec, df, partition_name)
+        if spec.ttl_seconds:
+            incoming = incoming.withColumn(
+                INGEST_TS_COL, F.current_timestamp())
+        self._overwrite(name, _upsert(base, incoming, spec.pk.name))
 
     def delete(self, name: str, flt: str) -> None:
-        """S4: delete-by-filter (anti-filter rewrite, persisted)."""
+        """S4: delete-by-filter (anti-filter rewrite, persisted). Surviving
+        rows keep their original partition placement."""
         from vectordb_testbricks_spark.operators.dml import delete_by_filter
         spec = self.describe_collection(name)
         base = self.read(name)
-        left = delete_by_filter(base.drop(PARTITION_COL), flt)
-        self._overwrite(name, spec, left, None)
+        self._overwrite(name, delete_by_filter(base, flt))
 
-    def _overwrite(self, name: str, spec: SchemaSpec, df: DataFrame,
-                   partition_name: str | None) -> None:
-        routed = self._route(spec, df, partition_name)
-        staged = routed.cache()
-        staged.count()  # materialize before truncating the source dir
-        (staged.write.mode("overwrite").partitionBy(PARTITION_COL)
-         .parquet(self._data_dir(self.resolve(name))))
-        staged.unpersist()
+    def _overwrite(self, name: str, routed: DataFrame) -> None:
+        """Persist an already-routed full-collection state.
+
+        Stages into a sibling directory and swaps via rename instead of
+        overwriting the source dir in place: the input plan lazily reads
+        that same dir, and a cache()-barrier alone silently recomputes
+        from the truncated source if a cached block is evicted. The
+        stage-and-rename commit is also the object-store-safe shape at
+        cluster scale (write new prefix, flip the manifest)."""
+        data = self._data_dir(self.resolve(name))
+        staging = data + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (routed.write.mode("overwrite").partitionBy(PARTITION_COL)
+         .parquet(staging))
+        retired = data + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.exists(data):
+            os.rename(data, retired)
+        os.rename(staging, data)
+        shutil.rmtree(retired, ignore_errors=True)
 
     # -------------------------------------------------------------- read
     def read(self, name: str,
