@@ -37,6 +37,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Cache key for per-session ingest-time tables. applicationId is unique
+    per SparkContext lifetime; id(spark) is not (CPython reuses addresses
+    after GC, which would hand back DataFrames bound to a stopped session)."""
+    return spark.sparkContext.applicationId
+
+
 # =========================================================== scalar queries
 
 def q_filter_project_limit(spark, sf_dir):
@@ -149,17 +156,19 @@ FROM customer WHERE c_acctbal > 0
 
 
 def q_like(spark, sf_dir):
-    """P6: like with %/_ wildcards."""
+    """P6: like with '%' wildcards (Milvus semantics: '%' only; '_' is a
+    literal character, so the oracle escapes it — checker.py varchar
+    filters use bare '%')."""
     from vectordb_testbricks_spark.operators.query import query
     p = _t(spark, sf_dir, "part")
-    return query(p, 'p_name like "%ge%" and p_brand like "Brand#_3"',
+    return query(p, 'p_name like "%ge%" and p_brand like "Brand#%3"',
                  output_fields=["p_partkey", "p_name", "p_brand"],
                  order_by=["p_partkey"])
 
 
 SQL_Q_LIKE = """
 SELECT p_partkey, p_name, p_brand FROM part
-WHERE p_name LIKE '%ge%' AND p_brand LIKE 'Brand#_3' ORDER BY p_partkey
+WHERE p_name LIKE '%ge%' AND p_brand LIKE 'Brand#%3' ORDER BY p_partkey
 """
 
 
@@ -202,7 +211,7 @@ def q_like_ngram(spark, sf_dir):
     from vectordb_testbricks_spark.operators.ngram_index import (
         build_ngram_index, like_with_index)
     docs = _t(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     posting = _NGRAM_CACHE.get(key)
     if posting is None:
         posting = build_ngram_index(docs, "doc_id", "text", 3, 3).cache()
@@ -694,7 +703,7 @@ _BM25_CACHE: dict[tuple, tuple] = {}
 
 
 def _bm25_tables(spark, sf_dir):
-    cached = _BM25_CACHE.get((id(spark), sf_dir))
+    cached = _BM25_CACHE.get((_session_key(spark), sf_dir))
     if cached is None:
         from vectordb_testbricks_spark.operators.bm25 import (
             corpus_stats, term_frequencies)
@@ -702,7 +711,7 @@ def _bm25_tables(spark, sf_dir):
         tf = term_frequencies(docs, "doc_id", "text").cache()
         stats = corpus_stats(docs, "doc_id", "text").cache()
         cached = (tf, stats)
-        _BM25_CACHE[(id(spark), sf_dir)] = cached
+        _BM25_CACHE[(_session_key(spark), sf_dir)] = cached
     return cached
 
 
@@ -1706,7 +1715,7 @@ def v_ivf_cosine(spark, sf_dir):
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search)
     emb, q = _emb_queries(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     model = _IVF_CACHE.get(key)
     if model is None:
         model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
@@ -1730,7 +1739,7 @@ def v_ivf_sq8(spark, sf_dir):
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf_sq8, ivf_sq8_search)
     emb, q = _emb_queries(spark, sf_dir)
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     model = _SQ8_CACHE.get(key)
     if model is None:
         model = build_ivf_sq8(emb, "embedding", "vec_id", n_lists=16, seed=7)

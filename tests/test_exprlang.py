@@ -50,8 +50,19 @@ def test_p4_p5_in(tables):
 def test_p6_like(tables):
     p = tables["part"].df
     assert n_rows(p, 'p_name like "%a%"') == p.filter("p_name like '%a%'").count()
-    assert n_rows(p, 'p_brand like "Brand#1_"') == \
-        p.filter("p_brand like 'Brand#1_'").count()
+    # Milvus LIKE: '_' is a LITERAL, not the SQL single-char wildcard —
+    # no brand value contains an underscore, so this matches nothing
+    # (while SQL LIKE 'Brand#1_' would match Brand#11..Brand#15)
+    assert n_rows(p, 'p_brand like "Brand#1_"') == 0
+    assert p.filter("p_brand like 'Brand#1_'").count() > 0
+
+
+def test_p6_like_literal_underscore(spark):
+    df = spark.createDataFrame(
+        [("a_b",), ("axb",), ("a_bc",)], "s string")
+    assert n_rows(df, 's like "a_b"') == 1      # only the literal a_b
+    assert n_rows(df, 's like "a_b%"') == 2     # a_b, a_bc
+    assert n_rows(df, 's like "%_b%"') == 2     # underscore-containing only
 
 
 def test_p7_json_path(tables):

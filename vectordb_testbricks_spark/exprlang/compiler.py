@@ -154,7 +154,13 @@ class _Compiler:
             return self.in_(node)
         if isinstance(node, ast.Like):
             op = self.operand(node.operand)
-            return op.col.like(node.pattern)
+            # Milvus LIKE knows only '%' as a wildcard; '_' and '\' are
+            # literal characters (reference expressions use bare '%' —
+            # e.g. checker.py varchar filters). SQL LIKE treats '_' as a
+            # single-char wildcard, so escape both before lowering.
+            pattern = (node.pattern.replace("\\", "\\\\")
+                       .replace("_", "\\_"))
+            return op.col.like(pattern)
         if isinstance(node, ast.Call):
             return self.call(node)
         if isinstance(node, ast.Lit) and isinstance(node.value, bool):
