@@ -917,6 +917,39 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def v_weighted_arctan(spark, sf_dir):
+    """V4: WeightedRanker with Milvus's own normalization — each branch
+    score squashed with 0.5 + atan(score)/pi before weighting (the
+    reranker behind NewWeightedReranker([0.6, 0.4]),
+    search_horizon_perf.go:455-461). Unlike min-max this is row-local
+    (no per-query statistics), so rankings match the modeled engine on
+    any score distribution."""
+    from vectordb_testbricks_spark.operators.fusion import weighted_fuse
+    fused = weighted_fuse(
+        [_dense_branch(spark, sf_dir), _bm25_branch(spark, sf_dir)],
+        [0.6, 0.4], "doc_id", k=10, normalize="arctan")
+    return fused.select("query_id", "doc_id",
+                        F.round("score", 6).alias("score"),
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+SQL_V_WEIGHTED_ARCTAN = f"""
+WITH {_SQL_FUSION_BRANCHES},
+parts AS (
+  SELECT doc_id, (0.5 + ATAN(CAST(score AS DOUBLE)) / PI()) * 0.6 AS part
+  FROM dense
+  UNION ALL
+  SELECT doc_id, (0.5 + ATAN(CAST(score AS DOUBLE)) / PI()) * 0.4 AS part
+  FROM bm25),
+fused AS (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT 0 AS query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ===================================================================== DML
 
 def dml_upsert(spark, sf_dir):
@@ -1727,6 +1760,40 @@ def v_ivf_cosine(spark, sf_dir):
                        F.col("rank").cast("bigint").alias("rank"))
 
 
+_IVF_DISK_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
+
+
+def v_ivf_persisted(spark, sf_dir):
+    """Persisted-IVF read path: write_ivf lays the inverted lists out as
+    parquet partitioned by centroid_id, read_ivf reloads them, and the
+    probe prunes non-probed lists at file-listing time (PartitionFilters —
+    the 100-TB claim, ann_index.py write_ivf/read_ivf; plan guarded in
+    tests/test_operators.py test_persisted_ivf_probe_prunes_partitions).
+    Same model as v_ivf_cosine, so results are identical to the in-session
+    probe — asserted here by construction (shared centroids/seed)."""
+    import tempfile
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search, read_ivf, write_ivf)
+    emb, q = _emb_queries(spark, sf_dir)
+    key = (_session_key(spark), sf_dir)
+    reloaded = _IVF_DISK_CACHE.get(key)
+    if reloaded is None:
+        model = _IVF_CACHE.get(key)
+        if model is None:
+            model = build_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+            model.assigned = model.assigned.cache()
+            _IVF_CACHE[key] = model
+        path = tempfile.mkdtemp(prefix="ivf_persisted_")
+        write_ivf(model, path)
+        reloaded = read_ivf(spark, path, "embedding", "vec_id",
+                            model.centroids)
+        _IVF_DISK_CACHE[key] = reloaded
+    hits = ivf_search(reloaded, q, k=10, nprobe=4)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
 _SQ8_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 
@@ -1785,7 +1852,8 @@ def v_ann_indexes(spark, sf_dir):
     quantized probe + rescore, 1-bit packed-hamming rerank, LSH multi-probe.
     Each tier's recall floor and its full-probe/full-rerank == exact
     identities are asserted in tests/test_operators.py."""
-    tiers = [("IVF", v_ivf_cosine), ("IVF_SQ8", v_ivf_sq8),
+    tiers = [("IVF", v_ivf_cosine), ("IVF_PERSISTED", v_ivf_persisted),
+             ("IVF_SQ8", v_ivf_sq8),
              ("BIN_RERANK", v_binary_rerank), ("LSH", v_lsh_cosine)]
     out = None
     for tier, fn in tiers:
@@ -1836,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_bm25": v_bm25,
         "v_rrf_fusion": v_rrf_modes,
         "v_weighted_fusion": v_weighted_fusion,
+        "v_weighted_arctan": v_weighted_arctan,
         "v_ann_indexes": v_ann_indexes,
         "dml_upsert": dml_upsert,
         "dml_partial_update": dml_partial_update,
@@ -1890,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "v_bm25": SQL_V_BM25,
         "v_rrf_fusion": SQL_V_RRF_MODES,
         "v_weighted_fusion": SQL_V_WEIGHTED,
+        "v_weighted_arctan": SQL_V_WEIGHTED_ARCTAN,
         # v_ann_indexes: intentionally no oracle (approximate physical path)
         "dml_upsert": SQL_DML_UPSERT,
         "dml_partial_update": SQL_DML_PARTIAL,

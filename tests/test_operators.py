@@ -341,6 +341,32 @@ def test_rrf_fusion_offset(spark):
         [(3, 3), (4, 4), (5, 5)]
 
 
+def test_weighted_fuse_arctan_matches_milvus_squash(spark):
+    """normalize='arctan' applies 0.5 + atan(score)/pi per row (Milvus
+    WeightedRanker) — row-local, so fused scores are independent of what
+    other docs a branch returned, unlike min-max."""
+    import math
+    from vectordb_testbricks_spark.operators.fusion import weighted_fuse
+    b1 = spark.createDataFrame([(0, 1, 4.0, 1), (0, 2, -1.0, 2)],
+                               "query_id int, doc_id int, score double, rank int")
+    b2 = spark.createDataFrame([(0, 1, 0.5, 1), (0, 3, 0.0, 2)],
+                               "query_id int, doc_id int, score double, rank int")
+    out = {r["doc_id"]: r["score"]
+           for r in weighted_fuse([b1, b2], [0.6, 0.4], "doc_id", k=10,
+                                  normalize="arctan").collect()}
+    sq = lambda s: 0.5 + math.atan(s) / math.pi
+    assert out[1] == pytest.approx(0.6 * sq(4.0) + 0.4 * sq(0.5))
+    assert out[2] == pytest.approx(0.6 * sq(-1.0))
+    assert out[3] == pytest.approx(0.4 * sq(0.0))
+    # dropping doc 2 from b1 must not change doc 1's fused score (min-max
+    # normalization would rescale; arctan is row-local)
+    solo = {r["doc_id"]: r["score"]
+            for r in weighted_fuse([b1.filter("doc_id = 1"), b2],
+                                   [0.6, 0.4], "doc_id", k=10,
+                                   normalize="arctan").collect()}
+    assert solo[1] == pytest.approx(out[1])
+
+
 def test_persisted_ivf_probe_prunes_partitions(spark, tables, tmp_path):
     """write_ivf partitions by centroid_id; probing must prune partitions at
     file-listing time (the IVF inverted-list read path at scale)."""

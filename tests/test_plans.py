@@ -174,3 +174,17 @@ def test_partition_scoped_read_prunes_files(spark, tmp_path):
     scan = next(line for line in p.splitlines() if "FileScan" in line)
     part_filters = scan.split("PartitionFilters")[1][:120]
     assert "_partition" in part_filters
+
+
+def test_iterator_pages_has_no_global_window(tables):
+    """query_iterator_pages must not collapse to a single-partition window
+    (the r01 WindowExec warning): every Window in the plan is partitioned,
+    and page numbering is computed per range partition + offset join."""
+    from vectordb_testbricks_spark.operators.query import query_iterator_pages
+    li = tables["lineitem"].df
+    df = query_iterator_pages(li, "l_orderkey", 500, "l_orderkey <= 2000")
+    p = _plan(df)
+    for line in p.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"unpartitioned window: {line.strip()}"
+    assert "BroadcastExchange" in p  # offset table joins broadcast-side

@@ -6,9 +6,9 @@ own filter/limit) fused by a ranker —
     (search_permanently.py:146-155,195-223; default rrf_k = 60)
   * WeightedRanker: score(d) = Σ_b w_b · normalized_score_b(d)
     (search_horizon_perf.go:455-461, weights e.g. [0.6, 0.4]);
-    Milvus normalizes each branch with arctan-ish squashing for unbounded
-    metrics — we use min-max normalization per branch (documented choice,
-    deterministic and oracle-reproducible)
+    Milvus squashes each branch score with 0.5 + atan(score)/pi —
+    available as ``normalize="arctan"``; min-max per (branch, query)
+    remains as an alternative deterministic mode
   * dense + BM25 multi-modal fusion (tpuffer/hybrid_search.go:416-441)
 
 Spark plan: each branch is an independent top-limit ranked DataFrame
@@ -18,6 +18,8 @@ scale.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -55,14 +57,29 @@ def rrf_fuse(branches: list[DataFrame], id_col: str, k: int = 10,
 
 def weighted_fuse(branches: list[DataFrame], weights: list[float],
                   id_col: str, k: int = 10,
-                  normalize: bool = True, offset: int = 0) -> DataFrame:
-    """V4: weighted-sum fusion. Branch scores are min-max normalized per
-    (branch, query) to [0, 1] before weighting (higher = better; pass
-    ascending-metric branches through ``invert_scores`` first)."""
+                  normalize: bool | str = True, offset: int = 0) -> DataFrame:
+    """V4: weighted-sum fusion. ``normalize`` picks the per-branch squash:
+
+    * ``True`` / ``"minmax"`` — min-max per (branch, query) to [0, 1]
+      (deterministic, distribution-dependent)
+    * ``"arctan"`` — Milvus WeightedRanker normalization
+      ``0.5 + atan(score)/pi`` (the squash applied by the reranker the
+      go_bench WeightedReranker([0.6, 0.4]) call hits,
+      search_horizon_perf.go:455-461): row-local, maps any real score
+      into (0, 1), preserves order, needs no per-query statistics
+    * ``False`` — raw scores
+
+    Higher = better; pass ascending-metric branches through
+    ``invert_scores`` first."""
     assert len(branches) == len(weights)
     parts = []
     for b, w in zip(branches, weights):
-        if normalize:
+        if normalize == "arctan":
+            b = b.withColumn(
+                "score",
+                F.lit(0.5) + F.atan(F.col("score").cast("double"))
+                / F.lit(math.pi))
+        elif normalize:
             win = Window.partitionBy("query_id")
             mn, mx = F.min("score").over(win), F.max("score").over(win)
             norm = F.when(mx != mn, (F.col("score") - mn) / (mx - mn)) \

@@ -111,14 +111,40 @@ def query_iterator(df: DataFrame, pk_col: str, batch_size: int,
 def query_iterator_pages(df: DataFrame, pk_col: str, batch_size: int,
                          flt: str | Column | None = None) -> DataFrame:
     """Declarative twin of the iterator: annotate every row with its page
-    number under PK-ordered batch pagination. Used by the correctness oracle
-    (pure window expression — no driver loop)."""
+    number under PK-ordered batch pagination (no driver loop).
+
+    A bare ``Window.orderBy(pk)`` collapses everything into ONE partition
+    (the WindowExec warning in the round-1 bench tail) — fatal at scale.
+    Instead: range-partition on the PK so partition i holds a contiguous
+    PK range, rank locally per partition, then shift each partition's local
+    ranks by the total row count of the partitions before it (a ≤N-row
+    bounded collect + broadcast join). Identical output, fully parallel.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     from pyspark.sql import Window
-    w = Window.orderBy(pk_col)
-    return (df.filter(_pred(df, flt))
-              .withColumn("page",
-                          ((F.row_number().over(w) - 1) / batch_size)
-                          .cast("bigint")))
+    ranged = (df.filter(_pred(df, flt))
+              .repartitionByRange(n, F.col(pk_col))
+              .withColumn("_pid", F.spark_partition_id()))
+    # barrier: the count action and the final job must see the SAME range
+    # boundaries (repartitionByRange samples), so pin the partitioning
+    ranged = ranged.persist()
+    w = Window.partitionBy("_pid").orderBy(pk_col)
+    local = ranged.withColumn("_lrank", F.row_number().over(w))
+    sizes = sorted((r["_pid"], r["c"]) for r in
+                   ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+                   .collect())
+    offsets, acc = [], 0
+    for pid, c in sizes:
+        offsets.append((pid, acc))
+        acc += c
+    off = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"))
+    return (local.join(off, "_pid")
+            .withColumn("page",
+                        ((F.col("_offset") + F.col("_lrank") - 1)
+                         / batch_size).cast("bigint"))
+            .drop("_pid", "_lrank", "_offset"))
 
 
 def count_distribution(df: DataFrame, cnt_col: str = "cnt") -> DataFrame:
