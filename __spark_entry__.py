@@ -1040,6 +1040,51 @@ ORDER BY r_regionkey
 """
 
 
+def wl_pressure(spark, sf_dir):
+    """Q8/pressure harness (milvus_client/common/workload.py:34-80,
+    _pressure.py:32-68): a deterministic mixed-op loop (insert into the
+    PRESSURE_INSERT_BASE PK band, upsert of the [1,200] base range, range
+    delete of half each insert band, running count, plus one deliberately
+    invalid query) over a managed collection seeded from orders, summarized
+    per-op as (requests, rows_affected, failed) — the WorkloadSummary /
+    requests_failed taxonomy as a driver-checkable DataFrame. The oracle
+    replays the same schedule arithmetically over the orders table."""
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+    from vectordb_testbricks_spark.workload import pressure_summary
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    mgr = CollectionManager(spark, tempfile.mkdtemp(prefix="wl_pressure_"))
+    mgr.create_collection(SchemaSpec("press", [
+        FieldSpec("o_orderkey", "INT64", primary=True),
+        FieldSpec("o_custkey", "INT64", nullable=True),
+        FieldSpec("o_totalprice", "DOUBLE", nullable=True)]))
+    mgr.insert("press", orders)
+    return pressure_summary(mgr, "press", "o_orderkey", rounds=2, nb=500)
+
+
+SQL_WL_PRESSURE = """
+WITH c AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS n0,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderkey BETWEEN 1 AND 200) AS u)
+SELECT op, CAST(requests AS BIGINT) AS requests,
+       CAST(rows_affected AS BIGINT) AS rows_affected,
+       CAST(failed AS BIGINT) AS failed
+FROM (
+  -- round r: +500 insert, -250 delete; count sees n0 + 250*(r+1)
+  SELECT 'count' AS op, 2 AS requests, 2 * n0 + 750 AS rows_affected,
+         0 AS failed FROM c
+  UNION ALL SELECT 'delete', 2, 500, 0 FROM c
+  UNION ALL SELECT 'failed_query', 1, 0, 1 FROM c
+  UNION ALL SELECT 'insert', 2, 1000, 0 FROM c
+  UNION ALL SELECT 'upsert', 2, 2 * u, 0 FROM c)
+ORDER BY op
+"""
+
+
 def val_checksum(spark, sf_dir):
     """C3: order-insensitive collection checksum (md5-fold, floats at 5
     decimals) over a filtered lineitem slice."""
@@ -1910,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_partial_update": dml_partial_update,
         "dml_delete": dml_delete,
         "dml_insert": dml_insert,
+        "wl_pressure": wl_pressure,
         "val_checksum": val_checksum,
         "gen_rows_check": gen_rows_check,
         "dd_exact": dd_exact,
@@ -1965,6 +2011,7 @@ def oracle_sql() -> dict[str, str]:
         "dml_partial_update": SQL_DML_PARTIAL,
         "dml_delete": SQL_DML_DELETE,
         "dml_insert": SQL_DML_INSERT,
+        "wl_pressure": SQL_WL_PRESSURE,
         "val_checksum": SQL_VAL_CHECKSUM,
         "gen_rows_check": SQL_GEN_ROWS,
         "dd_exact": SQL_DD_EXACT,

@@ -122,3 +122,26 @@ def test_search_all_collections(spark, tmp_path):
     out = W.search_all_collections(mgr, [[0.3] * DIM], "embedding", k=3)
     assert sorted(out) == ["c_a", "c_b"]
     assert all(df.count() == 3 for df in out.values())
+
+
+def test_pressure_summary_taxonomy(spark, tmp_path):
+    """pressure_summary reports per-op requests/rows and the failed_<op>
+    taxonomy (WorkloadSummary.requests_failed shape)."""
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    mgr.create_collection(SchemaSpec("press", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("val", "DOUBLE", nullable=True)]))
+    base = spark.range(1, 301).select(
+        F.col("id").alias("pk"), (F.col("id") * 1.5).alias("val"))
+    mgr.insert("press", base)
+    out = {r["op"]: (r["requests"], r["rows_affected"], r["failed"])
+           for r in W.pressure_summary(mgr, "press", "pk",
+                                       rounds=2, nb=100).collect()}
+    assert out["insert"] == (2, 200, 0)
+    assert out["delete"] == (2, 100, 0)          # half of each band
+    assert out["upsert"] == (2, 400, 0)          # pks 1..200 twice
+    assert out["failed_query"] == (1, 0, 1)      # taxonomy row
+    # counts: 300 +100 -50 = 350, then +100 -50 = 400
+    assert out["count"] == (2, 750, 0)
+    # collection state is consistent after the loop
+    assert mgr.read("press").count() == 400

@@ -176,6 +176,78 @@ class WorkloadRunner:
         return out
 
 
+# PK band bases for pressure-generated rows (reference
+# milvus_client/common/workload.py:29-31)
+PRESSURE_INSERT_BASE = 10_000_000
+
+
+def pressure_summary(mgr: CollectionManager, name: str, pk_col: str,
+                     rounds: int = 2, nb: int = 500,
+                     upsert_lo: int = 1, upsert_hi: int = 200) -> DataFrame:
+    """Mixed-op pressure loop with failure taxonomy, summarized as a
+    DataFrame — the reference's run_pressure_workload + WorkloadSummary
+    surface (milvus_client/common/workload.py:34-80; _pressure.py:32-68):
+    per-op request counts, per-op affected-row counts, and ``failed_<op>``
+    rows for operations that raised (requests_failed taxonomy).
+
+    The schedule is deterministic (fixed op order per round, PK bands from
+    PRESSURE_INSERT_BASE) so the summary is oracle-reproducible: inserts
+    land nb fresh PKs per round in the insert band, upserts rewrite the
+    [upsert_lo, upsert_hi] PK range of the base data, deletes clear the
+    first half of the round's insert band, and count observes the running
+    total. One deliberately-invalid query exercises the failure path.
+    """
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+    from vectordb_testbricks_spark.operators.query import count_star
+
+    spark = mgr.spark
+    spec = mgr.describe_collection(name)
+    counts: dict[str, list[int]] = {}  # op -> [requests, rows, failed]
+
+    def record(op: str, rows: int, failed: int = 0) -> None:
+        c = counts.setdefault(op, [0, 0, 0])
+        c[0] += 1
+        c[1] += rows
+        c[2] += failed
+
+    def fresh_rows(lo: int, n: int) -> DataFrame:
+        cols = [F.col("id").cast("long").alias(pk_col) if f.name == pk_col
+                else F.lit(None).cast(f.spark_type()).alias(f.name)
+                for f in spec.fields]
+        return spark.range(lo, lo + n).select(*cols)
+
+    for r in range(rounds):
+        lo = PRESSURE_INSERT_BASE + r * nb
+        mgr.insert(name, fresh_rows(lo, nb))
+        record("insert", nb)
+
+        updates = mgr.read(name).filter(
+            F.col(pk_col).between(upsert_lo, upsert_hi))
+        n_upd = updates.count()
+        mgr.upsert(name, updates.drop("_partition"))
+        record("upsert", n_upd)
+
+        del_expr = delete_range_expr(pk_col, lo, lo + nb // 2 - 1)
+        n_del = mgr.read(name).filter(
+            F.col(pk_col).between(lo, lo + nb // 2 - 1)).count()
+        mgr.delete(name, del_expr)
+        record("delete", n_del)
+
+        total = count_star(mgr.read(name)).collect()[0]["cnt"]
+        record("count", total)
+
+    try:
+        from vectordb_testbricks_spark.exprlang import compile_expr
+        compile_expr("no_such_column == 1", mgr.read(name))
+    except ExprCompileError:
+        record("failed_query", 0, failed=1)
+
+    rows = [(op, c[0], c[1], c[2]) for op, c in sorted(counts.items())]
+    return spark.createDataFrame(
+        rows, "op string, requests long, rows_affected long, failed long")
+
+
 def search_all_collections(mgr: CollectionManager, qvecs: list[list[float]],
                            vec_col: str, k: int = 5,
                            metric: str = "COSINE") -> dict[str, DataFrame]:
