@@ -1839,6 +1839,31 @@ def v_ivf_persisted(spark, sf_dir):
                        F.col("rank").cast("bigint").alias("rank"))
 
 
+_BIN_IVF_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
+
+
+def v_bin_ivf(spark, sf_dir):
+    """BIN_IVF_FLAT (reference index vocabulary, 2.6/common.py:882-898):
+    nprobe-pruned inverted lists over sign-packed bits, hamming coarse rank,
+    exact cosine rescore — the coarse phase reads nprobe/n_lists of the
+    (already 32× smaller) packed bytes instead of all of them
+    (binary_rerank_search's documented full-scan limitation). Approximate →
+    rows-only; recall + full-probe==exact identity in tests/test_operators."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        bin_ivf_search, build_bin_ivf)
+    emb, q = _emb_queries(spark, sf_dir)
+    key = (_session_key(spark), sf_dir)
+    model = _BIN_IVF_CACHE.get(key)
+    if model is None:
+        model = build_bin_ivf(emb, "embedding", "vec_id", n_lists=16, seed=7)
+        model.packed = model.packed.cache()
+        _BIN_IVF_CACHE[key] = model
+    hits = bin_ivf_search(model, q, k=10, nprobe=4)
+    return hits.select("query_id", "vec_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
 _SQ8_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 
@@ -1898,7 +1923,7 @@ def v_ann_indexes(spark, sf_dir):
     Each tier's recall floor and its full-probe/full-rerank == exact
     identities are asserted in tests/test_operators.py."""
     tiers = [("IVF", v_ivf_cosine), ("IVF_PERSISTED", v_ivf_persisted),
-             ("IVF_SQ8", v_ivf_sq8),
+             ("IVF_SQ8", v_ivf_sq8), ("BIN_IVF", v_bin_ivf),
              ("BIN_RERANK", v_binary_rerank), ("LSH", v_lsh_cosine)]
     out = None
     for tier, fn in tiers:

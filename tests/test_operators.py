@@ -174,6 +174,51 @@ def test_binary_rerank_recall_and_full_rerank_identity(emb, queries3):
     assert f == e
 
 
+def test_bin_ivf_recall_and_full_probe_identity(emb, queries3):
+    """BIN_IVF: nprobe-pruned packed-hamming candidates + exact rescore.
+    Full probe + full rerank must equal brute force; pruned probe keeps
+    decent recall."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        bin_ivf_search, build_bin_ivf)
+    from vectordb_testbricks_spark.operators.search import knn_search
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    model = build_bin_ivf(emb, "embedding", "vec_id", n_lists=8, seed=7)
+    approx = bin_ivf_search(model, queries3, k=10, nprobe=4)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"recall {recall}"
+
+    n = emb.count()
+    full = bin_ivf_search(model, queries3, k=10, nprobe=8, rerank_k=n)
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert f == e
+
+
+def test_persisted_bin_ivf_probe_prunes_partitions(spark, tables, tmp_path,
+                                                   queries3):
+    """write_bin_ivf partitions by centroid_id; the probe must prune at
+    file-listing time, like the IVF/SQ8 persisted paths."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        bin_ivf_search, build_bin_ivf, read_bin_ivf, write_bin_ivf)
+    emb = tables["embeddings"].df
+    model = build_bin_ivf(emb, "embedding", "vec_id", n_lists=4, seed=7)
+    path = str(tmp_path / "binivf")
+    write_bin_ivf(model, path)
+    reloaded = read_bin_ivf(spark, path, model)
+    hits = bin_ivf_search(reloaded, queries3, k=5, nprobe=2)
+    assert hits.filter("rank = 1").count() == 3
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    # the packed-list scan is the one whose PartitionFilters hit centroid_id
+    # (the float rescore scan has PartitionFilters: [])
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any("centroid_id" in s.split("PartitionFilters")[1][:200]
+               for s in scans if "PartitionFilters" in s)
+
+
 def test_two_phase_topk_equals_single_phase(emb, queries3):
     from vectordb_testbricks_spark.operators.search import knn_search
 
@@ -247,6 +292,19 @@ def test_dedup_exact_keeps_min_id(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup_exact(docs, "doc_id", "text").collect())
     assert kept == [1, 3]
+
+
+def test_exact_duplicates_caps_mega_group(spark):
+    """dup_ids is bounded by max_ids (skew guard) while dup_count stays
+    the exact group size."""
+    from vectordb_testbricks_spark.operators.dedup import exact_duplicates
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("same text").alias("text"))
+    g = exact_duplicates(docs, "doc_id", "text", max_ids=10).collect()
+    assert len(g) == 1
+    assert g[0]["dup_count"] == 100
+    assert g[0]["dup_ids"] == list(range(10))  # lowest ids kept
+    assert g[0]["canonical_id"] == 0
 
 
 def test_simhash_identical_docs_hamming_zero(spark):

@@ -328,6 +328,118 @@ def ivf_sq8_search(model: Sq8Model, queries: DataFrame, k: int = 10,
     return _ranked(rescored, model.id_col, asc=False, k=k)
 
 
+def _pack_query_bits(qv: list[float]) -> list[int]:
+    """Driver-side twin of functions.vector.pack_sign_bits (tested equal):
+    sign bits packed into 32-bit words, bit j of word w = [qv[32w+j] >= 0]."""
+    dim = len(qv)
+    words = []
+    for w in range((dim + 31) // 32):
+        acc = 0
+        for x in reversed(qv[w * 32: w * 32 + 32]):
+            acc = acc * 2 + (1 if x >= 0 else 0)
+        words.append(acc)
+    return words
+
+
+@dataclass
+class BinIvfModel:
+    packed: DataFrame              # id_col, centroid_id, _bits array<bigint>
+    centroids: list[list[float]]   # trained on normalized vectors
+    base: DataFrame                # original float table (exact rescore side)
+    vec_col: str
+    id_col: str
+
+
+def build_bin_ivf(base: DataFrame, vec_col: str, id_col: str,
+                  n_lists: int = 16, seed: int = 7, max_iter: int = 10,
+                  train_sample: int = 20_000) -> BinIvfModel:
+    """BIN_IVF_FLAT (reference index vocabulary, 2.6/common.py:882-898):
+    IVF inverted lists over 1-bit sign-packed vectors.
+
+    binary_rerank_search's coarse phase is a *full* packed scan (32× fewer
+    bytes, but every row); this composes it with the IVF coarse quantizer
+    so the hamming phase reads only nprobe/n_lists of the packed bytes —
+    at 100 TB that is the difference between ~3 TB and ~3·nprobe/n_lists TB
+    per probe. Centroids are trained on normalized vectors (sign bits are
+    scale-invariant, so packing reads the raw float column)."""
+    from vectordb_testbricks_spark.functions.vector import (
+        l2_normalize, pack_sign_bits, to_double_array)
+
+    nv = l2_normalize(to_double_array(F.col(vec_col)))
+    x = base.select(id_col, F.col(vec_col), nv.alias("_nv")).persist()
+    rows = (x.select("_nv").sample(0.5, seed=seed)
+            .limit(train_sample).collect())
+    if len(rows) < train_sample:
+        rows = x.select("_nv").limit(train_sample).collect()
+    sample = np.asarray([list(r["_nv"]) for r in rows], dtype=np.float64)
+    cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
+
+    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
+        assign = _assign_expr_jvm("_nv", cent)
+    else:
+        assign = _assign_expr_pandas("_nv", cent, base.sparkSession)
+    packed = x.select(id_col, assign.alias("centroid_id"),
+                      pack_sign_bits(F.col(vec_col)).alias("_bits"))
+    return BinIvfModel(packed=packed, centroids=cent.tolist(), base=base,
+                       vec_col=vec_col, id_col=id_col)
+
+
+def write_bin_ivf(model: BinIvfModel, path: str) -> None:
+    """Persist packed lists partitioned by centroid_id — probes prune file
+    groups AND read the 1-bit layout (both scan savings survive)."""
+    model.packed.write.mode("overwrite") \
+        .partitionBy("centroid_id").parquet(path)
+
+
+def read_bin_ivf(spark, path: str, model_meta: BinIvfModel) -> BinIvfModel:
+    return BinIvfModel(packed=spark.read.parquet(path),
+                       centroids=model_meta.centroids, base=model_meta.base,
+                       vec_col=model_meta.vec_col, id_col=model_meta.id_col)
+
+
+def bin_ivf_search(model: BinIvfModel, queries: DataFrame, k: int = 10,
+                   nprobe: int = 8, rerank_k: int | None = None) -> DataFrame:
+    """Probe nprobe lists, hamming-rank the packed bits within them, exact
+    cosine rescore of the top rerank_k on the float column (broadcast join,
+    no base shuffle) — same two-phase shape as the SQ8 path."""
+    from vectordb_testbricks_spark.functions.vector import (
+        cosine_sim, hamming_packed)
+    from vectordb_testbricks_spark.operators.search import _ranked
+
+    rerank_k = rerank_k or max(8 * k, 64)
+    qrows = queries.collect()  # nq small by contract (reference nq ≤ 100)
+    probes, qmeta = [], []
+    for r in qrows:
+        qid = int(r["query_id"])
+        qv = np.asarray(list(r["qvec"]), dtype=np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-30)
+        probes += [(qid, int(c))
+                   for c in _nearest_lists(qn.tolist(), model.centroids,
+                                           nprobe)]
+        qmeta.append((qid, _pack_query_bits([float(x) for x in qv]),
+                      [float(x) for x in qv]))
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id int, centroid_id int")
+    qdf = spark.createDataFrame(
+        qmeta, "query_id int, qbits array<bigint>, qvec array<double>")
+
+    pruned = model.packed.join(F.broadcast(probe_df), "centroid_id")
+    approx = (pruned.join(F.broadcast(qdf.select("query_id", "qbits")),
+                          "query_id")
+              .select("query_id", model.id_col,
+                      hamming_packed(F.col("_bits"), F.col("qbits"))
+                      .alias("score")))
+    cand = (_ranked(approx, model.id_col, asc=True, k=rerank_k)
+            .select("query_id", model.id_col))
+    rescored = (model.base.join(F.broadcast(cand), model.id_col)
+                .join(F.broadcast(qdf.select("query_id", "qvec")),
+                      "query_id")
+                .select("query_id", model.id_col,
+                        cosine_sim(F.col(model.vec_col), F.col("qvec"))
+                        .alias("score")))
+    return _ranked(rescored, model.id_col, asc=False, k=k)
+
+
 def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
                          id_col: str, k: int = 10,
                          rerank_k: int | None = None) -> DataFrame:
@@ -351,17 +463,10 @@ def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
     packed = base.select(id_col, pack_sign_bits(F.col(vec_col)).alias("_bits"))
 
     qrows = queries.collect()
-    dim = len(list(qrows[0]["qvec"])) if qrows else 0
     qmeta = []
     for r in qrows:
         qv = [float(x) for x in r["qvec"]]
-        words = []
-        for w in range((dim + 31) // 32):
-            acc = 0
-            for x in reversed(qv[w * 32: w * 32 + 32]):
-                acc = acc * 2 + (1 if x >= 0 else 0)
-            words.append(acc)
-        qmeta.append((int(r["query_id"]), words, qv))
+        qmeta.append((int(r["query_id"]), _pack_query_bits(qv), qv))
     spark = queries.sparkSession
     qdf = spark.createDataFrame(
         qmeta, "query_id int, qbits array<bigint>, qvec array<double>")
