@@ -145,3 +145,64 @@ def test_pressure_summary_taxonomy(spark, tmp_path):
     assert out["count"] == (2, 750, 0)
     # collection state is consistent after the loop
     assert mgr.read("press").count() == 400
+
+
+def test_async_search_concurrent_matches_sync(spark, tables):
+    """V10: concurrently submitted searches return the same hits as the
+    sequential runs, and the report counts every task."""
+    from vectordb_testbricks_spark.functions.vector import to_double_array
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb = tables["embeddings"].df
+    q = (emb.filter(F.col("vec_id").isin([0, 1, 2]))
+         .select(F.col("vec_id").alias("query_id"),
+                 to_double_array(F.col("embedding")).alias("qvec")))
+
+    def mk(metric):
+        return lambda: knn_search(emb, q, "embedding", "vec_id",
+                                  metric=metric, k=5)
+    tasks = [mk(m) for m in ("COSINE", "L2", "IP")] * 2
+    report = W.run_async_searches(spark, tasks, max_workers=3)
+    assert report.successes == 6
+    assert report.failures == 0 and report.timeouts == 0
+    assert report.qps > 0
+    assert all(o[3] == 15 for o in report.outcomes)  # 3 queries × k=5
+    sync = {(r["query_id"], r["vec_id"])
+            for r in mk("COSINE")().collect()}
+    async_hits = {(r["query_id"], r["vec_id"])
+                  for r in tasks[0]().collect()}
+    assert async_hits == sync
+
+
+def test_async_search_records_failures(spark, tables):
+    """A task that raises lands in the failure taxonomy, not an exception
+    out of the pool."""
+    emb = tables["embeddings"].df
+
+    def bad():
+        raise RuntimeError("broken search")
+    report = W.run_async_searches(
+        spark, [bad, lambda: emb.select("vec_id").limit(1)], max_workers=2)
+    assert report.failures == 1 and report.successes == 1
+    failed = next(o for o in report.outcomes if o[1] == "failure")
+    assert failed[4] == "RuntimeError"
+
+
+def test_wait_for_serviceable(spark, tmp_path):
+    """C9: gate returns True once a collection becomes readable, False on
+    deadline for one that never appears."""
+    import threading
+    import time as _t
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    spec = SchemaSpec("late", [FieldSpec("pk", "INT64", primary=True)])
+
+    def create_later():
+        _t.sleep(0.5)
+        mgr.create_collection(spec)
+        mgr.insert("late", spark.range(3).select(F.col("id").alias("pk")))
+    t = threading.Thread(target=create_later)
+    t.start()
+    assert W.wait_for_serviceable(mgr, "late", timeout_sec=15.0,
+                                  interval_sec=0.2)
+    t.join()
+    assert not W.wait_for_serviceable(mgr, "never", timeout_sec=1.0,
+                                      interval_sec=0.2)

@@ -176,6 +176,121 @@ class WorkloadRunner:
         return out
 
 
+# --------------------------------------------------- V10: async search
+
+@dataclass
+class AsyncSearchReport:
+    """Per-task outcomes + latency stats — the reference's async-search
+    metrics surface (2.6/async_search.py SearchMetrics: success/failure/
+    timeout counts, latencies, effective QPS)."""
+    outcomes: list  # (task_idx, status, latency_sec, n_rows, error)
+    wall_clock_sec: float
+
+    @property
+    def successes(self) -> int:
+        return sum(1 for o in self.outcomes if o[1] == "success")
+
+    @property
+    def failures(self) -> int:
+        return sum(1 for o in self.outcomes if o[1] == "failure")
+
+    @property
+    def timeouts(self) -> int:
+        return sum(1 for o in self.outcomes if o[1] == "timeout")
+
+    @property
+    def qps(self) -> float:
+        return self.successes / max(self.wall_clock_sec, 1e-9)
+
+    def latencies(self) -> list[float]:
+        return [o[2] for o in self.outcomes if o[1] == "success"]
+
+
+def run_async_searches(spark, tasks, max_workers: int = 4,
+                       timeout_sec: float | None = None) -> AsyncSearchReport:
+    """V10: concurrent search execution (2.6/async_search.py:306-352 —
+    asyncio worker pool issuing top-k searches with per-search timeout).
+
+    Spark's scheduler natively interleaves jobs submitted from multiple
+    threads across the shared executor pool, so the async brick maps to a
+    thread pool of collect() calls — no asyncio shim around the JVM. Each
+    task runs under its own job group with ``interruptOnCancel``, so a
+    timeout cancels exactly that task's Spark jobs (the asyncio.TimeoutError
+    path) while the rest keep running. ``tasks`` are zero-arg callables
+    returning a DataFrame (the search plan); latency is submit→collect.
+    """
+    import time
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    sc = spark.sparkContext
+    run_id = uuid.uuid4().hex[:8]
+    timed_out: set[int] = set()
+
+    def run_one(i: int, fn) -> tuple:
+        group = f"async-search-{run_id}-{i}"
+        sc.setJobGroup(group, f"async search task {i}",
+                       interruptOnCancel=True)
+        t0 = time.monotonic()
+        try:
+            rows = fn().collect()
+            return (i, "success", time.monotonic() - t0, len(rows), None)
+        except Exception as exc:  # cancelled-by-timeout or real failure
+            status = "timeout" if i in timed_out else "failure"
+            return (i, status, time.monotonic() - t0, 0, type(exc).__name__)
+
+    t_start = time.monotonic()
+    outcomes = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = {i: pool.submit(run_one, i, fn) for i, fn in enumerate(tasks)}
+        for i, fut in futs.items():
+            try:
+                outcomes.append(fut.result(timeout=timeout_sec))
+            except FutTimeout:
+                # the coordinator owns the timeout verdict (the reference
+                # counts asyncio.TimeoutError even if the server answers
+                # later); cancel the task's Spark jobs and record timeout
+                # whatever the worker eventually returns
+                timed_out.add(i)
+                sc.cancelJobGroup(f"async-search-{run_id}-{i}")
+                o = fut.result()
+                outcomes.append((i, "timeout", o[2], 0, o[4] or "Timeout"))
+    return AsyncSearchReport(outcomes=sorted(outcomes),
+                             wall_clock_sec=time.monotonic() - t_start)
+
+
+# --------------------------------------------- C9: serviceability wait
+
+def wait_for_serviceable(mgr: CollectionManager, name: str,
+                         timeout_sec: float = 30.0,
+                         interval_sec: float = 0.5,
+                         probe=None) -> bool:
+    """C9: retry-until-serviceable gate (reference serviceability
+    timeout/interval knobs, gates.py:240-249; startup retry loop,
+    _pressure.py:21-29; transient-failure taxonomy, validators.py:19-53).
+
+    A collection is serviceable when describe + a probe read succeed.
+    Transient states — collection being created by another writer, a
+    rewrite mid-swap — surface as exceptions and are retried until the
+    deadline; returns True once serviceable, False on timeout (callers
+    decide whether that is fatal, like the reference's gate phases)."""
+    import time
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            mgr.describe_collection(name)
+            if probe is not None:
+                probe()
+            else:
+                mgr.read(name).limit(1).count()
+            return True
+        except Exception:
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(interval_sec)
+
+
 # PK band bases for pressure-generated rows (reference
 # milvus_client/common/workload.py:29-31)
 PRESSURE_INSERT_BASE = 10_000_000
