@@ -229,22 +229,23 @@ WHERE text LIKE '%stream spark%' ORDER BY doc_id
 
 def q_array_ops(spark, sf_dir):
     """P8/P9/P10: array element access + array_contains(_any) over a real
-    ArrayType column (derived by tokenizing p_type, as the reference derives
-    ARRAY fields)."""
-    p = _t(spark, sf_dir, "part").withColumn("words", F.split("p_type", " "))
-    expr = ('array_contains(words, "BRASS") '
-            '|| (array_contains_any(words, ["PLATED", "ANODIZED"]) '
-            '&& words[0] == "STANDARD")')
+    ArrayType column (derived by tokenizing p_name — "small ring"-style
+    two-word names in this corpus — as the reference derives ARRAY fields).
+    Matches a non-empty slice so the driver check exercises real rows."""
+    p = _t(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
+    expr = ('array_contains(words, "red") '
+            '|| (array_contains_any(words, ["ring", "bolt"]) '
+            '&& words[0] == "small")')
     return (p.filter(compile_expr(expr, p))
-            .select("p_partkey", "p_type").orderBy("p_partkey"))
+            .select("p_partkey", "p_name").orderBy("p_partkey"))
 
 
 SQL_Q_ARRAY = """
-WITH w AS (SELECT p_partkey, p_type, string_split(p_type, ' ') AS words FROM part)
-SELECT p_partkey, p_type FROM w
-WHERE list_contains(words, 'BRASS')
-   OR ((list_contains(words, 'PLATED') OR list_contains(words, 'ANODIZED'))
-       AND words[1] = 'STANDARD')
+WITH w AS (SELECT p_partkey, p_name, string_split(p_name, ' ') AS words FROM part)
+SELECT p_partkey, p_name FROM w
+WHERE list_contains(words, 'red')
+   OR ((list_contains(words, 'ring') OR list_contains(words, 'bolt'))
+       AND words[1] = 'small')
 ORDER BY p_partkey
 """
 
