@@ -464,3 +464,45 @@ def test_lsh_search_recall_and_self_hit(emb, queries3):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in rows}
     assert len(e & a) / len(e) >= 0.5  # LSH@6 bits, flip=2 probes ~1/3 of buckets
+
+
+def test_build_from_index_spec_dispatch_and_hnsw_mapping(emb, queries3):
+    """Declared index vocabulary (FLAT/IVF_FLAT/IVF_SQ8/BIN_IVF_FLAT/HNSW)
+    realizes as the matching physical structure; HNSW's ef knob raises the
+    candidate pool monotonically (nprobe·list_size ≈ ef)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_from_index_spec)
+    from vectordb_testbricks_spark.operators.search import knn_search
+    from vectordb_testbricks_spark.schema import IndexSpec
+
+    exact = knn_search(emb, queries3, "embedding", "vec_id",
+                       metric="COSINE", k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    flat = build_from_index_spec(
+        emb, "vec_id", IndexSpec("embedding", "FLAT", "COSINE"))
+    f = {(r["query_id"], r["vec_id"])
+         for r in flat.search(queries3, k=10).collect()}
+    assert f == e  # FLAT is brute force
+
+    for itype, extra in [("IVF_FLAT", {"nlist": 8}),
+                         ("IVF_SQ8", {"nlist": 8}),
+                         ("BIN_IVF_FLAT", {"nlist": 8})]:
+        idx = build_from_index_spec(
+            emb, "vec_id", IndexSpec("embedding", itype, "COSINE", extra))
+        hits = idx.search(queries3, k=10)
+        a = {(r["query_id"], r["vec_id"]) for r in hits.collect()}
+        assert len(a) == 30
+        assert len(e & a) / len(e) >= 0.5, itype
+
+    lo = build_from_index_spec(
+        emb, "vec_id",
+        IndexSpec("embedding", "HNSW", "COSINE", {"M": 16, "ef": 32}))
+    hi = build_from_index_spec(
+        emb, "vec_id",
+        IndexSpec("embedding", "HNSW", "COSINE", {"M": 16, "ef": 100000}))
+    assert hi.search_params["nprobe"] > lo.search_params["nprobe"]
+    # ef past the corpus size probes everything -> exact results
+    full = {(r["query_id"], r["vec_id"])
+            for r in hi.search(queries3, k=10).collect()}
+    assert full == e

@@ -485,6 +485,100 @@ def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
     return _ranked(rescored, id_col, asc=False, k=k)
 
 
+@dataclass
+class AnnIndex:
+    """A declared IndexSpec realized as a physical ANN structure + default
+    search params — the engine-side twin of the reference's
+    (index_type, params) vocabulary (2.6/common.py:882-898)."""
+    kind: str                       # flat | ivf | sq8 | bin_ivf | bin_rerank
+    model: object | None
+    base: DataFrame
+    vec_col: str
+    id_col: str
+    metric: str
+    search_params: dict
+
+    def search(self, queries: DataFrame, k: int = 10, **overrides) -> DataFrame:
+        """Serve a top-k search through whichever physical structure the
+        spec mapped to; ``overrides`` replace the default search params
+        (e.g. nprobe=..., like passing search_params per request)."""
+        from vectordb_testbricks_spark.operators.search import knn_search
+        p = {**self.search_params, **overrides}
+        if self.kind == "flat":
+            return knn_search(self.base, queries, self.vec_col, self.id_col,
+                              metric=self.metric, k=k)
+        if self.kind == "ivf":
+            return ivf_search(self.model, queries, k=k,
+                              nprobe=p["nprobe"], metric=self.metric)
+        if self.kind == "sq8":
+            return ivf_sq8_search(self.model, queries, k=k,
+                                  nprobe=p["nprobe"],
+                                  rerank_k=p.get("rerank_k"))
+        if self.kind == "bin_ivf":
+            return bin_ivf_search(self.model, queries, k=k,
+                                  nprobe=p["nprobe"],
+                                  rerank_k=p.get("rerank_k"))
+        if self.kind == "bin_rerank":
+            return binary_rerank_search(self.base, queries, self.vec_col,
+                                        self.id_col, k=k,
+                                        rerank_k=p.get("rerank_k"))
+        raise ValueError(f"unknown index kind {self.kind!r}")
+
+
+def build_from_index_spec(base: DataFrame, id_col: str, index,
+                          seed: int = 7) -> AnnIndex:
+    """Realize a declared ``IndexSpec`` (schema vocabulary: FLAT, IVF_FLAT,
+    IVF_SQ8, IVF_RABITQ, BIN_IVF_FLAT, HNSW, DISKANN, AUTOINDEX —
+    2.6/common.py:882-898) as the matching physical structure.
+
+    Graph indexes map onto the IVF family (COVERAGE.md graph-index note):
+    a batch engine has no navigable graph, but the same accuracy/cost dial
+    exists — ``n_lists`` ≈ √n (the standard IVF sizing) bounded by the
+    declared M, and ``ef``/``efConstruction``/``search_list_size`` sets the
+    candidate pool: nprobe is chosen so nprobe·(n/n_lists) ≈ ef, so a user
+    raising ef gets strictly more candidates exactly as in HNSW."""
+    import math
+    t = index.index_type.upper()
+    params = dict(index.params or {})
+    metric = (index.metric_type or "COSINE").upper()
+    vec_col = index.field
+
+    if t == "FLAT":
+        return AnnIndex("flat", None, base, vec_col, id_col, metric, {})
+    if t in ("IVF_FLAT", "AUTOINDEX"):
+        n_lists = int(params.get("nlist", 64))
+        model = build_ivf(base, vec_col, id_col, n_lists=n_lists, seed=seed)
+        return AnnIndex("ivf", model, base, vec_col, id_col, metric,
+                        {"nprobe": max(1, n_lists // 8)})
+    if t == "IVF_SQ8":
+        n_lists = int(params.get("nlist", 64))
+        model = build_ivf_sq8(base, vec_col, id_col, n_lists=n_lists,
+                              seed=seed)
+        return AnnIndex("sq8", model, base, vec_col, id_col, metric,
+                        {"nprobe": max(1, n_lists // 8)})
+    if t == "BIN_IVF_FLAT":
+        n_lists = int(params.get("nlist", 64))
+        model = build_bin_ivf(base, vec_col, id_col, n_lists=n_lists,
+                              seed=seed)
+        return AnnIndex("bin_ivf", model, base, vec_col, id_col, metric,
+                        {"nprobe": max(1, n_lists // 8)})
+    if t == "IVF_RABITQ":
+        return AnnIndex("bin_rerank", None, base, vec_col, id_col, metric,
+                        {"rerank_k": int(params.get("refine_k", 0)) or None})
+    if t in ("HNSW", "DISKANN"):
+        m = int(params.get("M", 32))
+        ef = int(params.get("ef", params.get(
+            "efConstruction", params.get("search_list_size", 256))))
+        n = base.count()
+        n_lists = max(4, min(int(round(math.sqrt(max(n, 1)))), 16 * m, 4096))
+        model = build_ivf(base, vec_col, id_col, n_lists=n_lists, seed=seed)
+        avg_list = max(n / n_lists, 1.0)
+        nprobe = max(1, min(n_lists, math.ceil(ef / avg_list)))
+        return AnnIndex("ivf", model, base, vec_col, id_col, metric,
+                        {"nprobe": nprobe})
+    raise ValueError(f"unsupported vector index type {t!r}")
+
+
 def _nearest_lists(qvec: list[float], centroids: list[list[float]],
                    nprobe: int) -> list[int]:
     """Driver-side: nprobe nearest centroids by L2 (tiny)."""
