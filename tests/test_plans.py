@@ -188,3 +188,16 @@ def test_iterator_pages_has_no_global_window(tables):
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, f"unpartitioned window: {line.strip()}"
     assert "BroadcastExchange" in p  # offset table joins broadcast-side
+
+
+def test_partial_upsert_broadcasts_update_side(tables):
+    """The existing-row merge must be a broadcast join of the update batch
+    (full_outer cannot broadcast and would shuffle the entire base)."""
+    from vectordb_testbricks_spark.operators.dml import partial_upsert
+    o = tables["orders"].df
+    upd = (o.filter("o_orderkey % 100 = 0")
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 0).alias("o_totalprice")))
+    p = _plan(partial_upsert(o, upd, "o_orderkey"))
+    assert "BroadcastHashJoin" in p
+    assert "FullOuter" not in p and "SortMergeJoin" not in p

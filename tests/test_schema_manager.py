@@ -238,3 +238,20 @@ def test_shards_num_controls_write_files(mgr, spark):
     got = mgr.read("sharded")
     assert got.count() == 100
     assert got.agg(F.sum("id")).collect()[0][0] == 4950
+
+
+def test_partial_update_preserves_partitions_and_inserts_missing(mgr, spark):
+    """S3 at the manager level: present columns update in place (rows keep
+    their partition), absent PKs insert with NULLs into the routed
+    partition."""
+    _mk(mgr, "col_pu", partitions=["p0", "p1"])
+    mgr.insert("col_pu", _rows(spark, 4), partition_name="p0")
+    upd = spark.createDataFrame([(1, 99), (100, 77)], "id long, category long")
+    mgr.partial_update("col_pu", upd, partition_name="p1")
+    p0 = mgr.read("col_pu", partition_names=["p0"])
+    p1 = mgr.read("col_pu", partition_names=["p1"])
+    assert p0.count() == 4                      # updated row stays in p0
+    assert p0.filter("id = 1 and category = 99").count() == 1
+    assert p0.filter("id = 1").first()["name"] == "n_1"  # untouched column
+    new = p1.filter("id = 100").first()
+    assert new["category"] == 77 and new["name"] is None  # NULL-filled

@@ -124,25 +124,28 @@ class CollectionManager:
             return _spec_from_json(fh.read())
 
     # -------------------------------------------------------- partitions
-    def _route(self, spec: SchemaSpec, df: DataFrame,
-               partition_name: str | None) -> DataFrame:
-        """Attach the physical routing column: explicit partition name, hash
-        of the partition key (pmod(hash, N) — reference hash routing), or
-        the default partition."""
+    def _route_col(self, spec: SchemaSpec, partition_name: str | None):
+        """The routing expression: explicit partition name, hash of the
+        partition key (pmod(hash, N) — reference hash routing), or the
+        default partition."""
         if partition_name is not None:
             if spec.partitions and partition_name not in spec.partitions:
                 raise SchemaError(
                     f"unknown partition {partition_name!r} in {spec.name}")
-            return df.withColumn(PARTITION_COL, F.lit(partition_name))
+            return F.lit(partition_name)
         pkey = spec.partition_key
         if pkey is not None:
             n = spec.num_partitions or 16
-            return df.withColumn(
-                PARTITION_COL,
-                F.concat(F.lit("p"),
-                         F.pmod(F.hash(F.col(pkey.name)), F.lit(n))
-                          .cast("string")))
-        return df.withColumn(PARTITION_COL, F.lit("_default"))
+            return F.concat(F.lit("p"),
+                            F.pmod(F.hash(F.col(pkey.name)), F.lit(n))
+                             .cast("string"))
+        return F.lit("_default")
+
+    def _route(self, spec: SchemaSpec, df: DataFrame,
+               partition_name: str | None) -> DataFrame:
+        """Attach the physical routing column."""
+        return df.withColumn(PARTITION_COL,
+                             self._route_col(spec, partition_name))
 
     def list_partitions(self, name: str) -> list[str]:
         data = self._data_dir(self.resolve(name))
@@ -188,6 +191,29 @@ class CollectionManager:
             incoming = incoming.withColumn(
                 INGEST_TS_COL, F.current_timestamp())
         self._overwrite(name, _upsert(base, incoming, spec.pk.name))
+
+    def partial_update(self, name: str, df: DataFrame,
+                       partition_name: str | None = None) -> None:
+        """S3: update only the columns present in ``df`` for matching PKs
+        (other columns keep their old values); missing PKs are inserted
+        with NULLs for absent columns (2.6/common.py:804-835
+        partial_update). Existing rows keep their partition; only
+        newly-inserted PKs are routed."""
+        from vectordb_testbricks_spark.operators.dml import partial_upsert
+        spec = self.describe_collection(name)
+        base = self.read(name)
+        merged = partial_upsert(base, df, spec.pk.name)
+        # rows born from the full-outer join (PK absent in base) carry a
+        # NULL _partition — route just those, keep everyone else in place
+        merged = merged.withColumn(
+            PARTITION_COL,
+            F.coalesce(F.col(PARTITION_COL),
+                       self._route_col(spec, partition_name)))
+        if spec.ttl_seconds:
+            merged = merged.withColumn(
+                INGEST_TS_COL,
+                F.coalesce(F.col(INGEST_TS_COL), F.current_timestamp()))
+        self._overwrite(name, merged)
 
     def delete(self, name: str, flt: str) -> None:
         """S4: delete-by-filter (anti-filter rewrite, persisted). Surviving

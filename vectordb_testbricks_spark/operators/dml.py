@@ -46,12 +46,18 @@ def partial_upsert(base: DataFrame, updates: DataFrame,
                    pk: list[str] | str) -> DataFrame:
     """S3: update only the columns present in ``updates``; missing PKs are
     inserted with NULLs for absent columns (Milvus partial-update upsert).
+
+    Plan: existing rows merge via a broadcast LEFT join (a full_outer join
+    cannot be broadcast, so it would sort-merge-shuffle the entire base at
+    scale); PKs absent from the base are then found with a pk-only anti
+    join (shuffles just the key column of the small update side) and
+    appended NULL-filled.
     """
     pk = [pk] if isinstance(pk, str) else list(pk)
     upd_cols = [c for c in updates.columns if c not in pk]
     u = F.broadcast(
         updates.select(*pk, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]))
-    joined = base.join(u, pk, "full_outer")
+    joined = base.join(u, pk, "left")
     out_cols = []
     for c in base.columns:
         if c in pk:
@@ -60,7 +66,13 @@ def partial_upsert(base: DataFrame, updates: DataFrame,
             out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c))
         else:
             out_cols.append(F.col(c))
-    return joined.select(*out_cols)
+    updated = joined.select(*out_cols)
+    fresh = updates.join(base.select(*pk), pk, "left_anti")
+    filled = fresh.select(*[
+        F.col(c) if c in fresh.columns
+        else F.lit(None).cast(base.schema[c].dataType).alias(c)
+        for c in base.columns])
+    return updated.unionByName(filled)
 
 
 def delete_by_filter(base: DataFrame, flt: str | Column) -> DataFrame:
