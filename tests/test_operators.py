@@ -247,8 +247,12 @@ def test_pattern_grams_literal_runs():
     from vectordb_testbricks_spark.operators.ngram_index import pattern_grams
     assert pattern_grams("%stream%", 3) == sorted(
         {"str", "tre", "rea", "eam"})
-    # wildcard splits runs; longest run wins
+    # only '%' is a wildcard (Milvus LIKE); '_' is a literal character and
+    # participates in the run's grams
     assert pattern_grams("%ab_streams%", 3) == sorted(
+        {"ab_", "b_s", "_st", "str", "tre", "rea", "eam", "ams"})
+    # '%' still splits runs; the longest literal run wins
+    assert pattern_grams("%ab%streams%", 3) == sorted(
         {"str", "tre", "rea", "eam", "ams"})
     assert pattern_grams("%ab%", 3) == []  # no run >= n → fallback
 
@@ -337,6 +341,12 @@ def test_simhash_banded_blocking_is_complete(spark, tables):
                                 max_hamming=3).collect()}
     assert banded == brute
     assert brute  # the corpus must actually produce near-dup pairs
+    # uneven band widths (16 bits into 3 bands -> 6/5/5) stay complete
+    brute2 = {t for t in brute if t[2] <= 2}
+    banded2 = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+               simhash_near_dups(docs, "doc_id", "text",
+                                 max_hamming=2).collect()}
+    assert banded2 == brute2
 
 
 def test_simhash_64bit_signatures(spark):
@@ -506,3 +516,36 @@ def test_build_from_index_spec_dispatch_and_hnsw_mapping(emb, queries3):
     full = {(r["query_id"], r["vec_id"])
             for r in hi.search(queries3, k=10).collect()}
     assert full == e
+
+
+def test_like_with_index_agrees_with_exprlang_on_underscores(spark):
+    """Indexed and unindexed LIKE must share Milvus semantics: '_' literal.
+    (r02 review: the index path used SQL '_'-wildcard lowering while the
+    compiler escaped it.)"""
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.operators.ngram_index import (
+        build_ngram_index, like_with_index)
+    docs = spark.createDataFrame(
+        [(1, "alpha_beta_gamma"), (2, "alphaXbetaXgamma"), (3, "unrelated")],
+        "doc_id long, text string")
+    posting = build_ngram_index(docs, "doc_id", "text", 3, 3)
+    pattern = "%pha_bet%"
+    via_index = {r["doc_id"] for r in
+                 like_with_index(docs, posting, pattern,
+                                 "doc_id", "text").collect()}
+    via_expr = {r["doc_id"] for r in
+                docs.filter(compile_expr(f'text like "{pattern}"',
+                                         docs)).collect()}
+    assert via_index == via_expr == {1}  # literal underscore only
+
+
+def test_index_spec_quantized_tiers_reject_non_cosine(emb):
+    """SQ8/BIN tiers normalize before quantizing — an L2/IP spec must fail
+    loudly instead of silently returning cosine rankings."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_from_index_spec)
+    from vectordb_testbricks_spark.schema import IndexSpec
+    for itype in ("IVF_SQ8", "BIN_IVF_FLAT", "IVF_RABITQ"):
+        with pytest.raises(ValueError, match="COSINE only"):
+            build_from_index_spec(
+                emb, "vec_id", IndexSpec("embedding", itype, "L2"))

@@ -255,3 +255,33 @@ def test_partial_update_preserves_partitions_and_inserts_missing(mgr, spark):
     assert p0.filter("id = 1").first()["name"] == "n_1"  # untouched column
     new = p1.filter("id = 100").first()
     assert new["category"] == 77 and new["name"] is None  # NULL-filled
+
+
+def test_ttl_collection_readable_and_upsertable_before_first_insert(mgr, spark):
+    """A never-written TTL collection must read as empty (with the stamp
+    column present) and accept upsert/partial_update as the first write."""
+    fields = base_fields()
+    mgr.create_collection(SchemaSpec("col_ttl0", fields, ttl_seconds=3600))
+    assert mgr.read("col_ttl0").count() == 0
+    import vectordb_testbricks_spark.workload as W
+    assert W.wait_for_serviceable(mgr, "col_ttl0", timeout_sec=5.0)
+    mgr.upsert("col_ttl0", _rows(spark, 3))
+    assert mgr.read("col_ttl0").count() == 3   # stamped, within TTL
+
+
+def test_overwrite_flips_manifest_and_drops_old_version(mgr, spark):
+    """Rewrites go through the CURRENT manifest: the data dir named by the
+    manifest always exists (no missing-dir window for readers), and retired
+    versions are cleaned up."""
+    import os
+    _mk(mgr, "col_mv")
+    mgr.insert("col_mv", _rows(spark, 10))
+    mgr.delete("col_mv", "id >= 8")
+    mgr.upsert("col_mv", _rows(spark, 2, start=100))
+    d = os.path.join(mgr.warehouse, "col_mv")
+    with open(os.path.join(d, "CURRENT")) as fh:
+        version = fh.read().strip()
+    assert os.path.isdir(os.path.join(d, version))
+    versions = [x for x in os.listdir(d) if x.startswith("data")]
+    assert versions == [version]               # old versions dropped
+    assert mgr.read("col_mv").count() == 10    # 10 - 2 + 2

@@ -23,6 +23,16 @@ from vectordb_testbricks_spark.exprlang import parser as ast
 from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError, parse
 
 
+def milvus_like_pattern(pattern: str) -> str:
+    """Milvus LIKE → SQL LIKE pattern: Milvus knows only ``%`` as a
+    wildcard; ``_`` and ``\\`` are literal characters (reference
+    expressions use bare '%' — e.g. checker.py varchar filters). SQL LIKE
+    treats ``_`` as a single-char wildcard, so escape both. Every LIKE
+    the engine evaluates (compiler and NGRAM index path) must route
+    through this so the two paths agree."""
+    return pattern.replace("\\", "\\\\").replace("_", "\\_")
+
+
 class ExprCompileError(ValueError):
     pass
 
@@ -154,13 +164,7 @@ class _Compiler:
             return self.in_(node)
         if isinstance(node, ast.Like):
             op = self.operand(node.operand)
-            # Milvus LIKE knows only '%' as a wildcard; '_' and '\' are
-            # literal characters (reference expressions use bare '%' —
-            # e.g. checker.py varchar filters). SQL LIKE treats '_' as a
-            # single-char wildcard, so escape both before lowering.
-            pattern = (node.pattern.replace("\\", "\\\\")
-                       .replace("_", "\\_"))
-            return op.col.like(pattern)
+            return op.col.like(milvus_like_pattern(node.pattern))
         if isinstance(node, ast.Call):
             return self.call(node)
         if isinstance(node, ast.Lit) and isinstance(node.value, bool):

@@ -63,7 +63,15 @@ class CollectionManager:
         return os.path.join(self.warehouse, name)
 
     def _data_dir(self, name: str) -> str:
-        return os.path.join(self._dir(name), "data")
+        """Current data version, resolved through the CURRENT manifest
+        (flipped atomically on rewrite). Falls back to the plain ``data``
+        dir for collections that have never been rewritten."""
+        d = self._dir(name)
+        cur = os.path.join(d, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                return os.path.join(d, fh.read().strip())
+        return os.path.join(d, "data")
 
     def _schema_file(self, name: str) -> str:
         return os.path.join(self._dir(name), "schema.json")
@@ -226,23 +234,29 @@ class CollectionManager:
     def _overwrite(self, name: str, routed: DataFrame) -> None:
         """Persist an already-routed full-collection state.
 
-        Stages into a sibling directory and swaps via rename instead of
-        overwriting the source dir in place: the input plan lazily reads
-        that same dir, and a cache()-barrier alone silently recomputes
-        from the truncated source if a cached block is evicted. The
-        stage-and-rename commit is also the object-store-safe shape at
-        cluster scale (write new prefix, flip the manifest)."""
-        data = self._data_dir(self.resolve(name))
-        staging = data + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
+        Writes a fresh versioned directory, then atomically flips the
+        CURRENT manifest (``os.replace`` of a whole file) — never
+        overwriting the directory the input plan lazily reads, so a lost
+        cache block cannot recompute from truncated data. Readers resolve
+        through the manifest, so they always see a *complete* version:
+        there is no window where the data dir is missing, and a crash at
+        any point leaves CURRENT pointing at the previous intact version.
+        This is the object-store commit shape (write new prefix, flip the
+        manifest) scaled down to a local warehouse; the retired version is
+        dropped immediately, where a cluster deployment would keep N."""
+        import uuid
+        real = self.resolve(name)
+        d = self._dir(real)
+        previous = self._data_dir(real)
+        version = f"data.v{uuid.uuid4().hex[:12]}"
         (routed.write.mode("overwrite").partitionBy(PARTITION_COL)
-         .parquet(staging))
-        retired = data + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.exists(data):
-            os.rename(data, retired)
-        os.rename(staging, data)
-        shutil.rmtree(retired, ignore_errors=True)
+         .parquet(os.path.join(d, version)))
+        tmp = os.path.join(d, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(d, "CURRENT"))
+        if os.path.basename(previous) != version:
+            shutil.rmtree(previous, ignore_errors=True)
 
     # -------------------------------------------------------------- read
     def read(self, name: str,
@@ -253,8 +267,13 @@ class CollectionManager:
         data = self._data_dir(real)
         spec = self.describe_collection(real)
         if not os.path.exists(data):
-            return self.spark.createDataFrame(
-                [], spec.to_struct_type().add(PARTITION_COL, "string"))
+            st = spec.to_struct_type().add(PARTITION_COL, "string")
+            if spec.ttl_seconds:
+                # the TTL filter below references the stamp column; the
+                # empty frame must carry it or a never-written TTL
+                # collection crashes every read
+                st = st.add(INGEST_TS_COL, "timestamp")
+            return self.spark.createDataFrame([], st)
         df = self.spark.read.parquet(data)
         if partition_names:
             df = df.filter(F.col(PARTITION_COL).isin(partition_names))

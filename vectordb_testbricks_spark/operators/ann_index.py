@@ -543,6 +543,15 @@ def build_from_index_spec(base: DataFrame, id_col: str, index,
     metric = (index.metric_type or "COSINE").upper()
     vec_col = index.field
 
+    # the quantized tiers normalize vectors at build time, so their scores
+    # are cosine by construction — reject other metrics loudly instead of
+    # silently returning cosine rankings under an L2/IP label
+    if t in ("IVF_SQ8", "BIN_IVF_FLAT", "IVF_RABITQ") and metric != "COSINE":
+        raise ValueError(
+            f"{t} serves COSINE only (vectors are normalized before "
+            f"quantization); got metric_type={metric!r}. Use FLAT/IVF_FLAT "
+            f"for exact {metric} semantics.")
+
     if t == "FLAT":
         return AnnIndex("flat", None, base, vec_col, id_col, metric, {})
     if t in ("IVF_FLAT", "AUTOINDEX"):

@@ -50,10 +50,11 @@ def build_ngram_index(docs: DataFrame, id_col: str, text_col: str,
 
 def pattern_grams(pattern: str, n: int) -> list[str]:
     """Driver-side: n-grams of the longest wildcard-free literal run of a
-    LIKE pattern (``%``/``_`` split points). Empty when no run reaches n —
-    the index then can't prune and callers fall back to the plain filter."""
-    import re
-    runs = [r for r in re.split(r"[%_]", pattern) if len(r) >= n]
+    LIKE pattern. Milvus LIKE has only the ``%`` wildcard ('_' is a
+    literal — exprlang compiler semantics), so runs split on '%' alone and
+    underscores participate in grams. Empty when no run reaches n — the
+    index then can't prune and callers fall back to the plain filter."""
+    runs = [r for r in pattern.split("%") if len(r) >= n]
     if not runs:
         return []
     run = max(runs, key=len)
@@ -63,12 +64,16 @@ def pattern_grams(pattern: str, n: int) -> list[str]:
 def like_with_index(docs: DataFrame, posting: DataFrame, pattern: str,
                     id_col: str, text_col: str,
                     min_gram: int = 3) -> DataFrame:
-    """Exact ``text LIKE pattern`` semantics served through the NGRAM index:
-    posting probe (pushdown ``isin`` on gram) → all-grams-present candidate
+    """Exact ``text LIKE pattern`` semantics served through the NGRAM index
+    (Milvus LIKE: '%' wildcard only, '_' literal — same lowering as the
+    exprlang compiler, so indexed and unindexed filters agree): posting
+    probe (pushdown ``isin`` on gram) → all-grams-present candidate
     aggregate → semi-join → exact LIKE re-verification. Falls back to the
     plain filter when the pattern has no literal run ≥ min_gram."""
+    from vectordb_testbricks_spark.exprlang.compiler import (
+        milvus_like_pattern)
     grams = pattern_grams(pattern, min_gram)
-    pred = F.col(text_col).like(pattern)
+    pred = F.col(text_col).like(milvus_like_pattern(pattern))
     if not grams:
         return docs.filter(pred)
     cands = (posting.filter(F.col("gram").isin(grams))

@@ -121,14 +121,21 @@ def query_iterator_pages(df: DataFrame, pk_col: str, batch_size: int,
     bounded collect + broadcast join). Identical output, fully parallel.
     """
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:  # the conf can be non-numeric ("auto" on some platforms)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n = spark.sparkContext.defaultParallelism
     from pyspark.sql import Window
     ranged = (df.filter(_pred(df, flt))
               .repartitionByRange(n, F.col(pk_col))
               .withColumn("_pid", F.spark_partition_id()))
     # barrier: the count action and the final job must see the SAME range
-    # boundaries (repartitionByRange samples), so pin the partitioning
-    ranged = ranged.persist()
+    # boundaries (repartitionByRange samples). localCheckpoint (not
+    # persist) — checkpointed RDD blocks are released by the context
+    # cleaner when the returned plan is garbage-collected, while a
+    # CacheManager persist would pin a copy for the session lifetime on
+    # every call
+    ranged = ranged.localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy(pk_col)
     local = ranged.withColumn("_lrank", F.row_number().over(w))
     sizes = sorted((r["_pid"], r["c"]) for r in

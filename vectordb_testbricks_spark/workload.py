@@ -242,20 +242,38 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
 
     t_start = time.monotonic()
     outcomes = []
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+    # no context manager: pool.__exit__ would join hung worker threads and
+    # reintroduce the unbounded wait the timeout exists to prevent
+    pool = ThreadPoolExecutor(max_workers=max_workers)
+    try:
         futs = {i: pool.submit(run_one, i, fn) for i, fn in enumerate(tasks)}
+        # every task's deadline counts from submission (the reference wraps
+        # each search in asyncio.wait_for from issue time), not from when
+        # the sequential coordinator loop happens to reach its future
         for i, fut in futs.items():
+            remaining = (None if timeout_sec is None else
+                         max(0.0, t_start + timeout_sec - time.monotonic()))
             try:
-                outcomes.append(fut.result(timeout=timeout_sec))
+                outcomes.append(fut.result(timeout=remaining))
+                continue
             except FutTimeout:
-                # the coordinator owns the timeout verdict (the reference
-                # counts asyncio.TimeoutError even if the server answers
-                # later); cancel the task's Spark jobs and record timeout
-                # whatever the worker eventually returns
                 timed_out.add(i)
-                sc.cancelJobGroup(f"async-search-{run_id}-{i}")
-                o = fut.result()
+            if fut.cancel():  # never started — nothing to interrupt
+                outcomes.append((i, "timeout", 0.0, 0, "Timeout"))
+                continue
+            # running: cancel its Spark jobs, then wait a bounded grace for
+            # the worker to surface the cancellation. A task hung in Python
+            # (not in a Spark job) cannot be interrupted — record it timed
+            # out and leave the thread to die with the pool.
+            sc.cancelJobGroup(f"async-search-{run_id}-{i}")
+            try:
+                o = fut.result(timeout=timeout_sec or 30.0)
                 outcomes.append((i, "timeout", o[2], 0, o[4] or "Timeout"))
+            except FutTimeout:
+                outcomes.append((i, "timeout",
+                                 time.monotonic() - t_start, 0, "Hung"))
+    finally:
+        pool.shutdown(wait=False)
     return AsyncSearchReport(outcomes=sorted(outcomes),
                              wall_clock_sec=time.monotonic() - t_start)
 
