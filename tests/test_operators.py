@@ -539,13 +539,48 @@ def test_like_with_index_agrees_with_exprlang_on_underscores(spark):
     assert via_index == via_expr == {1}  # literal underscore only
 
 
-def test_index_spec_quantized_tiers_reject_non_cosine(emb):
-    """SQ8/BIN tiers normalize before quantizing — an L2/IP spec must fail
-    loudly instead of silently returning cosine rankings."""
+def test_index_spec_quantized_tiers_reject_unsupported_metrics(emb):
+    """SQ8/BIN tiers normalize/binarize — an L2/IP spec must fail loudly
+    instead of silently returning cosine rankings; the binary tiers accept
+    HAMMING (their native distance) in addition to COSINE."""
     from vectordb_testbricks_spark.operators.ann_index import (
         build_from_index_spec)
     from vectordb_testbricks_spark.schema import IndexSpec
     for itype in ("IVF_SQ8", "BIN_IVF_FLAT", "IVF_RABITQ"):
-        with pytest.raises(ValueError, match="COSINE only"):
+        with pytest.raises(ValueError, match="COSINE"):
             build_from_index_spec(
                 emb, "vec_id", IndexSpec("embedding", itype, "L2"))
+    with pytest.raises(ValueError, match="COSINE only"):
+        build_from_index_spec(
+            emb, "vec_id", IndexSpec("embedding", "IVF_SQ8", "HAMMING"))
+
+
+def test_bin_ivf_hamming_metric_ranks_by_hamming(emb, queries3):
+    """BIN_IVF_FLAT + HAMMING (the canonical binary-vector pairing,
+    FIXTURES.md binary_ivf) ranks by packed hamming ascending with no
+    cosine rescore — full probe equals the exact HAMMING brute force on
+    sign-binarized vectors."""
+    from vectordb_testbricks_spark.functions.vector import (
+        hamming_packed, pack_sign_bits)
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_from_index_spec)
+    from vectordb_testbricks_spark.schema import IndexSpec
+    idx = build_from_index_spec(
+        emb, "vec_id",
+        IndexSpec("embedding", "BIN_IVF_FLAT", "HAMMING", {"nlist": 4}))
+    hits = idx.search(queries3, k=5, nprobe=4)   # full probe
+    packed = emb.select("vec_id",
+                        pack_sign_bits(F.col("embedding")).alias("_b"))
+    qb = queries3.select("query_id",
+                         pack_sign_bits(F.col("qvec")).alias("_qb"))
+    brute = (packed.crossJoin(F.broadcast(qb))
+             .select("query_id", "vec_id",
+                     hamming_packed(F.col("_b"), F.col("_qb"))
+                     .alias("ham")))
+    exact_best = {r["query_id"]: r["ham"] for r in
+                  brute.groupBy("query_id")
+                  .agg(F.min("ham").alias("ham")).collect()}
+    got_best = {r["query_id"]: r["score"] for r in
+                hits.filter("rank = 1").collect()}
+    assert got_best == exact_best  # rank-1 hamming matches brute minimum
+    assert all(r["score"] >= 0 for r in hits.collect())

@@ -269,19 +269,38 @@ def test_ttl_collection_readable_and_upsertable_before_first_insert(mgr, spark):
     assert mgr.read("col_ttl0").count() == 3   # stamped, within TTL
 
 
-def test_overwrite_flips_manifest_and_drops_old_version(mgr, spark):
-    """Rewrites go through the CURRENT manifest: the data dir named by the
-    manifest always exists (no missing-dir window for readers), and retired
-    versions are cleaned up."""
+def test_overwrite_flips_manifest_with_keep_one_retention(mgr, spark):
+    """Rewrites go through the CURRENT manifest: the dir named by the
+    manifest always exists (no missing-dir window for readers), exactly one
+    previous version is retained so pre-rewrite handles stay readable, and
+    older versions are swept."""
     import os
     _mk(mgr, "col_mv")
     mgr.insert("col_mv", _rows(spark, 10))
+    handle = mgr.read("col_mv")                # plan over the v0 dir
     mgr.delete("col_mv", "id >= 8")
+    assert handle.count() == 10                # previous version retained
     mgr.upsert("col_mv", _rows(spark, 2, start=100))
     d = os.path.join(mgr.warehouse, "col_mv")
     with open(os.path.join(d, "CURRENT")) as fh:
         version = fh.read().strip()
     assert os.path.isdir(os.path.join(d, version))
-    versions = [x for x in os.listdir(d) if x.startswith("data")]
-    assert versions == [version]               # old versions dropped
+    versions = sorted(x for x in os.listdir(d) if x.startswith("data"))
+    assert len(versions) == 2 and version in versions  # current + previous
     assert mgr.read("col_mv").count() == 10    # 10 - 2 + 2
+
+
+def test_release_unpersists_the_loaded_plan_across_rewrites(mgr, spark):
+    """release() must unpersist the SAME cached plan load() created, even
+    after a rewrite changed the current version."""
+    _mk(mgr, "col_lr")
+    mgr.insert("col_lr", _rows(spark, 5))
+    sc = spark.sparkContext._jsc.sc()
+    baseline = sc.getPersistentRDDs().size()   # other fixtures may cache
+    mgr.load("col_lr")
+    mgr.read("col_lr").count()                 # materialize the cache
+    assert mgr.loaded("col_lr")
+    mgr.upsert("col_lr", _rows(spark, 1, start=50))   # flips the version
+    mgr.release("col_lr")
+    assert not mgr.loaded("col_lr")
+    assert sc.getPersistentRDDs().size() <= baseline   # nothing left pinned

@@ -56,7 +56,7 @@ class CollectionManager:
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
         self._aliases_file = os.path.join(warehouse, "_aliases.json")
-        self._loaded: set[str] = set()
+        self._loaded: dict[str, DataFrame] = {}
 
     # ------------------------------------------------------------- paths
     def _dir(self, name: str) -> str:
@@ -242,12 +242,13 @@ class CollectionManager:
         there is no window where the data dir is missing, and a crash at
         any point leaves CURRENT pointing at the previous intact version.
         This is the object-store commit shape (write new prefix, flip the
-        manifest) scaled down to a local warehouse; the retired version is
-        dropped immediately, where a cluster deployment would keep N."""
+        manifest) scaled down to a local warehouse; one previous version is
+        retained (pre-rewrite DataFrame handles stay readable until the
+        next rewrite), older versions and crash orphans are swept."""
         import uuid
         real = self.resolve(name)
         d = self._dir(real)
-        previous = self._data_dir(real)
+        previous = os.path.basename(self._data_dir(real))
         version = f"data.v{uuid.uuid4().hex[:12]}"
         (routed.write.mode("overwrite").partitionBy(PARTITION_COL)
          .parquet(os.path.join(d, version)))
@@ -255,8 +256,14 @@ class CollectionManager:
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, os.path.join(d, "CURRENT"))
-        if os.path.basename(previous) != version:
-            shutil.rmtree(previous, ignore_errors=True)
+        # retention: keep current + the immediately-previous version (so
+        # DataFrame handles taken before this rewrite stay readable until
+        # the NEXT rewrite), sweep everything older — including orphans
+        # left by a crash between write and manifest flip
+        keep = {version, previous}
+        for entry in os.listdir(d):
+            if entry.startswith("data") and entry not in keep:
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
     # -------------------------------------------------------------- read
     def read(self, name: str,
@@ -290,13 +297,16 @@ class CollectionManager:
         """Parquet writes are atomic-on-commit; flush is a no-op."""
 
     def load(self, name: str) -> None:
-        """Memory residency: cache the collection (reference load state)."""
-        self.read(name).cache()
-        self._loaded.add(self.resolve(name))
+        """Memory residency: cache the collection (reference load state).
+        The cached handle is kept so release() unpersists the SAME plan —
+        re-deriving it after a rewrite would target the new version and
+        leave the old cached blocks pinned."""
+        df = self.read(name).cache()
+        self._loaded[self.resolve(name)] = df
 
     def release(self, name: str) -> None:
-        self.read(name).unpersist()
-        self._loaded.discard(self.resolve(name))
+        df = self._loaded.pop(self.resolve(name), None)
+        (df if df is not None else self.read(name)).unpersist()
 
     def loaded(self, name: str) -> bool:
         return self.resolve(name) in self._loaded

@@ -398,10 +398,15 @@ def read_bin_ivf(spark, path: str, model_meta: BinIvfModel) -> BinIvfModel:
 
 
 def bin_ivf_search(model: BinIvfModel, queries: DataFrame, k: int = 10,
-                   nprobe: int = 8, rerank_k: int | None = None) -> DataFrame:
+                   nprobe: int = 8, rerank_k: int | None = None,
+                   metric: str = "COSINE") -> DataFrame:
     """Probe nprobe lists, hamming-rank the packed bits within them, exact
     cosine rescore of the top rerank_k on the float column (broadcast join,
-    no base shuffle) — same two-phase shape as the SQ8 path."""
+    no base shuffle) — same two-phase shape as the SQ8 path.
+
+    metric="HAMMING" (the canonical BIN_IVF_FLAT pairing for binary
+    vectors) skips the cosine rescore: packed hamming IS the declared
+    distance, ranked ascending, score = hamming."""
     from vectordb_testbricks_spark.functions.vector import (
         cosine_sim, hamming_packed)
     from vectordb_testbricks_spark.operators.search import _ranked
@@ -429,6 +434,8 @@ def bin_ivf_search(model: BinIvfModel, queries: DataFrame, k: int = 10,
               .select("query_id", model.id_col,
                       hamming_packed(F.col("_bits"), F.col("qbits"))
                       .alias("score")))
+    if metric.upper() == "HAMMING":
+        return _ranked(approx, model.id_col, asc=True, k=k)
     cand = (_ranked(approx, model.id_col, asc=True, k=rerank_k)
             .select("query_id", model.id_col))
     rescored = (model.base.join(F.broadcast(cand), model.id_col)
@@ -442,7 +449,8 @@ def bin_ivf_search(model: BinIvfModel, queries: DataFrame, k: int = 10,
 
 def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
                          id_col: str, k: int = 10,
-                         rerank_k: int | None = None) -> DataFrame:
+                         rerank_k: int | None = None,
+                         metric: str = "COSINE") -> DataFrame:
     """1-bit quantized search with exact rescore — the IVF_RABITQ /
     BIN_IVF_FLAT analogue (reference index vocabulary 2.6/common.py:882-898;
     RaBitQ brick mc_create_rabitq_mmap.py).
@@ -475,6 +483,9 @@ def binary_rerank_search(base: DataFrame, queries: DataFrame, vec_col: str,
               .select("query_id", id_col,
                       hamming_packed(F.col("_bits"), F.col("qbits"))
                       .alias("score")))
+    if metric.upper() == "HAMMING":
+        # binary-vector semantics: hamming IS the declared distance
+        return _ranked(approx, id_col, asc=True, k=k)
     cand = (_ranked(approx, id_col, asc=True, k=rerank_k)
             .select("query_id", id_col))
     rescored = (base.join(F.broadcast(cand), id_col)
@@ -517,11 +528,13 @@ class AnnIndex:
         if self.kind == "bin_ivf":
             return bin_ivf_search(self.model, queries, k=k,
                                   nprobe=p["nprobe"],
-                                  rerank_k=p.get("rerank_k"))
+                                  rerank_k=p.get("rerank_k"),
+                                  metric=self.metric)
         if self.kind == "bin_rerank":
             return binary_rerank_search(self.base, queries, self.vec_col,
                                         self.id_col, k=k,
-                                        rerank_k=p.get("rerank_k"))
+                                        rerank_k=p.get("rerank_k"),
+                                        metric=self.metric)
         raise ValueError(f"unknown index kind {self.kind!r}")
 
 
@@ -543,14 +556,21 @@ def build_from_index_spec(base: DataFrame, id_col: str, index,
     metric = (index.metric_type or "COSINE").upper()
     vec_col = index.field
 
-    # the quantized tiers normalize vectors at build time, so their scores
-    # are cosine by construction — reject other metrics loudly instead of
-    # silently returning cosine rankings under an L2/IP label
-    if t in ("IVF_SQ8", "BIN_IVF_FLAT", "IVF_RABITQ") and metric != "COSINE":
+    # SQ8 normalizes vectors at build time, so its scores are cosine by
+    # construction; the binary tiers additionally serve HAMMING (the
+    # canonical BIN_IVF_FLAT pairing — hamming IS their coarse distance,
+    # and with metric=HAMMING the cosine rescore is skipped). Reject other
+    # metrics loudly instead of returning cosine rankings under an L2 label
+    if t == "IVF_SQ8" and metric != "COSINE":
         raise ValueError(
             f"{t} serves COSINE only (vectors are normalized before "
             f"quantization); got metric_type={metric!r}. Use FLAT/IVF_FLAT "
             f"for exact {metric} semantics.")
+    if t in ("BIN_IVF_FLAT", "IVF_RABITQ") and metric not in ("COSINE",
+                                                              "HAMMING"):
+        raise ValueError(
+            f"{t} serves COSINE or HAMMING; got metric_type={metric!r}. "
+            f"Use FLAT/IVF_FLAT for exact {metric} semantics.")
 
     if t == "FLAT":
         return AnnIndex("flat", None, base, vec_col, id_col, metric, {})

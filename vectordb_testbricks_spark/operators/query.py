@@ -134,7 +134,10 @@ def query_iterator_pages(df: DataFrame, pk_col: str, batch_size: int,
     # persist) — checkpointed RDD blocks are released by the context
     # cleaner when the returned plan is garbage-collected, while a
     # CacheManager persist would pin a copy for the session lifetime on
-    # every call
+    # every call. Tradeoff: checkpoint blocks are NOT recomputable, so on
+    # a cluster losing an executor the returned frame must be re-derived
+    # by calling this function again — callers should consume pages
+    # promptly rather than hold the frame across long gaps
     ranged = ranged.localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy(pk_col)
     local = ranged.withColumn("_lrank", F.row_number().over(w))

@@ -219,61 +219,73 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     path) while the rest keep running. ``tasks`` are zero-arg callables
     returning a DataFrame (the search plan); latency is submit→collect.
     """
+    import threading
     import time
     import uuid
-    from concurrent.futures import ThreadPoolExecutor
-    from concurrent.futures import TimeoutError as FutTimeout
 
     sc = spark.sparkContext
     run_id = uuid.uuid4().hex[:8]
     timed_out: set[int] = set()
+    sem = threading.Semaphore(max_workers)
+    results: dict[int, tuple] = {}     # i -> (status, latency, rows, err, t_done)
+    done = {i: threading.Event() for i in range(len(tasks))}
 
-    def run_one(i: int, fn) -> tuple:
-        group = f"async-search-{run_id}-{i}"
-        sc.setJobGroup(group, f"async search task {i}",
-                       interruptOnCancel=True)
-        t0 = time.monotonic()
-        try:
-            rows = fn().collect()
-            return (i, "success", time.monotonic() - t0, len(rows), None)
-        except Exception as exc:  # cancelled-by-timeout or real failure
-            status = "timeout" if i in timed_out else "failure"
-            return (i, status, time.monotonic() - t0, 0, type(exc).__name__)
+    def run_one(i: int, fn) -> None:
+        with sem:
+            if i in timed_out:  # expired while queued — don't start at all
+                results[i] = ("timeout", 0.0, 0, "Timeout", time.monotonic())
+                done[i].set()
+                return
+            sc.setJobGroup(f"async-search-{run_id}-{i}",
+                           f"async search task {i}", interruptOnCancel=True)
+            t0 = time.monotonic()
+            try:
+                rows = fn().collect()
+                results[i] = ("success", time.monotonic() - t0, len(rows),
+                              None, time.monotonic())
+            except Exception as exc:
+                status = "timeout" if i in timed_out else "failure"
+                results[i] = (status, time.monotonic() - t0, 0,
+                              type(exc).__name__, time.monotonic())
+            done[i].set()
 
     t_start = time.monotonic()
+    deadline = None if timeout_sec is None else t_start + timeout_sec
+    # daemon threads (not ThreadPoolExecutor): executor threads are
+    # non-daemon and concurrent.futures joins them at interpreter exit, so
+    # a task hung in pure Python would stall process shutdown forever.
+    # The semaphore caps concurrency at max_workers.
+    for i, fn in enumerate(tasks):
+        threading.Thread(target=run_one, args=(i, fn), daemon=True,
+                         name=f"async-search-{run_id}-{i}").start()
+
+    # one shared grace budget after the deadline for cancellations to
+    # surface — total wall clock is bounded by timeout_sec + grace no
+    # matter how many tasks hang (a per-task grace would multiply)
+    grace = (min(timeout_sec, 30.0) if timeout_sec is not None else 30.0)
     outcomes = []
-    # no context manager: pool.__exit__ would join hung worker threads and
-    # reintroduce the unbounded wait the timeout exists to prevent
-    pool = ThreadPoolExecutor(max_workers=max_workers)
-    try:
-        futs = {i: pool.submit(run_one, i, fn) for i, fn in enumerate(tasks)}
-        # every task's deadline counts from submission (the reference wraps
-        # each search in asyncio.wait_for from issue time), not from when
-        # the sequential coordinator loop happens to reach its future
-        for i, fut in futs.items():
-            remaining = (None if timeout_sec is None else
-                         max(0.0, t_start + timeout_sec - time.monotonic()))
-            try:
-                outcomes.append(fut.result(timeout=remaining))
-                continue
-            except FutTimeout:
+    for i in range(len(tasks)):
+        if deadline is not None:
+            if not done[i].wait(max(0.0, deadline - time.monotonic())):
                 timed_out.add(i)
-            if fut.cancel():  # never started — nothing to interrupt
-                outcomes.append((i, "timeout", 0.0, 0, "Timeout"))
-                continue
-            # running: cancel its Spark jobs, then wait a bounded grace for
-            # the worker to surface the cancellation. A task hung in Python
-            # (not in a Spark job) cannot be interrupted — record it timed
-            # out and leave the thread to die with the pool.
-            sc.cancelJobGroup(f"async-search-{run_id}-{i}")
-            try:
-                o = fut.result(timeout=timeout_sec or 30.0)
-                outcomes.append((i, "timeout", o[2], 0, o[4] or "Timeout"))
-            except FutTimeout:
-                outcomes.append((i, "timeout",
-                                 time.monotonic() - t_start, 0, "Hung"))
-    finally:
-        pool.shutdown(wait=False)
+                sc.cancelJobGroup(f"async-search-{run_id}-{i}")
+                if not done[i].wait(
+                        max(0.0, deadline + grace - time.monotonic())):
+                    # hung in Python — uninterruptible; the daemon thread
+                    # is abandoned and dies with the process
+                    outcomes.append((i, "timeout",
+                                     time.monotonic() - t_start, 0, "Hung"))
+                    continue
+        else:
+            done[i].wait()
+        status, latency, rows, err, t_done = results[i]
+        if deadline is not None and (i in timed_out or t_done > deadline):
+            # the coordinator owns the verdict: finishing after the
+            # deadline is a timeout even if the worker eventually returned
+            # (the reference counts asyncio.TimeoutError the same way)
+            outcomes.append((i, "timeout", latency, 0, err or "Timeout"))
+        else:
+            outcomes.append((i, status, latency, rows, err))
     return AsyncSearchReport(outcomes=sorted(outcomes),
                              wall_clock_sec=time.monotonic() - t_start)
 
