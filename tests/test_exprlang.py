@@ -142,3 +142,29 @@ def test_syntax_errors():
     for bad in ["l_orderkey ==", "a >", "in [1,2]", 'x like 5', "(a == 1"]:
         with pytest.raises((ExprSyntaxError, Exception)):
             parse(bad)
+
+
+def test_parser_never_crashes_on_arbitrary_input(tables):
+    """Fuzz: any input either parses (and compiles against a real schema,
+    or fails with the typed compile error) or raises the typed syntax
+    error — never an unclassified exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+    from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError
+
+    df = tables["part"].df
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list(
+            'abcxyz_0123456789 ()[]{}"\'%<>=!&|.,+-~p_name')),
+        max_size=40))
+    def fuzz(s):
+        try:
+            compile_expr(s, df)
+        except (ExprSyntaxError, ExprCompileError):
+            pass
+    fuzz()
