@@ -304,3 +304,21 @@ def test_release_unpersists_the_loaded_plan_across_rewrites(mgr, spark):
     mgr.release("col_lr")
     assert not mgr.loaded("col_lr")
     assert sc.getPersistentRDDs().size() <= baseline   # nothing left pinned
+
+
+def test_reload_and_drop_release_cached_plans(mgr, spark):
+    """load() on an already-loaded collection releases the previous handle;
+    drop_collection releases too — no cached plan may outlive its version
+    (r02 review: re-load after a rewrite leaked the old cache entry)."""
+    _mk(mgr, "col_rl")
+    mgr.insert("col_rl", _rows(spark, 5))
+    sc = spark.sparkContext._jsc.sc()
+    baseline = sc.getPersistentRDDs().size()
+    mgr.load("col_rl")
+    mgr.read("col_rl").count()
+    mgr.upsert("col_rl", _rows(spark, 1, start=50))
+    mgr.load("col_rl")                       # re-load: old handle released
+    mgr.read("col_rl").count()
+    mgr.drop_collection("col_rl")            # drop: current handle released
+    assert not mgr.loaded("col_rl")
+    assert sc.getPersistentRDDs().size() <= baseline

@@ -206,3 +206,15 @@ def test_wait_for_serviceable(spark, tmp_path):
     t.join()
     assert not W.wait_for_serviceable(mgr, "never", timeout_sec=1.0,
                                       interval_sec=0.2)
+
+
+def test_async_search_more_tasks_than_workers(spark, tables):
+    """A worker pool (not thread-per-task) drains a long task list: every
+    task completes and threads stay bounded by max_workers."""
+    import threading
+    emb = tables["embeddings"].df
+    before = threading.active_count()
+    tasks = [lambda: emb.select("vec_id").limit(1) for _ in range(24)]
+    report = W.run_async_searches(spark, tasks, max_workers=3)
+    assert report.successes == 24
+    assert threading.active_count() <= before + 3

@@ -117,6 +117,9 @@ class CollectionManager:
 
     def drop_collection(self, name: str) -> None:
         real = self.resolve(name)
+        stale = self._loaded.pop(real, None)
+        if stale is not None:  # don't leave cached blocks of deleted data
+            stale.unpersist()
         shutil.rmtree(self._dir(real), ignore_errors=True)
         aliases = {a: c for a, c in self._read_aliases().items() if c != real}
         with open(self._aliases_file, "w") as fh:
@@ -300,9 +303,13 @@ class CollectionManager:
         """Memory residency: cache the collection (reference load state).
         The cached handle is kept so release() unpersists the SAME plan —
         re-deriving it after a rewrite would target the new version and
-        leave the old cached blocks pinned."""
-        df = self.read(name).cache()
-        self._loaded[self.resolve(name)] = df
+        leave the old cached blocks pinned. Re-loading releases the
+        previous handle first (same reason)."""
+        real = self.resolve(name)
+        prev = self._loaded.pop(real, None)
+        if prev is not None:
+            prev.unpersist()
+        self._loaded[real] = self.read(name).cache()
 
     def release(self, name: str) -> None:
         df = self._loaded.pop(self.resolve(name), None)

@@ -219,6 +219,7 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     path) while the rest keep running. ``tasks`` are zero-arg callables
     returning a DataFrame (the search plan); latency is submit→collect.
     """
+    import queue
     import threading
     import time
     import uuid
@@ -226,20 +227,31 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     sc = spark.sparkContext
     run_id = uuid.uuid4().hex[:8]
     timed_out: set[int] = set()
-    sem = threading.Semaphore(max_workers)
     results: dict[int, tuple] = {}     # i -> (status, latency, rows, err, t_done)
     done = {i: threading.Event() for i in range(len(tasks))}
+    work: queue.Queue = queue.Queue()
+    for item in enumerate(tasks):
+        work.put(item)
 
-    def run_one(i: int, fn) -> None:
-        with sem:
-            if i in timed_out:  # expired while queued — don't start at all
+    def worker() -> None:
+        # long-lived consumer draining the queue: max_workers OS threads
+        # total (not one per task — the reference brick issues thousands),
+        # and a task marked timed-out while queued deterministically never
+        # submits a Spark job
+        while True:
+            try:
+                i, fn = work.get_nowait()
+            except queue.Empty:
+                return
+            if i in timed_out:
                 results[i] = ("timeout", 0.0, 0, "Timeout", time.monotonic())
                 done[i].set()
-                return
-            sc.setJobGroup(f"async-search-{run_id}-{i}",
-                           f"async search task {i}", interruptOnCancel=True)
+                continue
             t0 = time.monotonic()
             try:
+                sc.setJobGroup(f"async-search-{run_id}-{i}",
+                               f"async search task {i}",
+                               interruptOnCancel=True)
                 rows = fn().collect()
                 results[i] = ("success", time.monotonic() - t0, len(rows),
                               None, time.monotonic())
@@ -247,17 +259,31 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
                 status = "timeout" if i in timed_out else "failure"
                 results[i] = (status, time.monotonic() - t0, 0,
                               type(exc).__name__, time.monotonic())
-            done[i].set()
+            finally:
+                # unconditional: a failure anywhere above (even in
+                # setJobGroup) must not leave the coordinator waiting
+                # forever on this event
+                if i not in results:
+                    results[i] = ("failure", time.monotonic() - t0, 0,
+                                  "WorkerError", time.monotonic())
+                done[i].set()
 
     t_start = time.monotonic()
     deadline = None if timeout_sec is None else t_start + timeout_sec
     # daemon threads (not ThreadPoolExecutor): executor threads are
     # non-daemon and concurrent.futures joins them at interpreter exit, so
-    # a task hung in pure Python would stall process shutdown forever.
-    # The semaphore caps concurrency at max_workers.
-    for i, fn in enumerate(tasks):
-        threading.Thread(target=run_one, args=(i, fn), daemon=True,
-                         name=f"async-search-{run_id}-{i}").start()
+    # a task hung in pure Python would stall process shutdown forever
+    for w in range(min(max_workers, len(tasks))):
+        threading.Thread(target=worker, daemon=True,
+                         name=f"async-search-{run_id}-w{w}").start()
+
+    def expire_unfinished() -> None:
+        """First deadline hit: mark EVERY unfinished task at once (queued
+        ones then never start) and cancel their job groups."""
+        for j in range(len(tasks)):
+            if not done[j].is_set() and j not in timed_out:
+                timed_out.add(j)
+                sc.cancelJobGroup(f"async-search-{run_id}-{j}")
 
     # one shared grace budget after the deadline for cancellations to
     # surface — total wall clock is bounded by timeout_sec + grace no
@@ -267,12 +293,13 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     for i in range(len(tasks)):
         if deadline is not None:
             if not done[i].wait(max(0.0, deadline - time.monotonic())):
-                timed_out.add(i)
-                sc.cancelJobGroup(f"async-search-{run_id}-{i}")
+                expire_unfinished()
                 if not done[i].wait(
                         max(0.0, deadline + grace - time.monotonic())):
-                    # hung in Python — uninterruptible; the daemon thread
-                    # is abandoned and dies with the process
+                    # hung in Python — uninterruptible; cancel once more
+                    # (closes the pulled-but-not-yet-submitted race) and
+                    # abandon the daemon thread
+                    sc.cancelJobGroup(f"async-search-{run_id}-{i}")
                     outcomes.append((i, "timeout",
                                      time.monotonic() - t_start, 0, "Hung"))
                     continue
