@@ -1507,6 +1507,31 @@ FROM s ORDER BY doc_id
 """
 
 
+_SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def tx_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split + per-split accounting
+    (operators/corpus.py). Growth-stable: assignment depends only on
+    md5(doc_id), so appending documents never reassigns existing ones."""
+    from vectordb_testbricks_spark.operators.corpus import split_summary
+    d = _t(spark, sf_dir, "documents")
+    s = split_summary(d, "doc_id", _SPLIT_RATIOS, char_col="text")
+    return s.select("split", "n_docs",
+                    F.col("sum_chars").cast("bigint").alias("sum_chars"))
+
+
+def _sql_tx_split() -> str:
+    from vectordb_testbricks_spark.operators.corpus import split_oracle_case
+    case = split_oracle_case("doc_id", _SPLIT_RATIOS)
+    return f"""
+WITH s AS (SELECT {case} AS split, text FROM documents)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 def q_dynamic_field(spark, sf_dir):
     """Dynamic-field filter (schema.py:59, data.py:216-221): undeclared
     names in the expression resolve into the ``_dynamic`` map; numeric
@@ -1994,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
         "tx_fingerprint": tx_fingerprint,
+        "tx_split": tx_split,
         "mm_decode": mm_decode,
         "mm_resize": mm_resize,
         "mm_frame_sample": mm_frame_sample,
@@ -2050,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_quality": SQL_TX_QUALITY,
         "tx_langid": SQL_TX_LANGID,
         "tx_fingerprint": SQL_TX_FINGERPRINT,
+        "tx_split": _sql_tx_split(),
         "mm_decode": SQL_MM_DECODE,
         "mm_resize": SQL_MM_RESIZE,
         "mm_frame_sample": SQL_MM_FRAMES,

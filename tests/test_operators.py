@@ -584,3 +584,57 @@ def test_bin_ivf_hamming_metric_ranks_by_hamming(emb, queries3):
                 hits.filter("rank = 1").collect()}
     assert got_best == exact_best  # rank-1 hamming matches brute minimum
     assert all(r["score"] >= 0 for r in hits.collect())
+
+
+def test_split_assignment_deterministic_and_growth_stable(spark, tables):
+    """Hash splits: every doc gets exactly one split; re-running gives the
+    same assignment; appending new docs never moves an existing one."""
+    from vectordb_testbricks_spark.operators import corpus as C
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = tables["documents"].df
+    a1 = {r.doc_id: r.split
+          for r in C.assign_splits(docs, "doc_id", ratios)
+                     .select("doc_id", "split").collect()}
+    a2 = {r.doc_id: r.split
+          for r in C.assign_splits(docs, "doc_id", ratios)
+                     .select("doc_id", "split").collect()}
+    assert a1 == a2                                    # deterministic
+    assert set(a1.values()) <= {"train", "val", "test"}
+    grown = docs.unionByName(
+        docs.selectExpr("doc_id + 1000000 AS doc_id", "text", "lang",
+                        "source", "n_chars"))
+    g = {r.doc_id: r.split
+         for r in C.assign_splits(grown, "doc_id", ratios)
+                    .select("doc_id", "split").collect()}
+    assert all(g[k] == v for k, v in a1.items())       # growth-stable
+    # ratios roughly hold (md5 uniformity; 500 docs -> loose bounds)
+    n = len(a1)
+    frac_train = sum(v == "train" for v in a1.values()) / n
+    assert 0.7 < frac_train < 0.9
+
+
+def test_split_boundaries_validate_and_cover_space(spark):
+    from vectordb_testbricks_spark.operators import corpus as C
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        C.split_boundaries({})
+    with _pt.raises(ValueError):
+        C.split_boundaries({"a": 0.5, "b": 0.4})       # doesn't sum to 1
+    with _pt.raises(ValueError):
+        C.split_boundaries({"a": 1.5, "b": -0.5})
+    b = C.split_boundaries({"x": 0.25, "y": 0.75})
+    assert b[0] == ("x", "40000000")
+    assert b[-1][0] == "y"                             # remainder catcher
+    # single split: everything lands in it
+    one = C.split_boundaries({"all": 1.0})
+    assert [n for n, _ in one] == ["all"]
+
+
+def test_split_column_is_scan_stage_expression(spark, tables):
+    """The split column must compile to a pure projection over the scan —
+    no Exchange (shuffle) in the plan, so it scales with the scan at 100 TB."""
+    from vectordb_testbricks_spark.operators import corpus as C
+    docs = tables["documents"].df
+    out = C.assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

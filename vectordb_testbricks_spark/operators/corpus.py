@@ -1,0 +1,98 @@
+"""Corpus-management operators for training-data pipelines: deterministic
+hash-based train/val/test splits.
+
+A split assignment must be (a) deterministic — re-running the pipeline maps
+every document to the same split, (b) stable under growth — ingesting new
+documents never moves an existing one between splits, and (c) shuffle-free —
+at 100 TB the assignment has to happen inside the scan stage, not via a
+global sample/sort.  Hashing the primary key and slicing the hash space by
+the cumulative ratios gives all three: the expression is a pure per-row
+Column (md5 + substring compare), so it rides along with the parquet scan
+and any downstream writer can `partitionBy("split")` without an extra pass.
+
+The hash prefix is compared LEXICOGRAPHICALLY against hex boundary strings
+computed driver-side in Python.  Lowercase-hex md5 and string comparison
+behave identically in Spark and DuckDB, which keeps the operator fully
+oracle-checkable without any engine-specific integer parsing (DuckDB has no
+``conv(hex, 16, 10)``).
+
+Reference parity: the reference harness materializes static train/eval
+subsets by id-range slicing when preparing search/query corpora
+(`milvus-bricks/2.6/common.py` insert helpers seed disjoint id ranges); this
+module generalizes that to ratio-based, growth-stable splits — the form a
+Spark training pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32 bits of hash — ratio resolution ~2.3e-10, plenty
+
+
+def split_boundaries(ratios: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative upper boundaries for each named split, as zero-padded
+    lowercase hex strings over the first ``_HEX_DIGITS`` md5 characters.
+
+    Returns ``[(name, upper_bound_hex), ...]`` in insertion order; the last
+    split's bound is clamped to the top of the hash space so float rounding
+    can never leave a gap.  Ratios must be positive and sum to ~1.
+    """
+    if not ratios:
+        raise ValueError("ratios must be non-empty")
+    total = sum(ratios.values())
+    if any(r <= 0 for r in ratios.values()) or abs(total - 1.0) > 1e-6:
+        raise ValueError(f"ratios must be positive and sum to 1, got {ratios}")
+    space = 16 ** _HEX_DIGITS
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    names = list(ratios)
+    for name in names:
+        acc += ratios[name]
+        upper = space if name == names[-1] else min(space, round(acc * space))
+        bounds.append((name, format(upper, f"0{_HEX_DIGITS + 1}x")
+                       if upper == space else format(upper, f"0{_HEX_DIGITS}x")))
+    return bounds
+
+
+def split_column(key: Column, ratios: dict[str, float]) -> Column:
+    """The split-name Column for ``key`` under ``ratios`` — a pure per-row
+    expression (md5 prefix vs. precomputed hex boundaries), no shuffle."""
+    prefix = F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS)
+    bounds = split_boundaries(ratios)
+    expr = F.lit(bounds[-1][0])  # last split catches the remainder
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(prefix < F.lit(upper), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def assign_splits(df: DataFrame, key_col: str,
+                  ratios: dict[str, float]) -> DataFrame:
+    """``df`` plus a ``split`` column.  Growth-stable: the assignment of a
+    row depends only on md5(key), so appending new rows never reassigns
+    existing ones (unlike randomSplit/sampling, which reshuffle)."""
+    return df.withColumn("split", split_column(F.col(key_col), ratios))
+
+
+def split_summary(df: DataFrame, key_col: str, ratios: dict[str, float],
+                  char_col: str | None = None) -> DataFrame:
+    """Per-split corpus accounting: (split, n_docs[, sum_chars]) — the
+    sanity readout a pipeline checks after splitting (ratio drift, token
+    budget per split).  One map-side-combined groupBy over n_splits keys."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if char_col is not None:
+        aggs.append(F.sum(F.length(F.col(char_col))).alias("sum_chars"))
+    return (assign_splits(df, key_col, ratios)
+            .groupBy("split").agg(*aggs).orderBy("split"))
+
+
+def split_oracle_case(key_sql: str, ratios: dict[str, float]) -> str:
+    """The DuckDB CASE expression mirroring :func:`split_column` — generated
+    from the same boundaries so Spark and oracle can never drift."""
+    prefix = f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, {_HEX_DIGITS})"
+    bounds = split_boundaries(ratios)
+    whens = "".join(
+        f"WHEN {prefix} < '{upper}' THEN '{name}' "
+        for name, upper in bounds[:-1])
+    return f"CASE {whens}ELSE '{bounds[-1][0]}' END"
