@@ -1,0 +1,150 @@
+"""Continuous ingest (streaming/ingest.py): file/rate sources micro-batched
+through foreachBatch into the collection manager — the Spark-native twin of
+the reference's insert_slowly/upsert loop bricks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.datagen import gen_rows, rows_from_ids
+from vectordb_testbricks_spark.manager import CollectionManager
+from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+from vectordb_testbricks_spark.streaming.ingest import (
+    gen_stream, ingest_until, stream_ingest)
+
+
+@pytest.fixture
+def mgr(spark, tmp_path):
+    return CollectionManager(spark, str(tmp_path / "wh"))
+
+
+def _mk(mgr, name):
+    spec = SchemaSpec(name, [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("category", "INT64"),
+        FieldSpec("name", "VARCHAR", max_length=64, nullable=True),
+    ])
+    mgr.create_collection(spec)
+    return spec
+
+
+def _rows(spark, n, start=0, tag="a"):
+    return spark.range(start, start + n).select(
+        "id", (F.col("id") % 10).alias("category"),
+        F.concat(F.lit(f"{tag}_"), F.col("id")).alias("name"))
+
+
+def test_rows_from_ids_is_gen_rows_batch_twin(spark):
+    """Same ids ⇒ bit-identical rows whether generated batch-side
+    (spark.range) or from any id-bearing source (the streaming path)."""
+    a = gen_rows(spark, 100, 50, seed=7, dim=4).collect()
+    b = rows_from_ids(spark.range(100, 150), seed=7, dim=4).collect()
+    assert a == b
+
+
+def test_gen_stream_schema_matches_batch_generator(spark):
+    s = gen_stream(spark, rows_per_second=10, seed=7, dim=4)
+    assert s.isStreaming
+    # rate-source value is nullable where range ids are not — compare
+    # names and types, not nullability
+    b = gen_rows(spark, 0, 1, seed=7, dim=4)
+    assert [(f.name, f.dataType) for f in s.schema] \
+        == [(f.name, f.dataType) for f in b.schema]
+
+
+def test_stream_insert_drains_file_source(spark, mgr, tmp_path):
+    _mk(mgr, "col_si")
+    src = str(tmp_path / "src")
+    _rows(spark, 30).write.parquet(src)
+    stream = (spark.readStream
+              .schema(_rows(spark, 1).schema).parquet(src))
+    q = stream_ingest(mgr, "col_si", stream, str(tmp_path / "cp"),
+                      mode="insert")
+    q.awaitTermination(120)
+    assert mgr.read("col_si").count() == 30
+
+
+def test_stream_upsert_is_idempotent_across_batches(spark, mgr, tmp_path):
+    """Two file batches with overlapping PKs: upsert mode converges to
+    latest-write-wins, no duplicates — the foreachBatch-replay safety
+    property."""
+    _mk(mgr, "col_su")
+    src = tmp_path / "src"
+    src.mkdir()
+    _rows(spark, 20, start=0, tag="old").coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    stream = (spark.readStream
+              .schema(_rows(spark, 1).schema).parquet(str(src / "*")))
+    q = stream_ingest(mgr, "col_su", stream, str(tmp_path / "cp"),
+                      mode="upsert")
+    q.awaitTermination(120)
+    # second drop: rows 10..29 overwrite the 10..19 overlap
+    _rows(spark, 20, start=10, tag="new").coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    q2 = stream_ingest(mgr, "col_su", stream, str(tmp_path / "cp"),
+                       mode="upsert")
+    q2.awaitTermination(120)
+    got = {r.id: r.name for r in mgr.read("col_su").collect()}
+    assert len(got) == 30
+    assert got[5] == "old_5" and got[15] == "new_15" and got[25] == "new_25"
+
+
+def test_stream_ingest_transform_filters_before_sink(spark, mgr, tmp_path):
+    """A quality gate inside the micro-batch: only category < 5 lands."""
+    _mk(mgr, "col_tf")
+    src = str(tmp_path / "src")
+    _rows(spark, 40).write.parquet(src)
+    stream = (spark.readStream
+              .schema(_rows(spark, 1).schema).parquet(src))
+    q = stream_ingest(mgr, "col_tf", stream, str(tmp_path / "cp"),
+                      mode="insert",
+                      transform=lambda df: df.filter(F.col("category") < 5))
+    q.awaitTermination(120)
+    got = mgr.read("col_tf")
+    assert got.count() == 20
+    assert got.agg(F.max("category")).collect()[0][0] == 4
+
+
+def test_checkpoint_resume_skips_committed_batches(spark, mgr, tmp_path):
+    """Restarting with the same checkpoint does not re-ingest drained files
+    (insert mode would duplicate if offsets were not honored)."""
+    _mk(mgr, "col_cp")
+    src = str(tmp_path / "src")
+    _rows(spark, 25).write.parquet(src)
+    stream = (spark.readStream
+              .schema(_rows(spark, 1).schema).parquet(src))
+    for _ in range(2):   # second run: checkpoint says "nothing new"
+        q = stream_ingest(mgr, "col_cp", stream, str(tmp_path / "cp"),
+                          mode="insert")
+        q.awaitTermination(120)
+    assert mgr.read("col_cp").count() == 25
+
+
+@pytest.mark.slow
+def test_rate_source_continuous_upsert(spark, mgr, tmp_path):
+    """The insert-slowly brick end-to-end: rate-source entity stream,
+    processingTime cadence, bounded by ingest_until; every landed row is
+    bit-identical to the batch generator at the same id (G2 stability)."""
+    spec = SchemaSpec("col_rate", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("category", "INT64"),
+        FieldSpec("varchar_1", "VARCHAR", max_length=64),
+    ])
+    mgr.create_collection(spec)
+    s = gen_stream(spark, rows_per_second=200, seed=9, dim=4) \
+        .select("pk", "category", "varchar_1")
+    q = stream_ingest(mgr, "col_rate", s, str(tmp_path / "cp"),
+                      mode="upsert",
+                      trigger={"processingTime": "1 seconds"})
+    assert ingest_until(q, min_batches=2, timeout_sec=90)
+    got = mgr.read("col_rate")
+    n = got.count()
+    assert n > 0
+    ids = [r.pk for r in got.select("pk").collect()]
+    want = {r.pk: r.varchar_1
+            for r in gen_rows(spark, min(ids), max(ids) - min(ids) + 1,
+                              seed=9, dim=4).collect()}
+    assert all(r.varchar_1 == want[r.pk]
+               for r in got.select("pk", "varchar_1").collect())

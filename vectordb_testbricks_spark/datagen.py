@@ -53,16 +53,14 @@ def gen_vector(seed: int, pk: Column, dim: int, normalize: bool = True) -> Colum
     return F.transform(raw, lambda x: x / nrm)
 
 
-def gen_rows(spark: SparkSession, start_id: int, count: int, seed: int = 42,
-             dim: int = 8, null_every: int = 10) -> DataFrame:
-    """G1/G3: seeded row batch with the reference's field menagerie.
-
-    Columns mirror the F1 fixture schema (FIXTURES.md):
-    pk, category, int8-ish small int, float/double, bool, varchar,
-    partition key, JSON string, int array, nullable text, embedding.
-    """
+def rows_from_ids(ids: DataFrame, seed: int = 42, dim: int = 8,
+                  null_every: int = 10) -> DataFrame:
+    """The seeded field menagerie projected from an ``id`` column — a pure
+    per-row transform, so it applies identically to a batch ``spark.range``
+    (:func:`gen_rows`) and to an unbounded streaming source (the rate-source
+    ingest stream in streaming/ingest.py): same id ⇒ same row either way."""
     pk = F.col("id")
-    df = spark.range(start_id, start_id + count).select(
+    return ids.select(
         pk.alias("pk"),
         (pk % 1024).alias("category"),
         (pk % 127).cast("int").alias("int32_1"),
@@ -80,7 +78,18 @@ def gen_rows(spark: SparkSession, start_id: int, count: int, seed: int = 42,
          .alias("nullable_text"),
         gen_vector(seed, pk, dim).alias("embedding"),
     )
-    return df
+
+
+def gen_rows(spark: SparkSession, start_id: int, count: int, seed: int = 42,
+             dim: int = 8, null_every: int = 10) -> DataFrame:
+    """G1/G3: seeded row batch with the reference's field menagerie.
+
+    Columns mirror the F1 fixture schema (FIXTURES.md):
+    pk, category, int8-ish small int, float/double, bool, varchar,
+    partition key, JSON string, int array, nullable text, embedding.
+    """
+    return rows_from_ids(spark.range(start_id, start_id + count),
+                         seed=seed, dim=dim, null_every=null_every)
 
 
 def regen_expected(spark: SparkSession, pks: list[int], seed: int,
