@@ -638,3 +638,65 @@ def test_split_column_is_scan_stage_expression(spark, tables):
     out = C.assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_append_full_probe_equals_exact_over_union(spark, emb, queries3,
+                                                       tmp_path):
+    """Incremental maintenance: build+write on half the corpus, append_ivf
+    the other half against the persisted centroids, reload self-contained
+    (no centroids passed). Full-probe search over the appended layout must
+    equal exact KNN over the union — append loses nothing."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        append_ivf, build_ivf, ivf_search, read_ivf, write_ivf)
+    from vectordb_testbricks_spark.operators.search import knn_search
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_app")
+    model = build_ivf(old, "embedding", "vec_id", n_lists=4, seed=7)
+    write_ivf(model, path)
+    append_ivf(new, path, "embedding", "vec_id")
+    reloaded = read_ivf(spark, path, "embedding", "vec_id")
+    assert reloaded.assigned.count() == emb.count()
+    got = {(r.query_id, r.vec_id, r.rank)
+           for r in ivf_search(reloaded, queries3, k=10, nprobe=4,
+                               metric="COSINE").collect()}
+    want = {(r.query_id, r.vec_id, r.rank)
+            for r in knn_search(emb, queries3, "embedding", "vec_id",
+                                k=10, metric="COSINE").collect()}
+    assert got == want
+
+
+def test_ivf_append_keeps_partition_pruning(spark, emb, queries3, tmp_path):
+    """Appended batches land inside centroid_id= partitions; the probe path
+    still prunes at file-listing time."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        append_ivf, build_ivf, ivf_search, read_ivf, write_ivf)
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf_pp")
+    write_ivf(build_ivf(old, "embedding", "vec_id", n_lists=4, seed=7), path)
+    append_ivf(new, path, "embedding", "vec_id")
+    hits = ivf_search(read_ivf(spark, path, "embedding", "vec_id"),
+                      queries3.limit(1), k=5, nprobe=2)
+    assert hits.count() == 5
+    # plan paths get truncated — assert on PartitionFilters content only
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "PartitionFilters" in l
+                and "centroid_id" in l.split("PartitionFilters")[1][:200])
+    assert scan
+
+
+def test_ivf_balance_stats(spark, emb, tmp_path):
+    """Occupancy monitor: fracs sum to 1, imbalance averages 1, counts match
+    the corpus — the retrain trigger for drifting appends."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_balance, write_ivf)
+    path = str(tmp_path / "ivf_bal")
+    write_ivf(build_ivf(emb, "embedding", "vec_id", n_lists=4, seed=7), path)
+    rows = ivf_balance(spark, path).collect()
+    assert len(rows) == 4
+    assert sum(r.n_rows for r in rows) == emb.count()
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.imbalance for r in rows) / len(rows) - 1.0) < 1e-9
+    assert rows[0].n_rows == max(r.n_rows for r in rows)

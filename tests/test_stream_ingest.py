@@ -148,3 +148,37 @@ def test_rate_source_continuous_upsert(spark, mgr, tmp_path):
                               seed=9, dim=4).collect()}
     assert all(r.varchar_1 == want[r.pk]
                for r in got.select("pk", "varchar_1").collect())
+
+
+def test_stream_appends_into_persisted_ivf(spark, tables, tmp_path):
+    """Index freshness under ingest: micro-batches foreachBatch-appended to
+    a persisted IVF (no retrain); full-probe search over the grown layout
+    equals exact KNN over the union."""
+    from vectordb_testbricks_spark.functions.vector import to_double_array
+    from vectordb_testbricks_spark.operators.ann_index import (
+        append_ivf, build_ivf, ivf_search, read_ivf, write_ivf)
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb = tables["embeddings"].df
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "ivf")
+    write_ivf(build_ivf(old, "embedding", "vec_id", n_lists=4, seed=7), path)
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _i: append_ivf(b, path, "embedding",
+                                                "vec_id"))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    queries = (emb.filter(F.col("vec_id") == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       to_double_array(F.col("embedding")).alias("qvec")))
+    got = {(r.vec_id, r.rank)
+           for r in ivf_search(read_ivf(spark, path, "embedding", "vec_id"),
+                               queries, k=10, nprobe=4).collect()}
+    want = {(r.vec_id, r.rank)
+            for r in knn_search(emb, queries, "embedding", "vec_id",
+                                k=10, metric="COSINE").collect()}
+    assert got == want

@@ -124,18 +124,75 @@ def build_ivf(base: DataFrame, vec_col: str, id_col: str,
                     vec_col=vec_col, id_col=id_col)
 
 
+def _centroids_path(path: str) -> str:
+    return path.rstrip("/") + "_centroids"
+
+
 def write_ivf(model: IvfModel, path: str) -> None:
     """Persist the assignment partitioned by centroid_id → probing becomes
-    partition pruning on the read path."""
+    partition pruning on the read path. The trained centroids land beside
+    the data (``<path>_centroids``, a k×dim parquet — tiny) so the
+    persisted index is self-contained: append/read need no in-session
+    model object."""
     model.assigned.write.mode("overwrite") \
         .partitionBy("centroid_id").parquet(path)
+    sess = model.assigned.sparkSession
+    meta = sess.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.centroids)],
+        "centroid_id int, centroid array<double>")
+    meta.coalesce(1).write.mode("overwrite").parquet(_centroids_path(path))
+
+
+def read_centroids(spark, path: str) -> list[list[float]]:
+    """The persisted centroid table of an IVF layout at ``path``."""
+    rows = (spark.read.parquet(_centroids_path(path))
+            .orderBy("centroid_id").collect())
+    return [list(r["centroid"]) for r in rows]
 
 
 def read_ivf(spark, path: str, vec_col: str, id_col: str,
-             centroids: list[list[float]]) -> IvfModel:
-    """Reload a persisted IVF table (centroids travel separately — tiny)."""
+             centroids: list[list[float]] | None = None) -> IvfModel:
+    """Reload a persisted IVF table; centroids come from the sidecar table
+    written by :func:`write_ivf` unless passed explicitly."""
+    if centroids is None:
+        centroids = read_centroids(spark, path)
     return IvfModel(assigned=spark.read.parquet(path), centroids=centroids,
                     vec_col=vec_col, id_col=id_col)
+
+
+def append_ivf(new_rows: DataFrame, path: str, vec_col: str,
+               id_col: str) -> None:
+    """Index maintenance under continuous ingest: assign a new batch to the
+    EXISTING persisted centroids and append its files into the partitioned
+    layout. No retrain, no touch of the resident data — cost scales with
+    the batch, not the index, which is what keeps a 100-TB IVF fresh while
+    a stream ingests (Faiss `add` after `train`, as a parquet append).
+    Centroid drift is the trade-off: monitor with :func:`ivf_balance` and
+    retrain (build_ivf + write_ivf) when imbalance crosses a threshold."""
+    cent = np.asarray(read_centroids(new_rows.sparkSession, path),
+                      dtype=np.float64)
+    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
+        assign = _assign_expr_jvm(vec_col, cent)
+    else:
+        assign = _assign_expr_pandas(vec_col, cent, new_rows.sparkSession)
+    (new_rows.withColumn("centroid_id", assign)
+     .write.mode("append").partitionBy("centroid_id").parquet(path))
+
+
+def ivf_balance(spark, path: str) -> DataFrame:
+    """Per-list occupancy of a persisted IVF layout: (centroid_id, n_rows,
+    frac, imbalance) where imbalance = n_rows / mean — the retrain signal.
+    Reads only the partition column (metadata-cheap at any scale)."""
+    counts = (spark.read.parquet(path)
+              .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_rows")))
+    # k-row aggregate rebroadcast — no single-partition window needed
+    tot = counts.agg(F.sum("n_rows").alias("_total"),
+                     F.avg("n_rows").alias("_mean"))
+    return (counts.crossJoin(F.broadcast(tot)).select(
+        "centroid_id", "n_rows",
+        (F.col("n_rows") / F.col("_total")).alias("frac"),
+        (F.col("n_rows") / F.col("_mean")).alias("imbalance"))
+        .orderBy(F.col("n_rows").desc()))
 
 
 def build_lsh(base: DataFrame, vec_col: str, id_col: str,
