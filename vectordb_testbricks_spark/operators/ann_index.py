@@ -85,6 +85,15 @@ def _assign_expr_jvm(vec_col: str, cent: np.ndarray):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _assign_expr(vec_col: str, cent: np.ndarray, spark):
+    """Centroid-assignment dispatch, shared by every build/append site so
+    build-time and append-time routing can never diverge: JVM codegen while
+    n_lists×dim fits the codegen budget, Arrow-batched BLAS beyond."""
+    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
+        return _assign_expr_jvm(vec_col, cent)
+    return _assign_expr_pandas(vec_col, cent, spark)
+
+
 def _assign_expr_pandas(vec_col: str, cent: np.ndarray, spark):
     """Arrow-batched BLAS assignment — the path for large n_lists, where a
     literal-centroid expression would blow up codegen."""
@@ -115,10 +124,7 @@ def build_ivf(base: DataFrame, vec_col: str, id_col: str,
     sample = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
 
-    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
-        assign = _assign_expr_jvm(vec_col, cent)
-    else:
-        assign = _assign_expr_pandas(vec_col, cent, base.sparkSession)
+    assign = _assign_expr(vec_col, cent, base.sparkSession)
     assigned = base.withColumn("centroid_id", assign)
     return IvfModel(assigned=assigned, centroids=cent.tolist(),
                     vec_col=vec_col, id_col=id_col)
@@ -291,10 +297,7 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
     vmin = sample.min(axis=0)
     inv = np.maximum((sample.max(axis=0) - vmin) / 255.0, 1e-12)
 
-    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
-        assign = _assign_expr_jvm("_nv", cent)
-    else:
-        assign = _assign_expr_pandas("_nv", cent, base.sparkSession)
+    assign = _assign_expr("_nv", cent, base.sparkSession)
 
     vmin_arr = F.array(*[F.lit(float(v)) for v in vmin])
     inv_arr = F.array(*[F.lit(float(v)) for v in inv])
@@ -431,10 +434,7 @@ def build_bin_ivf(base: DataFrame, vec_col: str, id_col: str,
     sample = np.asarray([list(r["_nv"]) for r in rows], dtype=np.float64)
     cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
 
-    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
-        assign = _assign_expr_jvm("_nv", cent)
-    else:
-        assign = _assign_expr_pandas("_nv", cent, base.sparkSession)
+    assign = _assign_expr("_nv", cent, base.sparkSession)
     packed = x.select(id_col, assign.alias("centroid_id"),
                       pack_sign_bits(F.col(vec_col)).alias("_bits"))
     return BinIvfModel(packed=packed, centroids=cent.tolist(), base=base,
