@@ -177,10 +177,7 @@ def append_ivf(new_rows: DataFrame, path: str, vec_col: str,
     retrain (build_ivf + write_ivf) when imbalance crosses a threshold."""
     cent = np.asarray(read_centroids(new_rows.sparkSession, path),
                       dtype=np.float64)
-    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
-        assign = _assign_expr_jvm(vec_col, cent)
-    else:
-        assign = _assign_expr_pandas(vec_col, cent, new_rows.sparkSession)
+    assign = _assign_expr(vec_col, cent, new_rows.sparkSession)
     (new_rows.withColumn("centroid_id", assign)
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 

@@ -31,13 +31,16 @@ from pyspark.sql import functions as F
 _HEX_DIGITS = 8  # 32 bits of hash — ratio resolution ~2.3e-10, plenty
 
 
-def split_boundaries(ratios: dict[str, float]) -> list[tuple[str, str]]:
+def split_boundaries(ratios: dict[str, float]) -> list[tuple[str, str | None]]:
     """Cumulative upper boundaries for each named split, as zero-padded
     lowercase hex strings over the first ``_HEX_DIGITS`` md5 characters.
 
-    Returns ``[(name, upper_bound_hex), ...]`` in insertion order; the last
-    split's bound is clamped to the top of the hash space so float rounding
-    can never leave a gap.  Ratios must be positive and sum to ~1.
+    Returns ``[(name, upper_bound_hex), ...]`` in insertion order.  The last
+    split catches the remainder of the hash space, so its bound is ``None``
+    rather than a hex string: every real bound is an 8-char string that
+    compares lexicographically against md5 prefixes, and a fake "top of
+    space" string could not (any 9-char sentinel sorts BEFORE most 8-char
+    prefixes).  Ratios must be positive and sum to ~1.
     """
     if not ratios:
         raise ValueError("ratios must be non-empty")
@@ -45,14 +48,16 @@ def split_boundaries(ratios: dict[str, float]) -> list[tuple[str, str]]:
     if any(r <= 0 for r in ratios.values()) or abs(total - 1.0) > 1e-6:
         raise ValueError(f"ratios must be positive and sum to 1, got {ratios}")
     space = 16 ** _HEX_DIGITS
-    bounds: list[tuple[str, str]] = []
+    bounds: list[tuple[str, str | None]] = []
     acc = 0.0
     names = list(ratios)
     for name in names:
         acc += ratios[name]
-        upper = space if name == names[-1] else min(space, round(acc * space))
-        bounds.append((name, format(upper, f"0{_HEX_DIGITS + 1}x")
-                       if upper == space else format(upper, f"0{_HEX_DIGITS}x")))
+        if name == names[-1]:
+            bounds.append((name, None))  # remainder catcher — no upper bound
+        else:
+            upper = min(space - 1, round(acc * space))
+            bounds.append((name, format(upper, f"0{_HEX_DIGITS}x")))
     return bounds
 
 

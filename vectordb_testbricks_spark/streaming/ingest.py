@@ -124,10 +124,15 @@ def ingest_until(query: StreamingQuery, *, min_batches: int | None = None,
         if not ok:
             graceful_stop(query)
         return bool(ok)
+    # cumulative rows across every observed progress event — a rate source
+    # idling between triggers emits EMPTY micro-batches, and those must not
+    # satisfy a bounded-ingest target that promises actual data landed
+    rows_by_batch: dict[int, int] = {}
     while time.monotonic() < deadline:
-        prog = query.lastProgress
-        if prog is not None and prog["batchId"] + 1 >= min_batches \
-                and prog["numInputRows"] >= 0:
+        for prog in query.recentProgress:
+            rows_by_batch[prog["batchId"]] = prog["numInputRows"]
+        if len(rows_by_batch) >= min_batches \
+                and sum(rows_by_batch.values()) > 0:
             graceful_stop(query)
             query.awaitTermination(30)
             return True

@@ -218,12 +218,25 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     timeout cancels exactly that task's Spark jobs (the asyncio.TimeoutError
     path) while the rest keep running. ``tasks`` are zero-arg callables
     returning a DataFrame (the search plan); latency is submit→collect.
+
+    Requires pinned-thread mode (``PYSPARK_PIN_THREAD``, the default since
+    Spark 3.2): job groups are per-Python-thread only when each Python
+    thread pins its own JVM thread. Unpinned, every worker would stomp one
+    shared JVM thread's job group and a timeout could cancel another task's
+    jobs — so that configuration is rejected up front.
     """
+    import os
     import queue
     import threading
     import time
     import uuid
 
+    if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in (
+            "true", "1", "yes"):
+        raise RuntimeError(
+            "run_async_searches needs PYSPARK_PIN_THREAD=true (per-thread "
+            "job groups); unpinned threads share one JVM thread and "
+            "cancelJobGroup would hit unrelated tasks")
     sc = spark.sparkContext
     run_id = uuid.uuid4().hex[:8]
     timed_out: set[int] = set()
