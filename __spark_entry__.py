@@ -745,8 +745,11 @@ def _dense_branch(spark, sf_dir, limit=20):
     re-keyed to query_id=0 (doc_id == vec_id in the testdata)."""
     from vectordb_testbricks_spark.operators.search import knn_search
     emb = _t(spark, sf_dir, "embeddings")
+    # query_id from the vec_id attribute (value 0), NOT F.lit(0): a foldable
+    # query_id lets Catalyst constant-fold the fused rerank window's
+    # partition spec away (WindowExec "No Partition Defined")
     q = (emb.filter(F.col("vec_id") == 0)
-         .select(F.lit(0).alias("query_id"),
+         .select(F.col("vec_id").cast("int").alias("query_id"),
                  to_double_array(F.col("embedding")).alias("qvec")))
     return (knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=limit)
             .select("query_id", F.col("vec_id").alias("doc_id"), "score", "rank"))

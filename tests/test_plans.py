@@ -201,3 +201,26 @@ def test_partial_upsert_broadcasts_update_side(tables):
     p = _plan(partial_upsert(o, upd, "o_orderkey"))
     assert "BroadcastHashJoin" in p
     assert "FullOuter" not in p and "SortMergeJoin" not in p
+
+
+def test_single_query_windows_keep_partition_spec(tables):
+    """nq=1 search/fusion reranks must keep query_id in every window's
+    partition spec: a literal query_id gets constant-folded to an empty
+    spec (WindowExec "No Partition Defined" — the whole scored set would
+    funnel through one partition). query_id must always derive from a
+    relation attribute, even when its value is a constant 0."""
+    import re
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    from vectordb_testbricks_spark.operators.search import sparse_search
+    docs = tables["documents"].df
+    b = bm25_search(docs, "spark query join", "doc_id", "text", k=5)
+    sparse = docs.select(
+        "doc_id", F.create_map(F.lit("a"), F.lit(1.0)).alias("svec"))
+    s = sparse_search(sparse, {"a": 2.0}, "svec", "doc_id", k=5)
+    fused = rrf_fuse([b, s], "doc_id", k=5)
+    for df in (b, s, fused):
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", _plan(df))
+        assert specs, "expected at least one window"
+        for spec in specs:
+            assert "query_id" in spec, f"folded partition spec: {spec}"

@@ -90,11 +90,30 @@ def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
                 k: int = 10, flt: str | Column | None = None,
                 tf_df: DataFrame | None = None,
                 stats: DataFrame | None = None) -> DataFrame:
-    """V7: top-k documents for a raw-string query.
+    """V7: top-k documents for a raw-string query (query_id = 0).
 
     Pass pre-built ``tf_df``/``stats`` to reuse the ingest-time tables (the
     production path); otherwise they are derived on the fly.
     Returns (query_id, <id_col>, score, rank), ties broken by id.
+    """
+    return bm25_search_many(docs, [query_text], id_col, text_col, k=k,
+                            flt=flt, tf_df=tf_df, stats=stats)
+
+
+def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
+                     text_col: str, k: int = 10,
+                     flt: str | Column | None = None,
+                     tf_df: DataFrame | None = None,
+                     stats: DataFrame | None = None) -> DataFrame:
+    """V7 at the reference's operating shape — nq query strings per call
+    (search_permanently.py:99-101 drives batches of query vectors; the FTS
+    analogue is a batch of raw strings). ``query_id`` = position in
+    ``query_texts``.
+
+    query_id is carried as a *relation attribute*, never a literal: a
+    foldable query_id would let Catalyst constant-fold the final top-k
+    window's partition spec away (WindowExec "No Partition Defined"), and
+    the per-query ranking must stay partitioned by query at any nq.
     """
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, docs)
@@ -104,16 +123,20 @@ def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
         tf_df = term_frequencies(docs, id_col, text_col)
     if stats is None:
         stats = corpus_stats(docs, id_col, text_col)
-    # tokenize the query with the same analyzer; duplicate terms count once
+    # tokenize each query with the same analyzer; duplicate terms count once
     # per occurrence (standard BM25 treats query tf multiplicatively; Milvus
     # sums per occurrence — we keep each occurrence)
-    qterms_df = (docs.sparkSession.range(1)
-                 .select(F.explode(tokenize(F.lit(query_text))).alias("term")))
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        list(enumerate(query_texts)), "query_id int, qtext string")
+    qterms_df = qdf.select(
+        "query_id", F.explode(tokenize(F.col("qtext"))).alias("term"))
     # restrict the tf table to query terms FIRST — the scoring math then only
-    # touches ~|q| terms' postings instead of the whole corpus
+    # touches ~nq·|q| terms' postings instead of the whole corpus
     matched = tf_df.join(F.broadcast(qterms_df), "term")
-    scored = (bm25_score_components(matched, stats, id_col)
-              .groupBy(id_col).agg(F.sum("contrib").alias("score"))
-              .select(F.lit(0).alias("query_id"), id_col, "score"))
+    scored = (matched.join(F.broadcast(stats), "term")
+              .select("query_id", id_col, bm25_contrib().alias("contrib"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("contrib").alias("score")))
     from vectordb_testbricks_spark.operators.search import _ranked
     return _ranked(scored, id_col, asc=False, k=k)

@@ -127,15 +127,36 @@ def sparse_search(base: DataFrame, query_map: dict, map_col: str, id_col: str,
     until the top-k reduction. ``drop_ratio_search`` prunes low-weight query
     dims first (see drop_query_terms).
     """
-    query_map = drop_query_terms(query_map, drop_ratio_search)
+    return sparse_search_many(base, [query_map], map_col, id_col, k=k,
+                              flt=flt, drop_ratio_search=drop_ratio_search)
+
+
+def sparse_search_many(base: DataFrame, query_maps: list[dict], map_col: str,
+                       id_col: str, k: int = 10,
+                       flt: str | Column | None = None,
+                       drop_ratio_search: float = 0.0) -> DataFrame:
+    """V6 at nq>1: one {index: weight} dict per query, ``query_id`` =
+    position in ``query_maps``.
+
+    The query side is a tiny broadcast relation, not a literal map: a
+    foldable query_id would constant-fold the top-k window's partition spec
+    away (WindowExec "No Partition Defined"); as an attribute the per-query
+    ranking stays partitioned at any nq.
+    """
+    query_maps = [drop_query_terms(m, drop_ratio_search) for m in query_maps]
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
         base = base.filter(pred)
-    entries = [x for kv in query_map.items() for x in kv]
-    qm = F.create_map(*[F.lit(v) for v in entries])
-    scored = (base.withColumn("query_id", F.lit(0))
+    key_sql = "string" if any(
+        isinstance(next(iter(m), None), str) for m in query_maps) else "bigint"
+    qdf = base.sparkSession.createDataFrame(
+        [(i, {k_: float(v) for k_, v in m.items()})
+         for i, m in enumerate(query_maps)],
+        f"query_id int, qmap map<{key_sql},double>")
+    scored = (base.crossJoin(F.broadcast(qdf))
               .select("query_id", id_col,
-                      sparse_dot_map(F.col(map_col), qm).alias("score"))
+                      sparse_dot_map(F.col(map_col), F.col("qmap"))
+                      .alias("score"))
               .filter(F.col("score") > 0))
     return _ranked(scored, id_col, asc=False, k=k)
 
