@@ -740,27 +740,27 @@ FROM ranked WHERE rank <= 10
 """
 
 
-def _dense_branch(spark, sf_dir, limit=20):
-    """Dense branch for fusion: cosine top-`limit` for query vector vec_id=0,
-    re-keyed to query_id=0 (doc_id == vec_id in the testdata)."""
+def _dense_branch(spark, sf_dir, limit=20, nq=1):
+    """Dense branch for fusion: cosine top-`limit` for query vectors
+    vec_id 0..nq-1, query_id = vec_id (doc_id == vec_id in the testdata)."""
     from vectordb_testbricks_spark.operators.search import knn_search
     emb = _t(spark, sf_dir, "embeddings")
-    # query_id from the vec_id attribute (value 0), NOT F.lit(0): a foldable
-    # query_id lets Catalyst constant-fold the fused rerank window's
-    # partition spec away (WindowExec "No Partition Defined")
-    q = (emb.filter(F.col("vec_id") == 0)
+    # query_id from the vec_id attribute, NOT F.lit: a foldable query_id
+    # lets Catalyst constant-fold the fused rerank window's partition spec
+    # away (WindowExec "No Partition Defined")
+    q = (emb.filter(F.col("vec_id") < nq)
          .select(F.col("vec_id").cast("int").alias("query_id"),
                  to_double_array(F.col("embedding")).alias("qvec")))
     return (knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=limit)
             .select("query_id", F.col("vec_id").alias("doc_id"), "score", "rank"))
 
 
-def _bm25_branch(spark, sf_dir, limit=20):
-    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+def _bm25_branch(spark, sf_dir, limit=20, texts=None):
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search_many
     docs = _t(spark, sf_dir, "documents")
     tf, stats = _bm25_tables(spark, sf_dir)
-    return (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=limit,
-                        tf_df=tf, stats=stats)
+    return (bm25_search_many(docs, texts or [BM25_QUERY], "doc_id", "text",
+                             k=limit, tf_df=tf, stats=stats)
             .select("query_id", "doc_id", "score", "rank"))
 
 
@@ -950,6 +950,113 @@ ranked AS (
   SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
   FROM fused)
 SELECT 0 AS query_id, doc_id, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def v_weighted_modes(spark, sf_dir):
+    """V4 consolidated: WeightedRanker fusion under both normalizations —
+    per-(branch, query) min-max and Milvus's row-local arctan squash — as
+    one driver query with a ``norm`` mode column."""
+    mm = (v_weighted_fusion(spark, sf_dir)
+          .select(F.lit("minmax").alias("norm"),
+                  "query_id", "doc_id", "score", "rank"))
+    at = (v_weighted_arctan(spark, sf_dir)
+          .select(F.lit("arctan").alias("norm"),
+                  "query_id", "doc_id", "score", "rank"))
+    return mm.unionByName(at)
+
+
+SQL_V_WEIGHTED_MODES = f"""
+SELECT 'minmax' AS norm, query_id, doc_id, score, rank
+FROM ({SQL_V_WEIGHTED})
+UNION ALL
+SELECT 'arctan' AS norm, query_id, doc_id, score, rank
+FROM ({SQL_V_WEIGHTED_ARCTAN})
+"""
+
+
+# the reference's actual operating shape is batched queries — nq up to 100
+# random vectors per search call (search_permanently.py:99-101,
+# go_bench/config.yaml:23 nq) — so the fusion path must keep per-query
+# rankings partitioned at nq > 1, not just the nq=1 demo shape
+MULTIQ_TEXTS = [
+    BM25_QUERY,
+    "hash join merge sort",
+    "column scan filter small",
+    "stream window agg batch",
+    "vector data row group",
+    "customer order line part",
+    "big table slow scan",
+    "key value dup sort fast",
+]
+
+
+def v_rrf_multi_q(spark, sf_dir):
+    """V3/V8 at nq=8: eight dense query vectors (vec_id 0..7) fused with
+    eight BM25 query strings by RRFRanker — per-query top-10, 8 distinct
+    query_ids in one call (the reference's batched-nq operating shape)."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    nq = len(MULTIQ_TEXTS)
+    fused = rrf_fuse([_dense_branch(spark, sf_dir, nq=nq),
+                      _bm25_branch(spark, sf_dir, texts=MULTIQ_TEXTS)],
+                     "doc_id", k=10)
+    return fused.select("query_id", "doc_id",
+                        F.round("score", 6).alias("score"),
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+_QTEXT_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(MULTIQ_TEXTS))
+
+SQL_V_RRF_MULTI_Q = f"""
+WITH q AS (SELECT CAST(vec_id AS INT) AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {len(MULTIQ_TEXTS)}),
+dense_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, {_SQL_COS} AS score
+  FROM embeddings e CROSS JOIN q),
+dense AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM dense_scored QUALIFY rank <= 20),
+toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
+qtexts(query_id, qtext) AS (VALUES {_QTEXT_VALUES}),
+qterms AS (SELECT query_id, unnest({TOKS_SQL.format(col='qtext')}) AS term
+           FROM qtexts),
+comp AS (
+  SELECT qterms.query_id, tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+         * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS contrib
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq d USING (term)
+  JOIN qterms USING (term)
+  CROSS JOIN stats s),
+bm25_scored AS (SELECT query_id, doc_id, SUM(contrib) AS score
+                FROM comp GROUP BY query_id, doc_id),
+bm25 AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bm25_scored QUALIFY rank <= 20),
+parts AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS part FROM dense
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS part FROM bm25),
+fused AS (SELECT query_id, doc_id, SUM(part) AS score
+          FROM parts GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM fused)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank
 FROM ranked WHERE rank <= 10
 """
 
@@ -2002,8 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_sparse_dot": v_sparse_modes,
         "v_bm25": v_bm25,
         "v_rrf_fusion": v_rrf_modes,
-        "v_weighted_fusion": v_weighted_fusion,
-        "v_weighted_arctan": v_weighted_arctan,
+        "v_rrf_multi_q": v_rrf_multi_q,
+        "v_weighted_fusion": v_weighted_modes,
         "v_ann_indexes": v_ann_indexes,
         "dml_upsert": dml_upsert,
         "dml_partial_update": dml_partial_update,
@@ -2059,8 +2166,8 @@ def oracle_sql() -> dict[str, str]:
         "v_sparse_dot": SQL_V_SPARSE_MODES,
         "v_bm25": SQL_V_BM25,
         "v_rrf_fusion": SQL_V_RRF_MODES,
-        "v_weighted_fusion": SQL_V_WEIGHTED,
-        "v_weighted_arctan": SQL_V_WEIGHTED_ARCTAN,
+        "v_rrf_multi_q": SQL_V_RRF_MULTI_Q,
+        "v_weighted_fusion": SQL_V_WEIGHTED_MODES,
         # v_ann_indexes: intentionally no oracle (approximate physical path)
         "dml_upsert": SQL_DML_UPSERT,
         "dml_partial_update": SQL_DML_PARTIAL,
