@@ -1375,11 +1375,14 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 
 
 def dd_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 16-bit signatures, banded blocking
-    (4 bands × 4 bits, pigeonhole-complete for ham ≤ 3), doubled corpus."""
+    """SimHash near-dup pairs at production width: 64-bit signatures,
+    banded blocking (4 bands × 16 bits, pigeonhole-complete for ham ≤ 3),
+    doubled corpus. 64 bits is the scale default — 16-bit signatures
+    collide pathologically beyond toy corpora (the 16-bit pigeonhole case
+    stays covered in tests/test_operators.py)."""
     from vectordb_testbricks_spark.operators.dedup import simhash_near_dups
     pairs = simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                              max_hamming=3)
+                              max_hamming=3, bits=64)
     return pairs.select("id_a", "id_b",
                         F.col("hamming").cast("bigint").alias("hamming"))
 
@@ -1394,19 +1397,25 @@ coded AS (
   SELECT doc_id, {MD5L.format(s='term')} % 2147483647 AS code, tf FROM tf),
 params AS (
   SELECT i, 2 * i + 3 AS a, (1000003 * (i + 1)) % 2147483647 AS b
-  FROM range(0, 16) t(i)),
+  FROM range(0, 64) t(i)),
+-- bit 63 is the sign bit: DuckDB raises on 1 << 63, so the Java-long wrap
+-- Spark's shiftleft produces is spelled as the int64 min literal
 bits AS (
   SELECT c.doc_id, p.i,
          CASE WHEN SUM(c.tf * (((c.code * p.a + p.b) % 2147483647) % 2 * 2 - 1)) > 0
-              THEN CAST(1 AS BIGINT) << p.i ELSE 0 END AS bit
+              THEN CASE WHEN p.i = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << p.i END
+              ELSE CAST(0 AS BIGINT) END AS bit
   FROM coded c CROSS JOIN params p GROUP BY c.doc_id, p.i),
 sigs AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id),
--- banded blocking (4 bands x 4 bits) is pigeonhole-complete for ham<=3,
--- so this equals the unblocked all-pairs result; DISTINCT mirrors the
--- multi-band candidate dedup
+-- banded blocking (4 bands x 16 bits) is pigeonhole-complete for ham<=3,
+-- so this equals the unblocked all-pairs result; the & mask discards the
+-- arithmetic shift's sign extension; DISTINCT mirrors the multi-band
+-- candidate dedup
 bands AS (
-  SELECT doc_id, simhash, i AS band, (simhash >> (i * 4)) & 15 AS key
+  SELECT doc_id, simhash, i AS band, (simhash >> (i * 16)) & 65535 AS key
   FROM sigs CROSS JOIN range(0, 4) t(i)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -646,8 +646,17 @@ def build_from_index_spec(base: DataFrame, id_col: str, index,
         return AnnIndex("bin_ivf", model, base, vec_col, id_col, metric,
                         {"nprobe": max(1, n_lists // 8)})
     if t == "IVF_RABITQ":
-        return AnnIndex("bin_rerank", None, base, vec_col, id_col, metric,
-                        {"rerank_k": int(params.get("refine_k", 0)) or None})
+        # 1-bit quantization serves through the nprobe-pruned BIN_IVF
+        # structure — the scale-safe binary default: the coarse phase reads
+        # nprobe/n_lists of the (already 32× compressed) packed bits instead
+        # of all of them. binary_rerank_search's full coarse scan stays
+        # available as the explicit full-corpus rescore primitive only.
+        n_lists = int(params.get("nlist", 64))
+        model = build_bin_ivf(base, vec_col, id_col, n_lists=n_lists,
+                              seed=seed)
+        return AnnIndex("bin_ivf", model, base, vec_col, id_col, metric,
+                        {"nprobe": max(1, n_lists // 8),
+                         "rerank_k": int(params.get("refine_k", 0)) or None})
     if t in ("HNSW", "DISKANN"):
         m = int(params.get("M", 32))
         ef = int(params.get("ef", params.get(
