@@ -300,13 +300,15 @@ def test_dedup_exact_keeps_min_id(spark):
 
 def test_exact_duplicates_caps_mega_group(spark):
     """dup_ids is bounded by max_ids (skew guard) while dup_count stays
-    the exact group size."""
+    the exact group size — a degenerate 10k-copy boilerplate text (the
+    shard-scale mega-dup shape) must not materialize an unbounded array
+    in one aggregate row."""
     from vectordb_testbricks_spark.operators.dedup import exact_duplicates
-    docs = spark.range(100).select(
+    docs = spark.range(10_000).select(
         F.col("id").alias("doc_id"), F.lit("same text").alias("text"))
     g = exact_duplicates(docs, "doc_id", "text", max_ids=10).collect()
     assert len(g) == 1
-    assert g[0]["dup_count"] == 100
+    assert g[0]["dup_count"] == 10_000
     assert g[0]["dup_ids"] == list(range(10))  # lowest ids kept
     assert g[0]["canonical_id"] == 0
 
