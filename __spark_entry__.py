@@ -16,6 +16,7 @@ tie-broken by id.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -677,13 +678,30 @@ FROM ({SQL_V_SPARSE_DROP})
 
 BM25_QUERY = "spark query join fast table"
 
-_SQL_BM25_SCORED = f"""
-toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+# stopword analyzer variant (reference analyzer_params carry per-field
+# filter chains, milvus_client/common/schema.py:27): removing stopwords
+# changes dl/avgdl for every doc, so scores differ from the standard mode
+BM25_STOP_WORDS = ("the", "a")
+BM25_STOP_ANALYZER = {
+    "tokenizer": "standard",
+    "filter": ["lowercase",
+               {"type": "stop", "stop_words": list(BM25_STOP_WORDS)}]}
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in BM25_STOP_WORDS) + "]"
+TOKS_STOP_SQL = ("list_filter(string_split_regex(lower({col}), "
+                 "'[^a-z0-9]+'), t -> t <> '' AND NOT list_contains("
+                 + _STOP_LIST_SQL + ", t))")
+
+
+def _sql_bm25_scored(toks_sql: str) -> str:
+    """The BM25 scoring CTE chain, parameterized by the tokenizer SQL so
+    analyzer variants (stopword chain) reuse one oracle definition."""
+    return f"""
+toks AS (SELECT doc_id, unnest({toks_sql.format(col='text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
-qterms AS (SELECT unnest({TOKS_SQL.format(col=f"'{BM25_QUERY}'")}) AS term),
+qterms AS (SELECT unnest({toks_sql.format(col=f"'{BM25_QUERY}'")}) AS term),
 comp AS (
   SELECT tf.doc_id,
          ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
@@ -697,22 +715,27 @@ bm25_scored AS (SELECT doc_id, SUM(contrib) AS score FROM comp GROUP BY doc_id)
 """
 
 
+_SQL_BM25_SCORED = _sql_bm25_scored(TOKS_SQL)
+
+
 # ingest-time BM25 tables per sf_dir — in Milvus the BM25 function field is
 # server-computed at insert (schema_matrix_2_6.yaml:65-69); the search path
 # only joins against the materialized tf/stats tables
 _BM25_CACHE: dict[tuple, tuple] = {}
 
 
-def _bm25_tables(spark, sf_dir):
-    cached = _BM25_CACHE.get((_session_key(spark), sf_dir))
+def _bm25_tables(spark, sf_dir, analyzer=None):
+    key = (_session_key(spark), sf_dir,
+           json.dumps(analyzer, sort_keys=True) if analyzer else None)
+    cached = _BM25_CACHE.get(key)
     if cached is None:
         from vectordb_testbricks_spark.operators.bm25 import (
             corpus_stats, term_frequencies)
         docs = _t(spark, sf_dir, "documents")
-        tf = term_frequencies(docs, "doc_id", "text").cache()
-        stats = corpus_stats(docs, "doc_id", "text").cache()
+        tf = term_frequencies(docs, "doc_id", "text", analyzer).cache()
+        stats = corpus_stats(docs, "doc_id", "text", analyzer).cache()
         cached = (tf, stats)
-        _BM25_CACHE[(_session_key(spark), sf_dir)] = cached
+        _BM25_CACHE[key] = cached
     return cached
 
 
@@ -737,6 +760,40 @@ ranked AS (
   FROM bm25_scored)
 SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
 FROM ranked WHERE rank <= 10
+"""
+
+
+def v_bm25_modes(spark, sf_dir):
+    """V7 consolidated: BM25 under the standard analyzer and under a
+    stopword filter chain (analyzer_params round-trip — the corpus tf/dl
+    tables and the query tokenization both honor the declared analyzer,
+    so stopword removal shifts dl/avgdl and therefore scores)."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    std = (v_bm25(spark, sf_dir)
+           .select(F.lit("standard").alias("analyzer"),
+                   "query_id", "doc_id", "score", "rank"))
+    docs = _t(spark, sf_dir, "documents")
+    tf, stats = _bm25_tables(spark, sf_dir, BM25_STOP_ANALYZER)
+    stop = (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10,
+                        tf_df=tf, stats=stats, analyzer=BM25_STOP_ANALYZER)
+            .select(F.lit("stop").alias("analyzer"), "query_id", "doc_id",
+                    F.round("score", 4).alias("score"),
+                    F.col("rank").cast("bigint").alias("rank")))
+    return std.unionByName(stop)
+
+
+SQL_V_BM25_MODES = f"""
+SELECT 'standard' AS analyzer, query_id, doc_id, score, rank
+FROM ({SQL_V_BM25})
+UNION ALL
+SELECT 'stop' AS analyzer, query_id, doc_id, score, rank
+FROM (
+WITH {_sql_bm25_scored(TOKS_STOP_SQL)},
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25_scored)
+SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10)
 """
 
 
@@ -2171,7 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_knn_fields": v_knn_fields,
         "v_grouping_search": v_grouping_modes,
         "v_sparse_dot": v_sparse_modes,
-        "v_bm25": v_bm25,
+        "v_bm25": v_bm25_modes,
         "v_rrf_fusion": v_rrf_modes,
         "v_rrf_multi_q": v_rrf_multi_q,
         "v_weighted_fusion": v_weighted_modes,
@@ -2228,7 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         "v_knn_fields": SQL_V_KNN_FIELDS,
         "v_grouping_search": SQL_V_GROUPING_MODES,
         "v_sparse_dot": SQL_V_SPARSE_MODES,
-        "v_bm25": SQL_V_BM25,
+        "v_bm25": SQL_V_BM25_MODES,
         "v_rrf_fusion": SQL_V_RRF_MODES,
         "v_rrf_multi_q": SQL_V_RRF_MULTI_Q,
         "v_weighted_fusion": SQL_V_WEIGHTED_MODES,

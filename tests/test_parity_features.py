@@ -125,3 +125,53 @@ def test_index_compatibility_validator():
     assert not rep["ok"]
     assert rep["failure"] == "INDEX_DRIFT"
     assert rep["missing"] == ["id"] and rep["changed"] == ["emb"]
+
+
+# --------------------------------------------------- analyzer_params fidelity
+
+def test_tokenize_honors_analyzer_params(spark):
+    """The analyzer_params filter chain changes token output: stopwords
+    drop after folding, and omitting 'lowercase' preserves case (the split
+    regex widens so uppercase runs survive)."""
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, tokenize)
+    df = spark.createDataFrame([("The Spark JOIN is a fast join",)], "s string")
+
+    std = df.select(tokenize(F.col("s")).alias("t")).first()["t"]
+    assert std == ["the", "spark", "join", "is", "a", "fast", "join"]
+
+    stop = analyzer_kwargs({
+        "tokenizer": "standard",
+        "filter": ["lowercase",
+                   {"type": "stop", "stop_words": ["the", "a", "is"]}]})
+    toks = df.select(tokenize(F.col("s"), **stop).alias("t")).first()["t"]
+    assert toks == ["spark", "join", "fast", "join"]
+
+    cased = analyzer_kwargs({"tokenizer": "standard", "filter": []})
+    toks = df.select(tokenize(F.col("s"), **cased).alias("t")).first()["t"]
+    assert toks == ["The", "Spark", "JOIN", "is", "a", "fast", "join"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        analyzer_kwargs({"tokenizer": "jieba"})
+    with _pytest.raises(ValueError, match="unsupported"):
+        analyzer_kwargs({"filter": [{"type": "stemmer"}]})
+
+
+def test_bm25_analyzer_changes_scores_and_fold_consistency(tables):
+    """BM25 with a stopword analyzer must apply the same chain to corpus
+    and query: dl/avgdl shrink, so scores differ from the standard run,
+    and a stopword-only query returns nothing."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    docs = tables["documents"].df
+    az = {"tokenizer": "standard",
+          "filter": ["lowercase", {"type": "stop", "stop_words": ["the", "a"]}]}
+    std = bm25_search(docs, "spark join", "doc_id", "text", k=5).collect()
+    alt = bm25_search(docs, "spark join", "doc_id", "text", k=5,
+                      analyzer=az).collect()
+    assert len(std) == len(alt) == 5
+    assert any(abs(s["score"] - a["score"]) > 1e-9
+               for s, a in zip(std, alt))
+    none = bm25_search(docs, "the a", "doc_id", "text", k=5,
+                       analyzer=az).collect()
+    assert none == []

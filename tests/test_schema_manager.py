@@ -322,3 +322,23 @@ def test_reload_and_drop_release_cached_plans(mgr, spark):
     mgr.drop_collection("col_rl")            # drop: current handle released
     assert not mgr.loaded("col_rl")
     assert sc.getPersistentRDDs().size() <= baseline
+
+
+def test_analyzer_params_round_trip_through_catalog(mgr):
+    """C8 analyzer fidelity: enable_analyzer + analyzer_params survive the
+    collection catalog's JSON round-trip exactly, so a reloaded schema
+    drives the same tokenizer chain (schema_matrix_2_6.yaml:52 declares
+    per-field analyzers)."""
+    az = {"tokenizer": "standard",
+          "filter": ["lowercase",
+                     {"type": "stop", "stop_words": ["the", "a"]}]}
+    spec = SchemaSpec("az_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=512,
+                  enable_analyzer=True, analyzer_params=az),
+    ])
+    mgr.create_collection(spec)
+    loaded = mgr.describe_collection("az_coll")
+    f = next(fl for fl in loaded.fields if fl.name == "text")
+    assert f.enable_analyzer is True
+    assert f.analyzer_params == az

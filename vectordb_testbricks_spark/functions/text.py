@@ -18,16 +18,56 @@ from pyspark.sql import functions as F
 # runs, drop empties. DuckDB twin:
 #   list_filter(string_split_regex(lower(s), '[^a-z0-9]+'), t -> t != '')
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOKEN_SPLIT_RE_CASED = "[^a-zA-Z0-9]+"
 
 
-def tokenize(c: Column) -> Column:
+def analyzer_kwargs(analyzer_params: dict | None) -> dict:
+    """Parse reference-shape ``analyzer_params`` into :func:`tokenize`
+    kwargs (per-field analyzers, milvus_client/common/schema.py:27,
+    manifests/schema_matrix_2_6.yaml:52).
+
+    Accepted shapes: ``{"type": "standard"}`` (the default — lowercase,
+    split on non-alphanumeric) and ``{"tokenizer": "standard", "filter":
+    ["lowercase", {"type": "stop", "stop_words": [...]}]}``.  When an
+    explicit filter list omits ``"lowercase"``, case is preserved.
+    Unknown tokenizers/filters fail loudly rather than silently changing
+    token semantics."""
+    p = analyzer_params or {}
+    if p.get("type", "standard") != "standard":
+        raise ValueError(f"unsupported analyzer type {p['type']!r}")
+    if p.get("tokenizer", "standard") != "standard":
+        raise ValueError(f"unsupported tokenizer {p['tokenizer']!r}")
+    kwargs: dict = {"lowercase": True, "stop_words": ()}
+    if "filter" in p:
+        kwargs["lowercase"] = False
+        for f in p["filter"]:
+            if f == "lowercase":
+                kwargs["lowercase"] = True
+            elif isinstance(f, dict) and f.get("type") == "stop":
+                kwargs["stop_words"] = tuple(f.get("stop_words", ()))
+            else:
+                raise ValueError(f"unsupported analyzer filter {f!r}")
+    return kwargs
+
+
+def tokenize(c: Column, *, lowercase: bool = True,
+             stop_words: tuple[str, ...] = ()) -> Column:
     """Standard-analyzer-style tokenization (reference enable_analyzer fields,
-    schema_matrix_2_6.yaml:52; BM25 input)."""
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+    schema_matrix_2_6.yaml:52; BM25 input), with the analyzer_params knobs:
+    ``lowercase`` toggles case folding (the split regex widens to keep
+    uppercase runs when off) and ``stop_words`` drops exact-match tokens
+    after folding."""
+    base = F.lower(c) if lowercase else c
+    toks = F.split(base, TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED)
+    if stop_words:
+        return F.filter(toks,
+                        lambda t: (t != "") & ~t.isin(*stop_words))
+    return F.filter(toks, lambda t: t != "")
 
 
 def materialized_tokens(docs, id_col: str, text_col: str,
-                        extra_cols: tuple[str, ...] = ()):
+                        extra_cols: tuple[str, ...] = (),
+                        analyzer_params: dict | None = None):
     """(id[, extra...], _toks) with the token array *persisted*.
 
     This is a materialization barrier, not a convenience: Catalyst's
@@ -39,8 +79,9 @@ def materialized_tokens(docs, id_col: str, text_col: str,
     logical plans share one cache entry, so repeated calls over the same
     input cost one materialization; at cluster scale this is the familiar
     "tokenize once, reuse" intermediate table."""
+    kw = analyzer_kwargs(analyzer_params)
     tk = docs.select(*[F.col(c) for c in (id_col, *extra_cols)],
-                     tokenize(F.col(text_col)).alias("_toks"))
+                     tokenize(F.col(text_col), **kw).alias("_toks"))
     return tk.persist()
 
 

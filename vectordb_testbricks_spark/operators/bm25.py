@@ -32,20 +32,25 @@ K1 = 1.2
 B = 0.75
 
 
-def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(docs: DataFrame, id_col: str, text_col: str,
+            analyzer: dict | None = None) -> DataFrame:
     """(id, _toks) — persisted token barrier (HOF lambdas don't CSE; plan
-    equality means tf and stats share one cached materialization)."""
+    equality means tf and stats share one cached materialization; a
+    different analyzer produces a different plan → its own cache entry)."""
     from vectordb_testbricks_spark.functions.text import materialized_tokens
-    return materialized_tokens(docs, id_col, text_col)
+    return materialized_tokens(docs, id_col, text_col,
+                               analyzer_params=analyzer)
 
 
-def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def term_frequencies(docs: DataFrame, id_col: str, text_col: str,
+                     analyzer: dict | None = None) -> DataFrame:
     """The materialized BM25 'function field': (id, term, tf, dl).
+    ``analyzer`` is the field's reference-shape analyzer_params.
 
     Row-local tf: for each distinct token, count its occurrences in the doc's
     own array — one projection + one explode, zero shuffles (the earlier
     explode→groupBy×2→join shape shuffled the token stream three times)."""
-    tk = _tokens(docs, id_col, text_col)
+    tk = _tokens(docs, id_col, text_col, analyzer)
     toks = F.col("_toks")
     pairs = F.transform(
         F.array_distinct(toks),
@@ -58,11 +63,12 @@ def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     F.col("p.tf").alias("tf"), "dl"))
 
 
-def corpus_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def corpus_stats(docs: DataFrame, id_col: str, text_col: str,
+                 analyzer: dict | None = None) -> DataFrame:
     """(term, df_t, n_docs, avgdl) — the tiny IDF side, broadcastable.
     One groupBy over per-doc distinct terms; N/avgdl from doc lengths alone
     (no token explosion)."""
-    tk = _tokens(docs, id_col, text_col)
+    tk = _tokens(docs, id_col, text_col, analyzer)
     totals = tk.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg(F.size("_toks")).alias("avgdl"))
     df_t = (tk.select(F.explode(F.array_distinct(F.col("_toks"))).alias("term"))
@@ -89,22 +95,27 @@ def bm25_score_components(tf_df: DataFrame, stats: DataFrame,
 def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
                 k: int = 10, flt: str | Column | None = None,
                 tf_df: DataFrame | None = None,
-                stats: DataFrame | None = None) -> DataFrame:
+                stats: DataFrame | None = None,
+                analyzer: dict | None = None) -> DataFrame:
     """V7: top-k documents for a raw-string query (query_id = 0).
 
     Pass pre-built ``tf_df``/``stats`` to reuse the ingest-time tables (the
-    production path); otherwise they are derived on the fly.
+    production path); otherwise they are derived on the fly. ``analyzer``
+    (reference analyzer_params shape) applies to both corpus and query —
+    pre-built tables must have been built with the same analyzer.
     Returns (query_id, <id_col>, score, rank), ties broken by id.
     """
     return bm25_search_many(docs, [query_text], id_col, text_col, k=k,
-                            flt=flt, tf_df=tf_df, stats=stats)
+                            flt=flt, tf_df=tf_df, stats=stats,
+                            analyzer=analyzer)
 
 
 def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
                      text_col: str, k: int = 10,
                      flt: str | Column | None = None,
                      tf_df: DataFrame | None = None,
-                     stats: DataFrame | None = None) -> DataFrame:
+                     stats: DataFrame | None = None,
+                     analyzer: dict | None = None) -> DataFrame:
     """V7 at the reference's operating shape — nq query strings per call
     (search_permanently.py:99-101 drives batches of query vectors; the FTS
     analogue is a batch of raw strings). ``query_id`` = position in
@@ -120,17 +131,20 @@ def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
         docs = docs.filter(pred)
         tf_df = stats = None  # stats must reflect the filtered corpus
     if tf_df is None:
-        tf_df = term_frequencies(docs, id_col, text_col)
+        tf_df = term_frequencies(docs, id_col, text_col, analyzer)
     if stats is None:
-        stats = corpus_stats(docs, id_col, text_col)
+        stats = corpus_stats(docs, id_col, text_col, analyzer)
     # tokenize each query with the same analyzer; duplicate terms count once
     # per occurrence (standard BM25 treats query tf multiplicatively; Milvus
     # sums per occurrence — we keep each occurrence)
+    from vectordb_testbricks_spark.functions.text import analyzer_kwargs
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
         list(enumerate(query_texts)), "query_id int, qtext string")
     qterms_df = qdf.select(
-        "query_id", F.explode(tokenize(F.col("qtext"))).alias("term"))
+        "query_id",
+        F.explode(tokenize(F.col("qtext"),
+                           **analyzer_kwargs(analyzer))).alias("term"))
     # restrict the tf table to query terms FIRST — the scoring math then only
     # touches ~nq·|q| terms' postings instead of the whole corpus
     matched = tf_df.join(F.broadcast(qterms_df), "term")
