@@ -654,25 +654,76 @@ FROM ranked WHERE rank <= 10
 SQL_V_SPARSE_DROP = _sparse_drop_sql()
 
 
+# nq=2 sparse batch (the reference drives batched nq in every search mode,
+# search_permanently.py:99-101): one {term: weight} query vector per entry
+_SPARSE_MULTI_MAPS = [{"spark": 2.0, "query": 1.5, "join": 1.0},
+                      {"hash": 1.0, "merge": 2.0, "scan": 0.5}]
+
+
+def v_sparse_multi(spark, sf_dir):
+    """V6 at nq=2: two sparse query vectors in one call via
+    sparse_search_many — per-query top-10, query_id = batch position."""
+    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
+    from vectordb_testbricks_spark.operators.search import sparse_search_many
+    docs = _t(spark, sf_dir, "documents")
+    tf = term_frequencies(docs, "doc_id", "text")
+    sparse = (tf.groupBy("doc_id")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(F.struct(
+                      F.col("term"), F.col("tf").cast("double")))))
+                  .alias("svec")))
+    hits = sparse_search_many(sparse, _SPARSE_MULTI_MAPS, "svec", "doc_id",
+                              k=10)
+    return hits.select("query_id", "doc_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
+_SPARSE_MULTI_VALUES = ", ".join(
+    f"({i}, '{t}', {w})"
+    for i, m in enumerate(_SPARSE_MULTI_MAPS) for t, w in m.items())
+
+SQL_V_SPARSE_MULTI = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+qw(query_id, term, w) AS (VALUES {_SPARSE_MULTI_VALUES}),
+scored AS (
+  SELECT qw.query_id, tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
+  FROM tf JOIN qw USING (term) GROUP BY qw.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0)
+SELECT query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def v_sparse_modes(spark, sf_dir):
-    """V6 consolidated: full sparse-IP search and the drop_ratio_search=0.4
-    variant as one driver query."""
+    """V6 consolidated: full sparse-IP search, the drop_ratio_search=0.4
+    variant, and the nq=2 batch as one driver query."""
     plain = (v_sparse_dot(spark, sf_dir)
-             .select(F.lit(0.0).alias("drop_ratio"), "query_id", "doc_id",
+             .select(F.lit("drop0").alias("cfg"), "query_id", "doc_id",
                      "score", "rank"))
     drop = (v_sparse_drop(spark, sf_dir)
-            .select(F.lit(_SPARSE_DROP_RATIO).alias("drop_ratio"),
+            .select(F.lit("drop40").alias("cfg"),
                     "query_id", "doc_id", "score", "rank"))
-    return plain.unionByName(drop)
+    multi = (v_sparse_multi(spark, sf_dir)
+             .select(F.lit("multi2").alias("cfg"),
+                     "query_id", "doc_id", "score", "rank"))
+    return plain.unionByName(drop).unionByName(multi)
 
 
 SQL_V_SPARSE_MODES = f"""
-SELECT CAST(0.0 AS DOUBLE) AS drop_ratio, query_id, doc_id, score, rank
+SELECT 'drop0' AS cfg, query_id, doc_id, score, rank
 FROM ({SQL_V_SPARSE})
 UNION ALL
-SELECT CAST({_SPARSE_DROP_RATIO} AS DOUBLE) AS drop_ratio,
-       query_id, doc_id, score, rank
+SELECT 'drop40' AS cfg, query_id, doc_id, score, rank
 FROM ({SQL_V_SPARSE_DROP})
+UNION ALL
+SELECT 'multi2' AS cfg, query_id, doc_id, score, rank
+FROM ({SQL_V_SPARSE_MULTI})
 """
 
 
