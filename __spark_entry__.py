@@ -571,30 +571,41 @@ FROM ({SQL_V_GROUPING_SIZED})
 """
 
 
+# the one definition of "the sparse table" (per-doc {term: tf} map — the
+# BM25 function field's raw form) and the shared literal query vector;
+# every sparse query and the fusion sparse branch build from these
+_SPARSE_QUERY_MAP = {"spark": 2.0, "query": 1.5, "join": 1.0}
+
+
+def _sparse_table(spark, sf_dir):
+    """(doc_id, svec) from the cached ingest-time tf table."""
+    tf, _ = _bm25_tables(spark, sf_dir)
+    return (tf.groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("term"), F.col("tf").cast("double")))))
+                .alias("svec")))
+
+
 def v_sparse_dot(spark, sf_dir):
     """V6: sparse-vector IP search. The sparse column is the per-document
     term-frequency map (the BM25 function field's raw form); the query is a
     literal {term: weight} sparse vector."""
-    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
     from vectordb_testbricks_spark.operators.search import sparse_search
-    docs = _t(spark, sf_dir, "documents")
-    tf = term_frequencies(docs, "doc_id", "text")
-    sparse = (tf.groupBy("doc_id")
-              .agg(F.map_from_entries(
-                  F.sort_array(F.collect_list(F.struct(
-                      F.col("term"), F.col("tf").cast("double")))))
-                  .alias("svec")))
-    hits = sparse_search(sparse, {"spark": 2.0, "query": 1.5, "join": 1.0},
+    hits = sparse_search(_sparse_table(spark, sf_dir), _SPARSE_QUERY_MAP,
                          "svec", "doc_id", k=10)
     return hits.select("query_id", "doc_id",
                        F.round("score", 4).alias("score"),
                        F.col("rank").cast("bigint").alias("rank"))
 
 
+_SPARSE_QW_VALUES = ", ".join(
+    f"('{t}', {w})" for t, w in _SPARSE_QUERY_MAP.items())
+
 SQL_V_SPARSE = f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-qw(term, w) AS (VALUES ('spark', 2.0), ('query', 1.5), ('join', 1.0)),
+qw(term, w) AS (VALUES {_SPARSE_QW_VALUES}),
 scored AS (
   SELECT tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
   FROM tf JOIN qw USING (term) GROUP BY tf.doc_id),
@@ -616,16 +627,9 @@ def v_sparse_drop(spark, sf_dir):
     workload.py:140-152): the lowest-weight 40% of query dims are dropped
     before scoring. The oracle embeds the same post-drop term set, computed
     by the shared drop_query_terms logic at import time."""
-    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
     from vectordb_testbricks_spark.operators.search import sparse_search
-    docs = _t(spark, sf_dir, "documents")
-    tf = term_frequencies(docs, "doc_id", "text")
-    sparse = (tf.groupBy("doc_id")
-              .agg(F.map_from_entries(
-                  F.sort_array(F.collect_list(F.struct(
-                      F.col("term"), F.col("tf").cast("double")))))
-                  .alias("svec")))
-    hits = sparse_search(sparse, _SPARSE_DROP_MAP, "svec", "doc_id", k=10,
+    hits = sparse_search(_sparse_table(spark, sf_dir), _SPARSE_DROP_MAP,
+                         "svec", "doc_id", k=10,
                          drop_ratio_search=_SPARSE_DROP_RATIO)
     return hits.select("query_id", "doc_id",
                        F.round("score", 4).alias("score"),
@@ -656,24 +660,16 @@ SQL_V_SPARSE_DROP = _sparse_drop_sql()
 
 # nq=2 sparse batch (the reference drives batched nq in every search mode,
 # search_permanently.py:99-101): one {term: weight} query vector per entry
-_SPARSE_MULTI_MAPS = [{"spark": 2.0, "query": 1.5, "join": 1.0},
+_SPARSE_MULTI_MAPS = [_SPARSE_QUERY_MAP,
                       {"hash": 1.0, "merge": 2.0, "scan": 0.5}]
 
 
 def v_sparse_multi(spark, sf_dir):
     """V6 at nq=2: two sparse query vectors in one call via
     sparse_search_many — per-query top-10, query_id = batch position."""
-    from vectordb_testbricks_spark.operators.bm25 import term_frequencies
     from vectordb_testbricks_spark.operators.search import sparse_search_many
-    docs = _t(spark, sf_dir, "documents")
-    tf = term_frequencies(docs, "doc_id", "text")
-    sparse = (tf.groupBy("doc_id")
-              .agg(F.map_from_entries(
-                  F.sort_array(F.collect_list(F.struct(
-                      F.col("term"), F.col("tf").cast("double")))))
-                  .alias("svec")))
-    hits = sparse_search_many(sparse, _SPARSE_MULTI_MAPS, "svec", "doc_id",
-                              k=10)
+    hits = sparse_search_many(_sparse_table(spark, sf_dir),
+                              _SPARSE_MULTI_MAPS, "svec", "doc_id", k=10)
     return hits.select("query_id", "doc_id",
                        F.round("score", 4).alias("score"),
                        F.col("rank").cast("bigint").alias("rank"))
@@ -743,18 +739,32 @@ TOKS_STOP_SQL = ("list_filter(string_split_regex(lower({col}), "
                  + _STOP_LIST_SQL + ", t))")
 
 
-def _sql_bm25_scored(toks_sql: str) -> str:
+def _sql_bm25_scored(toks_sql: str, qterms_cte: str | None = None,
+                     per_query: bool = False) -> str:
     """The BM25 scoring CTE chain, parameterized by the tokenizer SQL so
-    analyzer variants (stopword chain) reuse one oracle definition."""
+    analyzer variants (stopword chain) and the batched-nq oracle reuse ONE
+    definition of the k1/b/idf math. ``per_query`` threads query_id through
+    comp/bm25_scored; ``qterms_cte`` overrides the query-terms CTE (must
+    define qterms(query_id, term) when per_query).
+
+    dl/stats derive from `documents` directly (token-array length), NOT
+    from the unnested toks stream: a doc that tokenizes empty (stopword-only
+    text under a stop filter) still counts toward n_docs/avgdl, exactly as
+    Spark's corpus_stats counts every doc."""
+    if qterms_cte is None:
+        qterms_cte = ("qterms AS (SELECT unnest("
+                      f"{toks_sql.format(col=repr(BM25_QUERY))}) AS term)")
+    qcol = "qterms.query_id, " if per_query else ""
+    gcols = "query_id, doc_id" if per_query else "doc_id"
     return f"""
 toks AS (SELECT doc_id, unnest({toks_sql.format(col='text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+dl AS (SELECT doc_id, len({toks_sql.format(col='text')}) AS dl FROM documents),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
-qterms AS (SELECT unnest({toks_sql.format(col=f"'{BM25_QUERY}'")}) AS term),
+{qterms_cte},
 comp AS (
-  SELECT tf.doc_id,
+  SELECT {qcol}tf.doc_id,
          ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
          * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS contrib
   FROM tf
@@ -762,7 +772,7 @@ comp AS (
   JOIN dfreq d USING (term)
   JOIN qterms USING (term)
   CROSS JOIN stats s),
-bm25_scored AS (SELECT doc_id, SUM(contrib) AS score FROM comp GROUP BY doc_id)
+bm25_scored AS (SELECT {gcols}, SUM(contrib) AS score FROM comp GROUP BY {gcols})
 """
 
 
@@ -919,13 +929,7 @@ def _sparse_branch(spark, sf_dir, limit=20):
     """Sparse-IP branch over the per-doc TF map (reuses the cached
     ingest-time tf table) for multi-modal fusion."""
     from vectordb_testbricks_spark.operators.search import sparse_search
-    tf, _ = _bm25_tables(spark, sf_dir)
-    sparse = (tf.groupBy("doc_id")
-              .agg(F.map_from_entries(
-                  F.sort_array(F.collect_list(F.struct(
-                      F.col("term"), F.col("tf").cast("double")))))
-                  .alias("svec")))
-    hits = sparse_search(sparse, {"spark": 2.0, "query": 1.5, "join": 1.0},
+    hits = sparse_search(_sparse_table(spark, sf_dir), _SPARSE_QUERY_MAP,
                          "svec", "doc_id", k=limit)
     return hits.select("query_id", "doc_id", "score", "rank")
 
@@ -946,7 +950,7 @@ def v_rrf_tri(spark, sf_dir):
 
 SQL_V_RRF_TRI = f"""
 WITH {_SQL_FUSION_BRANCHES},
-qw(term, w) AS (VALUES ('spark', 2.0), ('query', 1.5), ('join', 1.0)),
+qw(term, w) AS (VALUES {_SPARSE_QW_VALUES}),
 sparse_scored AS (
   SELECT tf.doc_id, SUM(CAST(tf.tf AS DOUBLE) * qw.w) AS score
   FROM tf JOIN qw USING (term) GROUP BY tf.doc_id),
@@ -1117,6 +1121,10 @@ def v_rrf_multi_q(spark, sf_dir):
 _QTEXT_VALUES = ", ".join(
     f"({i}, '{t}')" for i, t in enumerate(MULTIQ_TEXTS))
 
+_MQ_QTERMS_CTE = f"""qtexts(query_id, qtext) AS (VALUES {_QTEXT_VALUES}),
+qterms AS (SELECT query_id, unnest({TOKS_SQL.format(col='qtext')}) AS term
+           FROM qtexts)"""
+
 SQL_V_RRF_MULTI_Q = f"""
 WITH q AS (SELECT CAST(vec_id AS INT) AS query_id,
                   CAST(embedding AS DOUBLE[]) AS qv
@@ -1129,25 +1137,8 @@ dense AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM dense_scored QUALIFY rank <= 20),
-toks AS (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
-qtexts(query_id, qtext) AS (VALUES {_QTEXT_VALUES}),
-qterms AS (SELECT query_id, unnest({TOKS_SQL.format(col='qtext')}) AS term
-           FROM qtexts),
-comp AS (
-  SELECT qterms.query_id, tf.doc_id,
-         ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
-         * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS contrib
-  FROM tf
-  JOIN dl USING (doc_id)
-  JOIN dfreq d USING (term)
-  JOIN qterms USING (term)
-  CROSS JOIN stats s),
-bm25_scored AS (SELECT query_id, doc_id, SUM(contrib) AS score
-                FROM comp GROUP BY query_id, doc_id),
+{_sql_bm25_scored(TOKS_SQL, qterms_cte=_MQ_QTERMS_CTE,
+                  per_query=True).strip()},
 bm25 AS (
   SELECT query_id, doc_id, score,
          ROW_NUMBER() OVER (PARTITION BY query_id

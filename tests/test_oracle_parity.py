@@ -88,3 +88,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"query_id", "vec_id", "score", "rank"} <= set(df.columns)
+
+
+def test_bm25_oracle_counts_zero_token_docs(spark, tmp_path):
+    """A doc that tokenizes to NOTHING (stopword-only text under a stop
+    filter) must still count toward n_docs/avgdl in the oracle exactly as
+    Spark's corpus_stats counts every doc — the unnested-toks dl CTE this
+    replaces silently dropped such docs and diverged."""
+    import duckdb
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    rows = [(1, "spark join fast"), (2, "The a the a"), (3, "spark query")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs_parquet")
+    docs.coalesce(1).write.parquet(p)
+    hits = bm25_search(docs, E.BM25_QUERY, "doc_id", "text", k=10,
+                       analyzer=E.BM25_STOP_ANALYZER)
+    got = {r["doc_id"]: round(r["score"], 6) for r in hits.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    sql = (f"WITH {E._sql_bm25_scored(E.TOKS_STOP_SQL)} "
+           "SELECT doc_id, score FROM bm25_scored")
+    want = {int(d): round(s, 6) for d, s in con.execute(sql).fetchall()}
+    assert got == want and len(got) == 2

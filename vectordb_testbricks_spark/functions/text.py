@@ -44,7 +44,14 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
             if f == "lowercase":
                 kwargs["lowercase"] = True
             elif isinstance(f, dict) and f.get("type") == "stop":
-                kwargs["stop_words"] = tuple(f.get("stop_words", ()))
+                sw = f.get("stop_words", ())
+                # a bare string (e.g. a builtin-list name like "english")
+                # would silently iterate into single characters
+                if isinstance(sw, str) or not all(
+                        isinstance(w, str) for w in sw):
+                    raise ValueError(
+                        f"stop_words must be a list of strings, got {sw!r}")
+                kwargs["stop_words"] = tuple(sw)
             else:
                 raise ValueError(f"unsupported analyzer filter {f!r}")
     return kwargs

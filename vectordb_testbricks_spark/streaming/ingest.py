@@ -124,15 +124,15 @@ def ingest_until(query: StreamingQuery, *, min_batches: int | None = None,
         if not ok:
             graceful_stop(query)
         return bool(ok)
-    # cumulative rows across every observed progress event — a rate source
+    # count only micro-batches that actually ingested rows — a rate source
     # idling between triggers emits EMPTY micro-batches, and those must not
-    # satisfy a bounded-ingest target that promises actual data landed
+    # satisfy a bounded-ingest target that promises min_batches batches of
+    # actual data landed
     rows_by_batch: dict[int, int] = {}
     while time.monotonic() < deadline:
         for prog in query.recentProgress:
             rows_by_batch[prog["batchId"]] = prog["numInputRows"]
-        if len(rows_by_batch) >= min_batches \
-                and sum(rows_by_batch.values()) > 0:
+        if sum(1 for n in rows_by_batch.values() if n > 0) >= min_batches:
             graceful_stop(query)
             query.awaitTermination(30)
             return True

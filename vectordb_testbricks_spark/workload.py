@@ -223,18 +223,21 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
     Spark 3.2): job groups are per-Python-thread only when each Python
     thread pins its own JVM thread. Unpinned, every worker would stomp one
     shared JVM thread's job group and a timeout could cancel another task's
-    jobs — so that configuration is rejected up front.
+    jobs — so that configuration is rejected up front. The check inspects
+    the live py4j gateway (pinned mode uses ClientServer), not the env var:
+    pinning is fixed at JVM-gateway creation, and the env can be mutated
+    after launch.
     """
-    import os
     import queue
     import threading
     import time
     import uuid
 
-    if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in (
-            "true", "1", "yes"):
+    from py4j.clientserver import ClientServer
+    if not isinstance(spark.sparkContext._gateway, ClientServer):
         raise RuntimeError(
-            "run_async_searches needs PYSPARK_PIN_THREAD=true (per-thread "
+            "run_async_searches needs pinned-thread mode "
+            "(PYSPARK_PIN_THREAD=true at SparkContext launch — per-thread "
             "job groups); unpinned threads share one JVM thread and "
             "cancelJobGroup would hit unrelated tasks")
     sc = spark.sparkContext
