@@ -3,8 +3,6 @@ binary-vector hamming, C8 index-compat validation."""
 
 from __future__ import annotations
 
-import time
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -55,18 +53,28 @@ def test_unknown_column_without_dynamic_field_raises(spark):
 # --------------------------------------------------------------------- TTL
 
 def test_ttl_collection_expires_rows(spark, tmp_path):
+    """Deterministic TTL expiry via the read() clock seam — no sleeps, no
+    race against JVM startup: the TTL is large enough that the real clock
+    never expires rows mid-test, and expiry is asserted by advancing the
+    injected ``now`` past ingest + ttl."""
+    from datetime import datetime, timedelta, timezone
+
     mgr = CollectionManager(spark, str(tmp_path / "wh"))
     mgr.create_collection(SchemaSpec("ttl_col", [
         FieldSpec("pk", "INT64", primary=True),
-        FieldSpec("v", "INT64")], ttl_seconds=2))
+        FieldSpec("v", "INT64")], ttl_seconds=3600))
     rows = spark.range(5).select(F.col("id").alias("pk"),
                                  (F.col("id") * 10).alias("v"))
     mgr.insert("ttl_col", rows)
+    # within TTL on the real clock
     assert mgr.read("ttl_col").count() == 5
-    time.sleep(3)
-    assert mgr.read("ttl_col").count() == 0  # expired
-    mgr.insert("ttl_col", rows)  # fresh batch visible again
-    assert mgr.read("ttl_col").count() == 5
+    future = datetime.now(timezone.utc) + timedelta(seconds=3600 + 60)
+    # advance the clock past ingest + ttl → all expired
+    assert mgr.read("ttl_col", now=future).count() == 0
+    # a fresh batch is visible on the real clock but expired at `future`
+    mgr.insert("ttl_col", rows)
+    assert mgr.read("ttl_col").count() == 10
+    assert mgr.read("ttl_col", now=future).count() == 0
 
 
 # ------------------------------------------------------------ packed binary

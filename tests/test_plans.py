@@ -53,17 +53,31 @@ def test_pk_range_prunes_via_pushdown(tables):
 
 
 def test_token_codes_is_shuffle_free(tables):
+    """The per-doc code computation must stay a row-local array expression:
+    no Aggregate and no *data-dependent* shuffle (the old explode → distinct
+    → groupBy shape). The one allowed Exchange is parallelize_small's
+    round-robin widening of a sub-parallelism fixture scan — verify any
+    Exchange present is exactly that."""
+    import re
     from vectordb_testbricks_spark.operators.dedup import _token_codes
     docs = tables["documents"].df
     p = _optimized(_token_codes(docs, "doc_id", "text", 3))
-    assert "Exchange" not in p and "Aggregate" not in p
+    assert "Aggregate" not in p
+    for m in re.finditer(r"Exchange (\w+)", p):
+        assert m.group(1) == "RoundRobinPartitioning", p
 
 
 def test_tf_table_is_shuffle_free(tables):
+    """Same contract as test_token_codes_is_shuffle_free: tf is a row-local
+    array aggregate — no Aggregate node, no data-dependent shuffle; only
+    parallelize_small's round-robin widening may appear."""
+    import re
     from vectordb_testbricks_spark.operators.bm25 import term_frequencies
     docs = tables["documents"].df
     p = _optimized(term_frequencies(docs, "doc_id", "text"))
-    assert "Exchange" not in p and "Aggregate" not in p
+    assert "Aggregate" not in p
+    for m in re.finditer(r"Exchange (\w+)", p):
+        assert m.group(1) == "RoundRobinPartitioning", p
 
 
 def test_bm25_broadcasts_stats_and_query_terms(tables):

@@ -54,6 +54,7 @@ def test_gen_stream_schema_matches_batch_generator(spark):
         == [(f.name, f.dataType) for f in b.schema]
 
 
+@pytest.mark.stream
 def test_stream_insert_drains_file_source(spark, mgr, tmp_path):
     _mk(mgr, "col_si")
     src = str(tmp_path / "src")
@@ -66,6 +67,7 @@ def test_stream_insert_drains_file_source(spark, mgr, tmp_path):
     assert mgr.read("col_si").count() == 30
 
 
+@pytest.mark.stream
 def test_stream_upsert_is_idempotent_across_batches(spark, mgr, tmp_path):
     """Two file batches with overlapping PKs: upsert mode converges to
     latest-write-wins, no duplicates — the foreachBatch-replay safety
@@ -91,6 +93,7 @@ def test_stream_upsert_is_idempotent_across_batches(spark, mgr, tmp_path):
     assert got[5] == "old_5" and got[15] == "new_15" and got[25] == "new_25"
 
 
+@pytest.mark.stream
 def test_stream_ingest_transform_filters_before_sink(spark, mgr, tmp_path):
     """A quality gate inside the micro-batch: only category < 5 lands."""
     _mk(mgr, "col_tf")
@@ -107,6 +110,7 @@ def test_stream_ingest_transform_filters_before_sink(spark, mgr, tmp_path):
     assert got.agg(F.max("category")).collect()[0][0] == 4
 
 
+@pytest.mark.stream
 def test_checkpoint_resume_skips_committed_batches(spark, mgr, tmp_path):
     """Restarting with the same checkpoint does not re-ingest drained files
     (insert mode would duplicate if offsets were not honored)."""
@@ -123,6 +127,7 @@ def test_checkpoint_resume_skips_committed_batches(spark, mgr, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.stream
 def test_rate_source_continuous_upsert(spark, mgr, tmp_path):
     """The insert-slowly brick end-to-end: rate-source entity stream,
     processingTime cadence, bounded by ingest_until; every landed row is
@@ -150,6 +155,7 @@ def test_rate_source_continuous_upsert(spark, mgr, tmp_path):
                for r in got.select("pk", "varchar_1").collect())
 
 
+@pytest.mark.stream
 def test_stream_appends_into_persisted_ivf(spark, tables, tmp_path):
     """Index freshness under ingest: micro-batches foreachBatch-appended to
     a persisted IVF (no retrain); full-probe search over the grown layout

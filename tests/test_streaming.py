@@ -20,6 +20,7 @@ def test_windowed_counts_batch(tables):
     assert total == ev.count()
 
 
+@pytest.mark.stream
 def test_windowed_stream_matches_batch(spark, tables, tmp_path):
     ev = tables["events"].df.select("event_id", "user_id", "event_type",
                                     "ts", "value")
@@ -51,6 +52,7 @@ def test_sessionize_batch_semantics(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.stream
 def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
     ev = (tables["events"].df
           .filter(F.col("user_id") < 50)
@@ -77,6 +79,7 @@ def test_sessionize_stream_matches_batch(spark, tables, tmp_path):
         assert w.get(k) == v, f"session {k}: stream {v} != batch {w.get(k)}"
 
 
+@pytest.mark.stream
 def test_dedup_stream_matches_batch_distinct(spark, tables, tmp_path):
     """Streaming watermarked dedup must emit each (user_id, event_type) key
     exactly once, and the emitted key set must equal the batch distinct."""

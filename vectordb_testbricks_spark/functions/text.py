@@ -86,10 +86,13 @@ def materialized_tokens(docs, id_col: str, text_col: str,
     logical plans share one cache entry, so repeated calls over the same
     input cost one materialization; at cluster scale this is the familiar
     "tokenize once, reuse" intermediate table."""
+    from vectordb_testbricks_spark.materialize import (
+        parallelize_small, shared_persist)
     kw = analyzer_kwargs(analyzer_params)
-    tk = docs.select(*[F.col(c) for c in (id_col, *extra_cols)],
-                     tokenize(F.col(text_col), **kw).alias("_toks"))
-    return tk.persist()
+    tk = parallelize_small(docs).select(
+        *[F.col(c) for c in (id_col, *extra_cols)],
+        tokenize(F.col(text_col), **kw).alias("_toks"))
+    return shared_persist(tk)
 
 
 def md5_long(c: Column) -> Column:

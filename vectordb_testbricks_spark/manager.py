@@ -270,9 +270,15 @@ class CollectionManager:
 
     # -------------------------------------------------------------- read
     def read(self, name: str,
-             partition_names: list[str] | None = None) -> DataFrame:
+             partition_names: list[str] | None = None,
+             now: "datetime.datetime | None" = None) -> DataFrame:
         """Scan a collection (T3: optionally partition-scoped — the predicate
-        on the partition column prunes at file-listing time)."""
+        on the partition column prunes at file-listing time).
+
+        ``now`` is the TTL clock seam: the reference instant the TTL cutoff
+        is computed from (defaults to ``current_timestamp()``). Injectable so
+        expiry is testable deterministically instead of racing JVM startup
+        against a small ``ttl_seconds``."""
         real = self.resolve(name)
         data = self._data_dir(real)
         spec = self.describe_collection(real)
@@ -290,7 +296,9 @@ class CollectionManager:
         if spec.ttl_seconds:
             # TTL read filter (reference collection property ttl.seconds):
             # only rows ingested within the last ttl_seconds survive
-            cutoff = F.current_timestamp() - F.make_interval(
+            ref = (F.lit(now).cast("timestamp") if now is not None
+                   else F.current_timestamp())
+            cutoff = ref - F.make_interval(
                 secs=F.lit(float(spec.ttl_seconds)))
             df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
         return df

@@ -1,0 +1,47 @@
+"""Shared materialization helpers for cached intermediate tables.
+
+Two recurring problems with ad-hoc ``df.persist()`` in pipeline operators:
+
+1. **Re-registration noise** — operators are plain functions, so two calls
+   build two DataFrame objects over one logical plan. Spark's CacheManager
+   dedups by plan, but each extra ``persist()`` call logs ``Asked to cache
+   already cached data`` and re-registers the handle. :func:`shared_persist`
+   consults the CacheManager first (``df.storageLevel`` is a lookup, not a
+   job) and only persists plans not already cached.
+
+2. **Scan-width materialization** — a cached projection inherits the scan's
+   partitioning. A small parquet file (or a test fixture) scans as 1-2
+   partitions, so a CPU-heavy per-row expression (tokenize → shingle → md5)
+   materializes on 2 of N cores. :func:`parallelize_small` repartitions
+   *only when* the input has fewer partitions than the cluster has slots —
+   on a real 100-TB scan (thousands of input splits) it is a no-op, so the
+   shuffle is only ever paid on inputs small enough for it to be cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def shared_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` unless its logical plan is already cached.
+
+    Identical plans share one CacheManager entry; this guard keeps repeated
+    operator calls (bench warm-up + timed pass, shared token/codes chains)
+    from re-registering it — same reuse, zero ``CacheManager`` warnings.
+    """
+    if df.storageLevel == StorageLevel.NONE:
+        return df.persist()
+    return df
+
+
+def parallelize_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism`` iff the plan has
+    fewer partitions than that — widens CPU-bound materializations over
+    small scans without touching the partitioning of at-scale inputs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_testbricks_spark.materialize import shared_persist
+
 from vectordb_testbricks_spark.functions.vector import score_expr
 
 
@@ -209,7 +211,7 @@ def build_lsh(base: DataFrame, vec_col: str, id_col: str,
     from vectordb_testbricks_spark.operators.dedup import sign_block_key
 
     nv = l2_normalize(to_double_array(F.col(vec_col)))
-    x = base.select(F.col(id_col), nv.alias("_nv")).persist()
+    x = shared_persist(base.select(F.col(id_col), nv.alias("_nv")))
     return x.withColumn("bucket", sign_block_key(F.col("_nv"), bits))
 
 
@@ -283,7 +285,7 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
         l2_normalize, to_double_array)
 
     nv = l2_normalize(to_double_array(F.col(vec_col)))
-    x = base.select(id_col, nv.alias("_nv")).persist()
+    x = shared_persist(base.select(id_col, nv.alias("_nv")))
 
     rows = (x.select("_nv").sample(0.5, seed=seed)
             .limit(train_sample).collect())
@@ -423,7 +425,7 @@ def build_bin_ivf(base: DataFrame, vec_col: str, id_col: str,
         l2_normalize, pack_sign_bits, to_double_array)
 
     nv = l2_normalize(to_double_array(F.col(vec_col)))
-    x = base.select(id_col, F.col(vec_col), nv.alias("_nv")).persist()
+    x = shared_persist(base.select(id_col, F.col(vec_col), nv.alias("_nv")))
     rows = (x.select("_nv").sample(0.5, seed=seed)
             .limit(train_sample).collect())
     if len(rows) < train_sample:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_testbricks_spark.materialize import shared_persist
+
 
 def char_grams(text: Column, n: int) -> Column:
     """Distinct character n-grams of a string column (positions 1-based;
@@ -41,7 +43,8 @@ def build_ngram_index(docs: DataFrame, id_col: str, text_col: str,
     Per-row array expressions + one explode — no shuffle; the downstream
     writer decides layout (partitionBy/bucketBy gram for probe pruning).
     """
-    txt = docs.select(F.col(id_col), F.col(text_col).alias("_txt")).persist()
+    txt = shared_persist(
+        docs.select(F.col(id_col), F.col(text_col).alias("_txt")))
     grams = F.array_distinct(F.flatten(F.array(*[
         char_grams(F.col("_txt"), n)
         for n in range(min_gram, max_gram + 1)])))

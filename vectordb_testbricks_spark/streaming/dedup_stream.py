@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordb_testbricks_spark.streaming._time import ensure_event_time_ltz
+
 
 def dedup_keys(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Shared projection: the dedup identity key (verbatim columns; callers
@@ -31,7 +33,7 @@ def dedup_stream(stream: DataFrame, key_cols: list[str],
     """Watermarked exact dedup: first arrival per key wins; duplicates
     arriving within ``watermark`` of the first are dropped; state for a key
     is freed once the watermark passes it."""
-    return (dedup_keys(stream, key_cols)
+    return (ensure_event_time_ltz(dedup_keys(stream, key_cols), "ts")
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(key_cols))
 

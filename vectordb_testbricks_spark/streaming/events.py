@@ -11,14 +11,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordb_testbricks_spark.streaming._time import ensure_event_time_ltz
+
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str | None = None) -> DataFrame:
     """Tumbling-window count/sum per event_type. With a watermark the same
-    plan runs under readStream in append mode."""
+    plan runs under readStream in append mode (event time normalized to LTZ
+    first — Spark 4 NTZ parquet inference is not watermarkable)."""
     ev = events
     if watermark:
-        ev = ev.withWatermark("ts", watermark)
+        ev = ensure_event_time_ltz(ev, "ts").withWatermark("ts", watermark)
     return (ev.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum(F.col("value").cast("decimal(18,2)"))

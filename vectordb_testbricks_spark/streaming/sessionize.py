@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from vectordb_testbricks_spark.streaming._time import ensure_event_time_ltz
+
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
                      user_col: str = "user_id",
@@ -138,7 +140,7 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
 
     Emits each session exactly once when it closes (gap proven by a later
     event, or event-time timeout once the watermark passes)."""
-    return (events_stream
+    return (ensure_event_time_ltz(events_stream, "ts")
             .withWatermark("ts", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(
