@@ -410,6 +410,29 @@ def v_knn_cosine(spark, sf_dir):
     return _knn(spark, sf_dir, "COSINE")
 
 
+def v_knn_topk15000(spark, sf_dir):
+    """Bench entry at the reference's operating point: top_k=15000
+    (go_bench/config.yaml:19-23; query_horizon_perf.go:579 limit=15000),
+    nq=2, over a 120k-row seeded corpus (the sf0.1 embeddings fixture is
+    2k rows — far below k, so the corpus is generated at the scale the
+    knob is meant for). Exercises the two-phase top-k (search.py:_ranked,
+    Catalyst WindowGroupLimit): the Partial group-limit prunes each map
+    partition to ≤ k rows per query before the exchange — no
+    single-partition window even at k=15000."""
+    from vectordb_testbricks_spark.datagen import gen_rows
+    from vectordb_testbricks_spark.operators.search import knn_search
+    base = gen_rows(spark, 0, 120_000, seed=7, dim=16).select(
+        "pk", "embedding")
+    # seeded datagen re-derives any row from (seed, pk): generate the two
+    # query rows directly instead of scanning the corpus for them
+    qs = (gen_rows(spark, 0, 1, seed=7, dim=16)
+          .unionByName(gen_rows(spark, 60_000, 1, seed=7, dim=16))
+          .select(F.when(F.col("pk") == 0, 0).otherwise(1)
+                  .cast("int").alias("query_id"),
+                  F.col("embedding").alias("qvec")))
+    return knn_search(base, qs, "embedding", "pk", metric="COSINE", k=15000)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")
@@ -1314,6 +1337,55 @@ SELECT COUNT(*) AS n_rows,
            'l_returnflag=' || l_returnflag)), 1, 15) AS BIGINT)
            % 1000000000000) AS BIGINT) AS checksum
 FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def val_latency_stats(spark, sf_dir):
+    """C7: the reference's latency metric set (avg/min/max/p50/p95/p99,
+    search_permanently.py:36-96) as a driver-checkable query.
+
+    The reference computes these client-side over wall-clock samples; a
+    wall-clock is not oracle-checkable, so the micro-workload here produces
+    *deterministic* synthetic latencies — one per event of a fixed 1000-event
+    slice, md5-derived milliseconds with 3 decimal digits — and feeds them
+    through the actual C7 code path (validators.percentile_stats: numpy
+    linear-interpolation percentiles, the same quantile definition as
+    DuckDB's quantile_cont). The collect is bounded by contract (n=1000,
+    the reference's own sample-window shape)."""
+    from vectordb_testbricks_spark.functions.text import md5_long
+    from vectordb_testbricks_spark.validators import percentile_stats
+    ev = (_t(spark, sf_dir, "events")
+          .orderBy("event_id").limit(1000)
+          .select(((md5_long(F.col("event_id").cast("string")) % 100000)
+                   / F.lit(1000.0)).alias("lat_ms")))
+    lats = [r["lat_ms"] for r in ev.collect()]
+    stats = percentile_stats(lats)
+    rows = [(k, round(float(v), 6)) for k, v in sorted(stats.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+SQL_VAL_LATENCY = f"""
+WITH w AS (SELECT event_id FROM events ORDER BY event_id LIMIT 1000),
+lat AS (
+  SELECT ({MD5L.format(s="CAST(event_id AS VARCHAR)")} % 100000) / 1000.0
+         AS lat_ms
+  FROM w),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(lat_ms) AS avg, MIN(lat_ms) AS min, MAX(lat_ms) AS max,
+         quantile_cont(lat_ms, 0.50) AS p50,
+         quantile_cont(lat_ms, 0.95) AS p95,
+         quantile_cont(lat_ms, 0.99) AS p99
+  FROM lat)
+SELECT metric, ROUND(value, 6) AS value
+FROM (
+  SELECT 'avg' AS metric, avg AS value FROM s
+  UNION ALL SELECT 'max', max FROM s
+  UNION ALL SELECT 'min', min FROM s
+  UNION ALL SELECT 'n', n FROM s
+  UNION ALL SELECT 'p50', p50 FROM s
+  UNION ALL SELECT 'p95', p95 FROM s
+  UNION ALL SELECT 'p99', p99 FROM s)
 """
 
 
@@ -2281,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_insert": dml_insert,
         "wl_pressure": wl_pressure,
         "val_checksum": val_checksum,
+        "val_latency_stats": val_latency_stats,
         "gen_rows_check": gen_rows_check,
         "dd_exact": dd_exact,
         "dd_minhash": dd_minhash,
@@ -2338,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "dml_insert": SQL_DML_INSERT,
         "wl_pressure": SQL_WL_PRESSURE,
         "val_checksum": SQL_VAL_CHECKSUM,
+        "val_latency_stats": SQL_VAL_LATENCY,
         "gen_rows_check": SQL_GEN_ROWS,
         "dd_exact": SQL_DD_EXACT,
         "dd_minhash": SQL_DD_MINHASH,

@@ -31,6 +31,7 @@ HEADLINE = [
     "v_rrf_fusion",
     "v_sparse_dot",
     "v_ivf_cosine",
+    "v_knn_topk15000",
     "dml_upsert",
     "dml_delete",
     "val_checksum",

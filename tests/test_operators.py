@@ -219,15 +219,17 @@ def test_persisted_bin_ivf_probe_prunes_partitions(spark, tables, tmp_path,
                for s in scans if "PartitionFilters" in s)
 
 
-def test_two_phase_topk_equals_single_phase(emb, queries3):
+def test_topk_plans_as_partial_window_group_limit(emb, queries3):
+    """The rank<=k filter must plan as Catalyst's two-phase WindowGroupLimit:
+    a Partial group-limit on the map side (each partition forwards ≤ k rows
+    per query into the exchange) and a Final one after it — the declarative
+    replacement for the old hand-rolled spark_partition_id() local window."""
     from vectordb_testbricks_spark.operators.search import knn_search
 
-    one = knn_search(emb, queries3, "embedding", "vec_id", metric="L2",
-                     k=7, two_phase=False)
-    two = knn_search(emb, queries3, "embedding", "vec_id", metric="L2",
-                     k=7, two_phase=True)
-    assert [tuple(r) for r in one.orderBy("query_id", "rank").collect()] == \
-        [tuple(r) for r in two.orderBy("query_id", "rank").collect()]
+    df = knn_search(emb, queries3, "embedding", "vec_id", metric="L2", k=7)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p and "Final" in p, p
+    assert df.count() == 21  # 3 queries × k=7, semantics intact
 
 
 def test_drop_query_terms_semantics():

@@ -238,3 +238,23 @@ def test_single_query_windows_keep_partition_spec(tables):
         assert specs, "expected at least one window"
         for spec in specs:
             assert "query_id" in spec, f"folded partition spec: {spec}"
+
+
+def test_topk15000_plan_is_two_phase(spark):
+    """At the reference operating point (top_k=15000, go_bench config) the
+    ranking must stay two-phase: Catalyst's WindowGroupLimit rewrite — a
+    Partial group-limit on the map side (each partition forwards ≤ k rows
+    per query into the exchange) and a Final one after it — never a single
+    global sort/window over the full scored stream, and no window without a
+    partition spec."""
+    import re
+    from __spark_entry__ import v_knn_topk15000
+    p = _plan(v_knn_topk15000(spark, "/root/testdata/sf0.001"))
+    partials = [l for l in p.splitlines()
+                if "WindowGroupLimit" in l and "Partial" in l]
+    finals = [l for l in p.splitlines()
+              if "WindowGroupLimit" in l and "Final" in l]
+    assert partials and finals, p
+    # the group-limit key is the per-query partition spec
+    assert all("query_id" in l for l in partials + finals), p
+    assert not re.search(r"Window \[[^\]]*\], \[\]", p), "unpartitioned window"

@@ -6,14 +6,21 @@ output_fields, group_by_field)`` → per-query ranked hit list (id, distance).
 
 Spark plan shape:
     queries (tiny, broadcast) ⨯ base  →  score expression (codegen)
-      →  per-partition local top-k     (window over (query, partition_id))
-      →  global top-k                  (window over (query,) on ~nq·k·P rows)
+      →  WindowGroupLimit Partial      (map-side top-k per query, pre-shuffle)
+      →  Exchange on query_id          (≤ nq × k × num_partitions rows)
+      →  WindowGroupLimit Final + rank
 
-The two-phase top-k is the 100-TB design point: a single window over
+The two-phase top-k is the 100-TB design point: a naive window over
 ``partitionBy(query_id)`` would shuffle the *entire* scored table into nq
-partitions (catastrophic skew at nq=1). Phase 1 instead shuffles evenly over
-(query_id, spark_partition_id) — same total volume but full parallelism —
-and phase 2 only sees nq × k × num_partitions pre-filtered rows.
+partitions (catastrophic skew at nq=1). Catalyst's InferWindowGroupLimit
+rewrite (Spark 3.5+) turns the declarative ``row_number() <= k`` filter into
+exactly the two-phase plan: a *Partial* group-limit prunes each map
+partition to k rows per query before the exchange, so the shuffle carries at
+most nq × k × num_partitions rows. (An earlier hand-rolled
+spark_partition_id() local window bought the same pruning at the cost of an
+extra full hash shuffle + sort — measured 2× slower at the reference's
+top_k=15000 operating point; plan guards now pin the native rewrite
+instead.)
 
 Exact brute-force is the *declared* semantics (the correctness oracle);
 the IVF index in ``ann_index.py`` is the opt-in approximate physical path,
@@ -45,18 +52,22 @@ def queries_df(spark, vectors: list[list[float]]) -> DataFrame:
 
 
 def _ranked(scored: DataFrame, id_col: str, asc: bool, k: int,
-            extra_partition: list[str] | None = None,
-            two_phase: bool = True) -> DataFrame:
+            extra_partition: list[str] | None = None) -> DataFrame:
+    """Per-query top-k via a ranked window.
+
+    The scale path is Catalyst's WindowGroupLimit rewrite (Spark 3.5+,
+    InferWindowGroupLimit): a ``row_number() <= k`` filter over this window
+    plans as a *Partial* group-limit on the map side — each input partition
+    forwards at most k rows per query into the exchange — followed by a
+    Final group-limit after it. That is the two-phase top-k; expressing it
+    declaratively (instead of a hand-rolled spark_partition_id() local
+    window, which this replaces) saves a whole extra hash shuffle + sort
+    and lets the rewrite skip the prune when k exceeds the partition size.
+    Guarded by tests/test_plans.py (partial group-limit below the
+    exchange)."""
     order = [F.col("score").asc() if asc else F.col("score").desc(),
              F.col(id_col).asc()]
     part = ["query_id", *(extra_partition or [])]
-    if two_phase:
-        local = Window.partitionBy(*part, "_pid").orderBy(*order)
-        scored = (scored
-                  .withColumn("_pid", F.spark_partition_id())
-                  .withColumn("_lr", F.row_number().over(local))
-                  .filter(F.col("_lr") <= k)
-                  .drop("_pid", "_lr"))
     w = Window.partitionBy(*part).orderBy(*order)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -66,8 +77,7 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
                metric: str = "L2", k: int = 10,
                flt: str | Column | None = None,
                output_fields: list[str] | None = None,
-               group_by: str | None = None, group_size: int = 1,
-               two_phase: bool = True) -> DataFrame:
+               group_by: str | None = None, group_size: int = 1) -> DataFrame:
     """V1/V2/V5: ANN top-k per query vector, optional pre-filter + grouping.
 
     ``queries`` must have (query_id, qvec). Returns
@@ -103,7 +113,7 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
             F.col(group_by).asc())
         return (best.withColumn("group_rank", F.dense_rank().over(rw))
                 .filter(F.col("group_rank") <= k).drop("_gs"))
-    return _ranked(scored, id_col, asc, k, two_phase=two_phase)
+    return _ranked(scored, id_col, asc, k)
 
 
 def drop_query_terms(query_map: dict, drop_ratio_search: float) -> dict:

@@ -25,6 +25,12 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep InferWindowGroupLimit (map-side top-k prune before the
+        # shuffle) active at the reference's top_k=15000 operating point —
+        # the rewrite is skipped above this threshold (default 1000) and
+        # rank<=k would otherwise shuffle every scored row into nq
+        # partitions
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata parquet carries TIMESTAMP(NANOS); read as long, the
         # catalog loader converts back to TimestampType (micros)
