@@ -1,0 +1,90 @@
+"""Unit tests for the shared materialization helpers (materialize.py) and
+the streaming event-time normalizer (streaming/_time.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+
+def test_shared_persist_registers_once(spark):
+    from vectordb_testbricks_spark.materialize import shared_persist
+    df = spark.range(10).select((F.col("id") * 3).alias("x"))
+    p1 = shared_persist(df)
+    assert p1.storageLevel != StorageLevel.NONE
+    # a fresh DataFrame over the identical plan reuses the cache entry
+    # instead of re-registering (no "already cached" churn)
+    df2 = spark.range(10).select((F.col("id") * 3).alias("x"))
+    p2 = shared_persist(df2)
+    assert p2.storageLevel != StorageLevel.NONE
+    assert p2.count() == 10
+    p1.unpersist()
+
+
+def test_parallelize_small_widens_narrow_input(spark):
+    from vectordb_testbricks_spark.materialize import parallelize_small
+    narrow = spark.range(0, 100, 1, numPartitions=1)
+    wide = parallelize_small(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.count() == 100
+
+
+def test_parallelize_small_is_noop_at_scale_width(spark):
+    from vectordb_testbricks_spark.materialize import parallelize_small
+    target = spark.sparkContext.defaultParallelism
+    already = spark.range(0, 100, 1, numPartitions=target + 4)
+    out = parallelize_small(already)
+    # no repartition injected: partitioning (and the plan) untouched
+    assert out.rdd.getNumPartitions() == target + 4
+    assert "Repartition" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ensure_event_time_ltz_casts_only_ntz(spark):
+    from vectordb_testbricks_spark.streaming._time import ensure_event_time_ltz
+    ntz = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], "raw string").select(
+        F.col("raw").cast(T.TimestampNTZType()).alias("ts"))
+    assert isinstance(ntz.schema["ts"].dataType, T.TimestampNTZType)
+    fixed = ensure_event_time_ltz(ntz, "ts")
+    assert isinstance(fixed.schema["ts"].dataType, T.TimestampType)
+    # UTC session: the wall-clock value is preserved exactly
+    assert str(fixed.first()["ts"]) == "2024-01-01 10:00:00"
+
+    ltz = spark.createDataFrame([("2024-01-01 10:00:00",)], "raw string") \
+        .select(F.to_timestamp("raw").alias("ts"))
+    # already-LTZ input passes through as the same object (plan untouched)
+    assert ensure_event_time_ltz(ltz, "ts") is ltz
+
+
+def test_ntz_source_is_watermarkable_end_to_end(spark, tmp_path):
+    """The round-3 failure mode: a parquet source whose event time infers as
+    TIMESTAMP_NTZ must stream through a watermarked aggregation."""
+    from vectordb_testbricks_spark.streaming.events import windowed_counts
+    src = str(tmp_path / "ntz_src")
+    # three single-row files in time order: with maxFilesPerTrigger=1 each
+    # becomes its own micro-batch, so the watermark advances across batches
+    # and append mode can emit the closed first window before termination
+    for i, (eid, raw) in enumerate([(1, "2024-01-01 10:05:00"),
+                                    (2, "2024-01-01 13:00:00"),
+                                    (3, "2024-01-01 16:00:00")]):
+        spark.createDataFrame(
+            [(eid, "a", raw, 1.0)],
+            "event_id long, event_type string, raw string, value double") \
+            .select("event_id", "event_type",
+                    F.col("raw").cast(T.TimestampNTZType()).alias("ts"),
+                    "value").coalesce(1) \
+            .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    assert isinstance(schema["ts"].dataType, T.TimestampNTZType)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = windowed_counts(stream, "1 hour", watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("ntz_wm_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    # append mode emits watermark-closed windows; the stream ran without
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — that is the regression guard
+    assert spark.table("ntz_wm_out").count() >= 1
