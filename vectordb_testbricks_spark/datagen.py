@@ -43,14 +43,22 @@ def hash_unit(seed: int, *keys: Column) -> Column:
 
 def gen_vector(seed: int, pk: Column, dim: int, normalize: bool = True) -> Column:
     """G2: stable per-pk vector — hash noise per (seed, pk, i), L2-normalized
-    like the reference's float vectors (data.py:18-24)."""
+    like the reference's float vectors (data.py:18-24).
+
+    The norm is bound via ``aggregate``'s *finish* lambda: higher-order
+    function bodies are evaluated per element with no common-subexpression
+    hoisting, so the naive ``transform(raw, x -> x / sqrt(sum(raw²)))``
+    re-evaluates the whole O(dim) norm — dim md5s — for every element,
+    O(dim²) md5s per row. Binding the accumulated sum to the finish
+    lambda's variable evaluates it once; raw costs two passes total."""
     raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
                       lambda i: hash_unit(seed, pk, i))
     if not normalize:
         return raw
-    nrm = F.sqrt(F.aggregate(F.transform(raw, lambda x: x * x),
-                             F.lit(0.0), lambda a, v: a + v))
-    return F.transform(raw, lambda x: x / nrm)
+    return F.aggregate(
+        F.transform(raw, lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v,
+        lambda s: F.transform(raw, lambda x: x / F.sqrt(s)))
 
 
 def rows_from_ids(ids: DataFrame, seed: int = 42, dim: int = 8,
