@@ -56,9 +56,17 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize a double array: x / ||x||. Normalizing once per row
     turns pairwise cosine into a single dot product (the flop-dominant path
-    in O(n²) near-dup joins)."""
-    n = norm(a)
-    return F.transform(a, lambda x: x / n)
+    in O(n²) near-dup joins).
+
+    The norm is bound through ``aggregate``'s finish lambda: HOF bodies are
+    evaluated per element without common-subexpression hoisting, so the
+    naive ``transform(a, x -> x / norm(a))`` re-evaluates the O(d) norm for
+    every element — O(d²) per row (see datagen.gen_vector for the same
+    fix)."""
+    return F.aggregate(
+        F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+        lambda s: F.transform(a, lambda x: x / F.sqrt(s)))
 
 
 def hamming_sign(a: Column, b: Column) -> Column:
