@@ -3,6 +3,8 @@ the streaming event-time normalizer (streaming/_time.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -57,6 +59,7 @@ def test_ensure_event_time_ltz_casts_only_ntz(spark):
     assert ensure_event_time_ltz(ltz, "ts") is ltz
 
 
+@pytest.mark.stream
 def test_ntz_source_is_watermarkable_end_to_end(spark, tmp_path):
     """The round-3 failure mode: a parquet source whose event time infers as
     TIMESTAMP_NTZ must stream through a watermarked aggregation."""

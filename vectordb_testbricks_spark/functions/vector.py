@@ -64,7 +64,7 @@ def l2_normalize(a: Column) -> Column:
     every element — O(d²) per row (see datagen.gen_vector for the same
     fix)."""
     return F.aggregate(
-        F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
         lambda s: F.transform(a, lambda x: x / F.sqrt(s)))
 

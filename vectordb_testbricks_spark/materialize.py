@@ -36,10 +36,27 @@ def shared_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# logical-plan nodes whose presence means the input already went (or will
+# go) through a shuffle — its width is governed by shuffle.partitions, so
+# widening is pointless and probing .rdd could trigger AQE stage execution
+_WIDE_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition",
+               "Deduplicate")
+
+
 def parallelize_small(df: DataFrame) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` iff the plan has
     fewer partitions than that — widens CPU-bound materializations over
-    small scans without touching the partitioning of at-scale inputs."""
+    small scans without touching the partitioning of at-scale inputs.
+
+    Guarded for AQE: converting an adaptive plan to an RDD
+    (``getFinalPhysicalPlan``) *executes* any upstream shuffle stages, so
+    the partition probe is only taken for narrow plans (scan / project /
+    filter / union — no shuffle node in the optimized plan, hence nothing
+    for AQE to run). Shuffled inputs are returned untouched: their width is
+    already ``spark.sql.shuffle.partitions``."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(n in plan for n in _WIDE_NODES):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
