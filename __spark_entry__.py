@@ -861,11 +861,43 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _bm25_managed_collection(spark, sf_dir):
+    """One-time ingest of the documents table into a manager collection
+    whose schema declares the BM25 FunctionSpec — insert builds the
+    tf/doclen sidecar server-side (schema_matrix_2_6.yaml:65-69), search
+    reads only the sidecar. Cached per (session, sf_dir) like
+    _BM25_CACHE; re-runs reuse the warehouse on disk."""
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import (
+        FieldSpec, FunctionSpec, SchemaSpec)
+    key = (_session_key(spark), sf_dir, "managed_fts")
+    cached = _BM25_CACHE.get(key)
+    if cached is not None:
+        return cached
+    wh = tempfile.mkdtemp(prefix="vts_bm25_wh_")
+    mgr = CollectionManager(spark, wh)
+    spec = SchemaSpec("docs_fts", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=4096, enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")])
+    mgr.create_collection(spec)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.lit(None).cast("map<int,float>").alias("sparse_bm25"))
+    mgr.insert("docs_fts", docs)
+    _BM25_CACHE[key] = mgr
+    return mgr
+
+
 def v_bm25_modes(spark, sf_dir):
-    """V7 consolidated: BM25 under the standard analyzer and under a
-    stopword filter chain (analyzer_params round-trip — the corpus tf/dl
-    tables and the query tokenization both honor the declared analyzer,
-    so stopword removal shifts dl/avgdl and therefore scores)."""
+    """V7 consolidated: BM25 under the standard analyzer, under a stopword
+    filter chain (analyzer_params round-trip — the corpus tf/dl tables and
+    the query tokenization both honor the declared analyzer, so stopword
+    removal shifts dl/avgdl and therefore scores), and through the
+    manager-maintained ingest-time sidecar (the server-computed function
+    field production path — must score identically to 'standard')."""
     from vectordb_testbricks_spark.operators.bm25 import bm25_search
     std = (v_bm25(spark, sf_dir)
            .select(F.lit("standard").alias("analyzer"),
@@ -877,7 +909,13 @@ def v_bm25_modes(spark, sf_dir):
             .select(F.lit("stop").alias("analyzer"), "query_id", "doc_id",
                     F.round("score", 4).alias("score"),
                     F.col("rank").cast("bigint").alias("rank")))
-    return std.unionByName(stop)
+    mgr = _bm25_managed_collection(spark, sf_dir)
+    managed = (mgr.bm25_search("docs_fts", BM25_QUERY, k=10)
+               .select(F.lit("managed").alias("analyzer"), "query_id",
+                       F.col("doc_id"),
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank")))
+    return std.unionByName(stop).unionByName(managed)
 
 
 SQL_V_BM25_MODES = f"""
@@ -892,6 +930,9 @@ ranked AS (
   FROM bm25_scored)
 SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
 FROM ranked WHERE rank <= 10)
+UNION ALL
+SELECT 'managed' AS analyzer, query_id, doc_id, score, rank
+FROM ({SQL_V_BM25})
 """
 
 

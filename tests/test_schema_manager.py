@@ -3,6 +3,8 @@ lifecycle: create/drop/alias/partitions/DML round-trips."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -342,3 +344,107 @@ def test_analyzer_params_round_trip_through_catalog(mgr):
     f = next(fl for fl in loaded.fields if fl.name == "text")
     assert f.enable_analyzer is True
     assert f.analyzer_params == az
+
+
+# --------------------------------------------- BM25 function-field sidecar
+
+def _mk_fts(mgr, name="fts_coll", analyzer=None):
+    """Collection with a server-computed BM25 function field
+    (milvus_client/common/schema.py:37-43, schema_matrix_2_6.yaml:65-69)."""
+    spec = SchemaSpec(name, [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=512, enable_analyzer=True,
+                  analyzer_params=analyzer),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")])
+    mgr.create_collection(spec)
+    return spec
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string").withColumn(
+        "sparse_bm25", F.lit(None).cast("map<int,float>"))
+
+
+def test_bm25_sidecar_insert_and_search(mgr, spark):
+    """Insert maintains the tf/doclen sidecar; manager search over the
+    sidecar equals the derive-on-the-fly bm25_search on the same state."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    _mk_fts(mgr)
+    rows = [(1, "spark shuffles data"), (2, "spark caches data data"),
+            (3, "ducks row boats"), (4, "data data data lake")]
+    mgr.insert("fts_coll", _docs(spark, rows))
+    got = mgr.bm25_search("fts_coll", "spark data", k=3).collect()
+    ref = bm25_search(mgr.read("fts_coll"), "spark data", "doc_id", "text",
+                      k=3).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] \
+        == [(r.doc_id, round(r.score, 9)) for r in ref]
+    assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_bm25_sidecar_incremental_insert_no_rebuild(mgr, spark):
+    """A second insert batch appends to the sidecar (CURRENT manifest
+    unchanged — no rebuild) and search immediately reflects the new docs
+    with corpus-wide stats (n_docs/avgdl include both batches)."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [(1, "alpha beta"), (2, "beta gamma")]))
+    root = mgr._fn_root("fts_coll", "fts")
+    assert not os.path.exists(os.path.join(root, "CURRENT"))
+    mgr.insert("fts_coll", _docs(spark, [(3, "alpha alpha delta")]))
+    assert not os.path.exists(os.path.join(root, "CURRENT"))  # append-only
+    got = mgr.bm25_search("fts_coll", "alpha", k=3).collect()
+    ref = bm25_search(mgr.read("fts_coll"), "alpha", "doc_id", "text",
+                      k=3).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in ref] == [3, 1]
+    assert [round(r.score, 9) for r in got] == \
+        [round(r.score, 9) for r in ref]
+
+
+def test_bm25_sidecar_rebuilds_on_rewrite(mgr, spark):
+    """Upsert (text change) and delete rewrite the sidecar: scores reflect
+    the new corpus exactly (df/avgdl are global state, not per-batch)."""
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [
+        (1, "red fish"), (2, "blue fish"), (3, "red red herring")]))
+    mgr.upsert("fts_coll", _docs(spark, [(2, "green turtle")]))
+    mgr.delete("fts_coll", "doc_id == 3")
+    got = mgr.bm25_search("fts_coll", "red fish turtle", k=3).collect()
+    ref = bm25_search(mgr.read("fts_coll"), "red fish turtle", "doc_id",
+                      "text", k=3).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] \
+        == [(r.doc_id, round(r.score, 9)) for r in ref]
+    ids = {r.doc_id for r in got}
+    assert 3 not in ids and 2 in ids
+
+
+def test_bm25_sidecar_filtered_search_keeps_global_stats(mgr, spark):
+    """flt prunes candidates only; IDF/avgdl stay collection-level (the
+    server-side stats shape) — so a filtered hit keeps the same score it
+    has unfiltered."""
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [
+        (1, "solo term crowd"), (2, "crowd crowd"), (3, "crowd term")]))
+    unf = {r.doc_id: r.score
+           for r in mgr.bm25_search("fts_coll", "term", k=3).collect()}
+    flt = mgr.bm25_search("fts_coll", "term", k=3,
+                          flt="doc_id >= 3").collect()
+    assert [r.doc_id for r in flt] == [3]
+    assert flt[0].score == unf[3]
+
+
+def test_bm25_sidecar_zero_token_docs_count(mgr, spark):
+    """A doc whose text tokenizes empty under the analyzer still counts in
+    n_docs/avgdl (oracle parity rule; bm25.corpus_stats behavior)."""
+    az = {"tokenizer": "standard",
+          "filter": ["lowercase", {"type": "stop", "stop_words": ["the"]}]}
+    _mk_fts(mgr, analyzer=az)
+    mgr.insert("fts_coll", _docs(spark, [
+        (1, "the the"), (2, "quick fox"), (3, "lazy dog")]))
+    _, stats = mgr.function_tables("fts_coll")
+    row = stats.limit(1).collect()[0]
+    assert row.n_docs == 3
+    # avgdl over all docs: (0 + 2 + 2) / 3
+    assert abs(row.avgdl - 4.0 / 3.0) < 1e-12

@@ -173,7 +173,10 @@ class CollectionManager:
     def insert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
         """S1: append a row batch (optionally into an explicit partition).
-        TTL collections stamp each batch with the ingest timestamp."""
+        TTL collections stamp each batch with the ingest timestamp.
+        BM25 function sidecars are appended *incrementally* from the batch
+        alone (the server-computed-at-insert shape, schema.py:37-43) —
+        no full rebuild."""
         spec = self.describe_collection(name)
         routed = self._route(spec, df, partition_name)
         if spec.ttl_seconds:
@@ -185,6 +188,12 @@ class CollectionManager:
             routed = routed.repartition(spec.shards_num, F.col(spec.pk.name))
         (routed.write.mode("append").partitionBy(PARTITION_COL)
          .parquet(self._data_dir(self.resolve(name))))
+        real = self.resolve(name)
+        for fn in self._bm25_functions(spec):
+            tf, doclen = self._fn_batch_tables(spec, fn, df)
+            base = self._fn_data_dir(real, fn.name)
+            tf.write.mode("append").parquet(os.path.join(base, "tf"))
+            doclen.write.mode("append").parquet(os.path.join(base, "doclen"))
 
     def upsert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
@@ -267,6 +276,153 @@ class CollectionManager:
         for entry in os.listdir(d):
             if entry.startswith("data") and entry not in keep:
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+        # function sidecars must reflect the rewritten state: recompute from
+        # the new version (delete/upsert invalidate df/avgdl globally, so a
+        # rewrite — unlike insert — cannot be incremental)
+        spec = self.describe_collection(real)
+        if self._bm25_functions(spec):
+            self._rebuild_function_sidecars(real, spec)
+
+    # ----------------------------------------- BM25 function sidecars (V7)
+    # In the reference the BM25 FunctionSpec is *server-computed at insert*
+    # (milvus_client/common/schema.py:37-43, schema_matrix_2_6.yaml:65-69):
+    # the engine maintains term-frequency state as rows arrive and search
+    # only reads it. Spark mapping: two parquet sidecar tables per function,
+    #   tf(pk, term, tf, dl)   — the materialized "sparse_bm25" field
+    #   doclen(pk, dl)         — every doc (incl. zero-token ones), so
+    #                            n_docs/avgdl stay exact under stop filters
+    # appended per insert batch, rebuilt (versioned + CURRENT flip, same
+    # commit shape as the data dir) on upsert/partial_update/delete.
+
+    @staticmethod
+    def _bm25_functions(spec: SchemaSpec) -> list[FunctionSpec]:
+        return [fn for fn in spec.functions if fn.function_type == "BM25"]
+
+    def _resolve_function(self, spec: SchemaSpec,
+                          fn_name: str | None) -> FunctionSpec:
+        fns = self._bm25_functions(spec)
+        if not fns:
+            raise SchemaError(f"{spec.name}: no BM25 function declared")
+        if fn_name is None:
+            if len(fns) > 1:
+                raise SchemaError(
+                    f"{spec.name}: multiple BM25 functions, pass fn_name")
+            return fns[0]
+        for fn in fns:
+            if fn.name == fn_name:
+                return fn
+        raise SchemaError(f"{spec.name}: unknown function {fn_name!r}")
+
+    def _fn_root(self, real: str, fn_name: str) -> str:
+        return os.path.join(self._dir(real), f"fn_{fn_name}")
+
+    def _fn_data_dir(self, real: str, fn_name: str) -> str:
+        root = self._fn_root(real, fn_name)
+        cur = os.path.join(root, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                return os.path.join(root, fh.read().strip())
+        return os.path.join(root, "t")
+
+    def _fn_analyzer(self, spec: SchemaSpec, fn: FunctionSpec) -> dict | None:
+        field = next(f for f in spec.fields if f.name == fn.input_field)
+        return field.analyzer_params
+
+    def _fn_batch_tables(self, spec: SchemaSpec, fn: FunctionSpec,
+                         df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(tf, doclen) for a batch / full state ``df``."""
+        from vectordb_testbricks_spark.functions.text import (
+            analyzer_kwargs, tokenize)
+        from vectordb_testbricks_spark.operators.bm25 import term_frequencies
+        pk = spec.pk.name
+        analyzer = self._fn_analyzer(spec, fn)
+        tf = term_frequencies(df, pk, fn.input_field, analyzer)
+        doclen = df.select(
+            pk, F.size(tokenize(F.col(fn.input_field),
+                                **analyzer_kwargs(analyzer))).alias("dl"))
+        return tf, doclen
+
+    def _rebuild_function_sidecars(self, real: str, spec: SchemaSpec) -> None:
+        """Full sidecar recompute from the current visible state, committed
+        with the same write-new-version-then-flip-CURRENT shape as
+        :meth:`_overwrite` (readers never see a partial sidecar)."""
+        import uuid
+        state = self.read(real)
+        for fn in self._bm25_functions(spec):
+            root = self._fn_root(real, fn.name)
+            os.makedirs(root, exist_ok=True)
+            previous = os.path.basename(self._fn_data_dir(real, fn.name))
+            version = f"t.v{uuid.uuid4().hex[:12]}"
+            tf, doclen = self._fn_batch_tables(spec, fn, state)
+            tf.write.mode("overwrite").parquet(
+                os.path.join(root, version, "tf"))
+            doclen.write.mode("overwrite").parquet(
+                os.path.join(root, version, "doclen"))
+            tmp = os.path.join(root, "CURRENT.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(version)
+            os.replace(tmp, os.path.join(root, "CURRENT"))
+            keep = {version, previous}
+            for entry in os.listdir(root):
+                if entry.startswith("t") and entry not in keep:
+                    shutil.rmtree(os.path.join(root, entry),
+                                  ignore_errors=True)
+
+    def function_tables(self, name: str, fn_name: str | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
+        """The BM25 search inputs: ``(tf_df, stats)`` read from the
+        manager-maintained sidecar (never derived from the data scan).
+        ``stats`` is the (term, df_t, n_docs, avgdl) relation
+        :func:`operators.bm25.bm25_search` expects — df_t aggregates the
+        tf table ((pk, term) is unique per doc), n_docs/avgdl come from
+        the doclen table so zero-token docs still count."""
+        spec = self.describe_collection(name)
+        fn = self._resolve_function(spec, fn_name)
+        real = self.resolve(name)
+        base = self._fn_data_dir(real, fn.name)
+        pk = spec.pk.name
+        if not os.path.exists(os.path.join(base, "tf")):
+            from pyspark.sql import types as T
+            pk_t = spec.pk.spark_type()
+            tf = self.spark.createDataFrame([], T.StructType([
+                T.StructField(pk, pk_t), T.StructField("term", T.StringType()),
+                T.StructField("tf", T.IntegerType()),
+                T.StructField("dl", T.IntegerType())]))
+            doclen = self.spark.createDataFrame([], T.StructType([
+                T.StructField(pk, pk_t), T.StructField("dl", T.IntegerType())]))
+        else:
+            tf = self.spark.read.parquet(os.path.join(base, "tf"))
+            doclen = self.spark.read.parquet(os.path.join(base, "doclen"))
+        totals = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                            F.avg("dl").alias("avgdl"))
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        return tf, df_t.crossJoin(F.broadcast(totals))
+
+    def bm25_search(self, name: str, query_texts: str | list[str],
+                    k: int = 10, flt: str | None = None,
+                    fn_name: str | None = None) -> DataFrame:
+        """V7 production path: search the manager-maintained BM25 sidecar.
+
+        ``flt`` restricts the *candidate* documents (left-semi on the tf
+        table) while IDF/avgdl stay collection-level — the reference
+        engine's server-side stats are global, filters prune hits only
+        (validate_phase_dml_dql.py:332-369 filtered FTS)."""
+        from vectordb_testbricks_spark.exprlang import compile_expr
+        from vectordb_testbricks_spark.operators.bm25 import bm25_search_many
+        spec = self.describe_collection(name)
+        fn = self._resolve_function(spec, fn_name)
+        pk = spec.pk.name
+        docs = self.read(name)
+        tf, stats = self.function_tables(name, fn.name)
+        if flt is not None:
+            # candidate pruning only — no forced broadcast (the filtered id
+            # set is data-sized; AQE picks the join strategy)
+            ids = docs.filter(compile_expr(flt, docs)).select(pk)
+            tf = tf.join(ids, pk, "left_semi")
+        texts = [query_texts] if isinstance(query_texts, str) else query_texts
+        return bm25_search_many(docs, texts, pk, fn.input_field, k=k,
+                                tf_df=tf, stats=stats,
+                                analyzer=self._fn_analyzer(spec, fn))
 
     # -------------------------------------------------------------- read
     def read(self, name: str,
