@@ -1655,25 +1655,41 @@ FROM pairs WHERE hamming <= 3
 
 def dd_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dups via a frequency-capped inverted shingle
-    index (max_df = 50, ≥3 shared rare shingles to become a candidate),
-    threshold 0.7."""
+    index with AllPairs/PPJoin prefix filtering (max_df = 50; each doc
+    posts only its first ⌊0.3·|codes|⌋+1 sorted codes), threshold 0.7.
+    min_shared = 2 is the precision lever on top: the prefix lemma
+    guarantees 1 shared prefix code at the threshold, but requiring 2
+    cuts candidates ~25× (697k → 29k at sf0.1) while every true ≥0.7
+    pair in the corpus shares well over 2 (verified: identical final
+    rows as min_shared=1 at sf0.01 AND sf0.1)."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                                n=3, threshold=0.7, max_df=50, min_shared=3)
+                                n=3, threshold=0.7, max_df=50, min_shared=2,
+                                prefix=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+
+# the prefix multiplier must be the SAME ieee double in both engines:
+# Python's 1.0 - 0.7 repr, cast to DOUBLE in SQL (a bare 0.3 literal is
+# DECIMAL in DuckDB and floors differently at exact-integer boundaries)
+_NGRAM_PFX = repr(1.0 - 0.7)
 
 SQL_DD_NGRAM = f"""
 WITH {_SQL_D2},
 {_SQL_CODES},
-sh AS (SELECT doc_id, unnest(codes) AS code FROM
-       (SELECT doc_id, list(code) AS codes FROM codes GROUP BY doc_id)),
+sh AS (SELECT doc_id, code,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY code) - 1 AS pos,
+              COUNT(*) OVER (PARTITION BY doc_id) AS sz
+       FROM codes),
 rare AS (SELECT code FROM sh GROUP BY code HAVING COUNT(*) <= 50),
-posting AS (SELECT sh.doc_id, sh.code FROM sh JOIN rare USING (code)),
+posting AS (SELECT sh.doc_id, sh.code, sh.sz FROM sh JOIN rare USING (code)
+            WHERE sh.pos < floor(CAST({_NGRAM_PFX} AS DOUBLE) * sh.sz) + 1),
 cands AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM posting a JOIN posting b ON a.code = b.code AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3),
+   AND b.sz >= CAST(0.7 AS DOUBLE) * a.sz
+   AND a.sz >= CAST(0.7 AS DOUBLE) * b.sz
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM codes GROUP BY doc_id),
 inter AS (
   SELECT p.id_a, p.id_b, COUNT(*) AS i

@@ -704,3 +704,47 @@ def test_ivf_balance_stats(spark, emb, tmp_path):
     assert abs(sum(r.frac for r in rows) - 1.0) < 1e-9
     assert abs(sum(r.imbalance for r in rows) / len(rows) - 1.0) < 1e-9
     assert rows[0].n_rows == max(r.n_rows for r in rows)
+
+
+def test_ngram_prefix_candidates_superset_of_results(spark):
+    """Prefix filtering (post only the first ⌊(1−t)·|codes|⌋+1 sorted
+    codes) must not lose any pair the exact verification would keep:
+    candidates ⊇ final Jaccard-≥-t pairs, and the prefix-filtered result
+    equals the unfiltered-posting result on the same corpus."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        _token_codes, ngram_candidate_pairs, ngram_jaccard_pairs)
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank while birds sing in the tall green trees")
+    # single tail-word mutation: 3 of 20 shingles change, J = 17/23 ≈ 0.74
+    mut = base.replace("green trees", "green pines")
+    rows = [(1, base), (2, base), (3, mut),
+            (4, "completely unrelated text about spark query planning"),
+            (5, "another distinct document on duckdb oracle parity")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, threshold=0.7, max_df=50, min_shared=1)
+    got = ngram_jaccard_pairs(docs, "doc_id", "text", prefix=True, **kw)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", prefix=False, **kw)
+    assert pairs == {(r.id_a, r.id_b) for r in full.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    codes = _token_codes(docs, "doc_id", "text", shingle_n=3)
+    cands = {(r.id_a, r.id_b) for r in ngram_candidate_pairs(
+        codes, "doc_id", threshold=0.7).collect()}
+    assert cands >= pairs
+
+
+def test_ngram_prefix_shrinks_candidates(spark):
+    """The point of the prefix filter: strictly fewer candidate pairs than
+    full posting at equal recall (docs sharing only tail codes no longer
+    collide)."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        _token_codes, ngram_candidate_pairs)
+    import random
+    rnd = random.Random(11)
+    words = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(rnd.sample(words, 25))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    codes = _token_codes(docs, "doc_id", "text", shingle_n=3)
+    n_pfx = ngram_candidate_pairs(codes, "doc_id", 0.7, prefix=True).count()
+    n_all = ngram_candidate_pairs(codes, "doc_id", 0.7, prefix=False).count()
+    assert n_pfx < n_all
