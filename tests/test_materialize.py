@@ -42,6 +42,32 @@ def test_parallelize_small_is_noop_at_scale_width(spark):
     assert "Repartition" not in out._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_parallelize_small_ignores_wide_looking_identifiers(spark):
+    """The node probe is anchored to plan-tree node positions: a narrow
+    scan whose COLUMN names contain wide-node words (JoinDate, SortKey,
+    WindowStart) must still be widened — the old substring match silently
+    skipped these."""
+    from vectordb_testbricks_spark.materialize import parallelize_small
+    narrow = spark.range(0, 50, 1, numPartitions=1).select(
+        F.col("id").alias("JoinDate"), (F.col("id") * 2).alias("SortKey"),
+        (F.col("id") + 1).alias("WindowStart"))
+    assert "JoinDate" in narrow._jdf.queryExecution().optimizedPlan().toString()
+    wide = parallelize_small(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_parallelize_small_skips_shuffled_plans(spark):
+    """A plan containing a real shuffle node (Aggregate / Join) is returned
+    untouched — its width is already governed by shuffle.partitions and
+    probing .rdd would execute AQE stages."""
+    from vectordb_testbricks_spark.materialize import parallelize_small
+    agg = spark.range(0, 50, 1, numPartitions=1).groupBy(
+        (F.col("id") % 5).alias("k")).count()
+    assert parallelize_small(agg) is agg
+    joined = spark.range(10).join(spark.range(5), "id")
+    assert parallelize_small(joined) is joined
+
+
 def test_ensure_event_time_ltz_casts_only_ntz(spark):
     from vectordb_testbricks_spark.streaming._time import ensure_event_time_ltz
     ntz = spark.createDataFrame(

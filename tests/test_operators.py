@@ -228,7 +228,11 @@ def test_topk_plans_as_partial_window_group_limit(emb, queries3):
 
     df = knn_search(emb, queries3, "embedding", "vec_id", metric="L2", k=7)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in p and "Partial" in p and "Final" in p, p
+    # per-line: Partial/Final must qualify the WindowGroupLimit node itself,
+    # not appear on unrelated nodes elsewhere in the plan
+    wgl = [l for l in p.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in wgl), p
+    assert any("Final" in l for l in wgl), p
     assert df.count() == 21  # 3 queries × k=7, semantics intact
 
 

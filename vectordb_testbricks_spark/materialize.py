@@ -20,6 +20,8 @@ Two recurring problems with ad-hoc ``df.persist()`` in pipeline operators:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -38,9 +40,14 @@ def shared_persist(df: DataFrame) -> DataFrame:
 
 # logical-plan nodes whose presence means the input already went (or will
 # go) through a shuffle — its width is governed by shuffle.partitions, so
-# widening is pointless and probing .rdd could trigger AQE stage execution
-_WIDE_NODES = ("Join", "Aggregate", "Window", "Sort", "Repartition",
-               "Deduplicate")
+# widening is pointless and probing .rdd could trigger AQE stage execution.
+# Anchored at the node-name position of a plan tree line (start of line
+# after the `:  +- ` tree-drawing prefix), NOT a raw substring: an
+# identifier appearing in an expression (a column named `JoinDate`, a
+# relation named `SortKey`) must not flag the plan as wide.
+_WIDE_NODE_RE = re.compile(
+    r"^[\s:+-]*(Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression"
+    r"|Deduplicate)\b", re.M)
 
 
 def parallelize_small(df: DataFrame) -> DataFrame:
@@ -55,7 +62,7 @@ def parallelize_small(df: DataFrame) -> DataFrame:
     for AQE to run). Shuffled inputs are returned untouched: their width is
     already ``spark.sql.shuffle.partitions``."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(n in plan for n in _WIDE_NODES):
+    if _WIDE_NODE_RE.search(plan):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
