@@ -436,6 +436,30 @@ def v_knn_topk15000(spark, sf_dir):
     return knn_search(base, qs, "embedding", "pk", metric="COSINE", k=15000)
 
 
+def dd_minhash_1m(spark, sf_dir):
+    """Bench-only scale evidence for the banded-LSH dedup design (the
+    dd_minhash fixture is 5k rows; this runs the identical pipeline —
+    shingle→16-minhash→4-band LSH→exact-Jaccard verify — over a seeded
+    1M-doc corpus). Docs 900k..1M are exact copies of docs 0..100k, so
+    the expected pair set is the 100k planted duplicates; every stage is
+    array-expression / bucket-join work, no driver collection. Not a
+    registry entry (no 1M-row DuckDB oracle in the per-round budget) —
+    correctness of the pipeline itself is oracled by dd_minhash."""
+    from vectordb_testbricks_spark.functions.text import md5_long
+    from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
+    n, uniq = 1_000_000, 900_000
+    tid = F.when(F.col("id") < uniq, F.col("id")) \
+           .otherwise(F.col("id") - uniq).cast("string")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), (md5_long(F.concat_ws(
+            "_", F.lit("mh1m"), tid, i.cast("string"))) % 50000)
+            .cast("string")))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")

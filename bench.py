@@ -65,8 +65,13 @@ def _require_green_suite() -> dict:
     if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_GREEN", "1") == "0":
         return {"tests_green": None, "tests_summary": "skipped (env)"}
     repo = os.path.dirname(os.path.abspath(__file__))
+    # sanitized env: the gate suite must run against the tests' own
+    # defaults (conftest SF_DIR etc.), not whatever sf/knobs this bench
+    # invocation was pointed at
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("SPARK_GRAFT_")}
     r = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q"],
-                       cwd=repo, capture_output=True, text=True)
+                       cwd=repo, capture_output=True, text=True, env=env)
     tail = (r.stdout or "").strip().splitlines()
     summary = tail[-1] if tail else ""
     print(f"# pytest: {summary}", file=sys.stderr, flush=True)
@@ -112,12 +117,13 @@ def main() -> None:
         for name in HEADLINE:
             qmap[name](spark, sf_dir).count()
 
-    # SPARK_GRAFT_BENCH_REPEAT=N (default 1) runs each query N times and
-    # reports the reference's latency metric set (avg/p50/p95/p99/min/max,
+    # SPARK_GRAFT_BENCH_REPEAT=N (default 3 since r05 — sub-second queries
+    # whipsawed ±70% on single runs) runs each query N times and reports
+    # the reference's latency metric set (avg/p50/p95/p99/min/max,
     # search_permanently.py:36-96) per query; the headline per-query value
     # stays a single steady-state wall-clock (the median across runs) so
     # totals remain comparable with the recorded BASELINE.
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     latency: dict[str, dict] = {}
     for name in HEADLINE:
@@ -136,6 +142,22 @@ def main() -> None:
             latency[name] = {k: round(v, 4) for k, v in
                              percentile_stats(runs).items()}
 
+    # scale-evidence entries: run ONCE, cold, outside the repeat/median
+    # loop and outside the headline total (they are 1M-row generated
+    # corpora whose point is "the design survives 200× the fixture", not
+    # steady-state latency; keeping them out of `queries` keeps the total
+    # comparable with BASELINE.md). Disable with SPARK_GRAFT_BENCH_SCALE=0.
+    scale: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        for name in ("dd_minhash_1m",):
+            fn = getattr(entrymod, name)
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            scale[name] = {"sec": round(time.perf_counter() - t0, 3),
+                           "rows": n}
+            print(f"# scale {name}: {scale[name]['sec']:.3f}s rows={n}",
+                  flush=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -145,6 +167,8 @@ def main() -> None:
         "sf": sf,
         **suite,
     }
+    if scale:
+        out["scale"] = scale
     if latency:
         out["latency"] = latency
         out["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import base64
 import hashlib
 
 import pytest
@@ -16,10 +17,42 @@ def media(spark, tables):
     return MM.media_from_documents(tables["documents"].df).cache()
 
 
-def test_real_codec_stub():
-    with pytest.raises(NotImplementedError):
-        MM.require_real_codecs()
-    assert MM.REAL_CODECS_AVAILABLE is False
+# a valid 1×1 PNG (golden file for the optional Pillow backend)
+_PNG_1PX = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+
+def test_real_codec_gate_matches_availability():
+    """require_real_codecs() is a no-op iff Pillow imports; without it the
+    gate raises (deployments fail loudly, never silently fake-decode when
+    the caller asked for real)."""
+    if MM.REAL_CODECS_AVAILABLE:
+        MM.require_real_codecs()  # must not raise
+    else:
+        with pytest.raises(NotImplementedError):
+            MM.require_real_codecs()
+
+
+def test_decode_backend_validation(media):
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        MM.decode_media(media, backend="ffmpeg")
+    if not MM.REAL_CODECS_AVAILABLE:
+        with pytest.raises(NotImplementedError):
+            MM.decode_media(media, backend="pil")
+
+
+@pytest.mark.skipif(not MM.REAL_CODECS_AVAILABLE,
+                    reason="Pillow not installed in this container")
+def test_pil_backend_decodes_golden_png(spark):
+    """Optional real-codec path: a genuine 1×1 PNG decodes to its true
+    pixel dimensions (not the hash-derived fake ones)."""
+    m = spark.createDataFrame(
+        [(1, "image", bytearray(_PNG_1PX))],
+        "media_id long, modality string, payload binary")
+    row = MM.decode_media(m, backend="pil").collect()[0]
+    assert (row["width"], row["height"]) == (1, 1)
+    assert row["digest"] == hashlib.md5(_PNG_1PX).hexdigest()
 
 
 def test_media_schema(media):

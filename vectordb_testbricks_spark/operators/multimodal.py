@@ -33,14 +33,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-REAL_CODECS_AVAILABLE = False  # PIL / torchaudio / ffmpeg not in container
+# optional real-codec backend: PIL for images, detected at import. The
+# fake decode stays the default (and the only oracle-checkable path); the
+# real backend activates wherever the deployment image ships Pillow.
+try:
+    from PIL import Image as _PILImage  # noqa: N813
+except ImportError:  # container has no codec libs — fake decode only
+    _PILImage = None
+
+REAL_CODECS_AVAILABLE = _PILImage is not None
 
 
 def require_real_codecs() -> None:
-    """Gate for the real decode path. STUB: raises until codec libs exist."""
-    raise NotImplementedError(
-        "real media codecs (PIL/libav) are not installed in this container; "
-        "use the deterministic fake decode (decode_media) instead")
+    """Gate for the real decode path: no-op when Pillow importable, raises
+    otherwise (deployments without codec libs fail loudly, not wrongly)."""
+    if not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError(
+            "real media codecs (PIL/libav) are not installed in this "
+            "container; use the deterministic fake decode "
+            "(decode_media backend='fake') instead")
 
 
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
@@ -101,18 +112,50 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes, modality: str) -> dict:
+    """Real image decode via Pillow (``require_real_codecs`` gated).
+    Width/height come from the actual pixel buffer; animated containers
+    (GIF/APNG) report their frame count as a video would. Non-image
+    modalities fall back to the fake derivation — audio/video codecs are
+    a further backend."""
+    import io
+    digest = hashlib.md5(payload).hexdigest()
+    if modality not in ("image", "video"):
+        return _fake_decode(payload, modality)
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        n_frames = getattr(img, "n_frames", 1)
+        return {
+            "digest": digest,
+            "width": img.width,
+            "height": img.height,
+            "duration_ms": None,
+            "n_frames": n_frames if modality == "video" else None,
+        }
+
+
+def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode stage: payload binary → typed metadata via ``mapInPandas``.
+
+    ``backend='fake'`` (default) derives metadata deterministically from
+    the payload bytes — the oracle-checkable path. ``backend='pil'``
+    decodes real image bytes with Pillow (raises NotImplementedError when
+    the library is absent). Both run in the same Arrow-batched plan shape.
 
     The payload column is dropped on output — downstream stages are
     metadata-only and must not re-shuffle gigabytes of media bytes.
     """
+    if backend not in ("fake", "pil"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    if backend == "pil":
+        require_real_codecs()
+    decode = _pil_decode if backend == "pil" else _fake_decode
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, mod, payload in zip(pdf["media_id"], pdf["modality"],
                                          pdf["payload"]):
-                d = _fake_decode(bytes(payload), mod)
+                d = decode(bytes(payload), mod)
                 rows.append((mid, mod, len(bytes(payload)), d["digest"],
                              d["width"], d["height"], d["duration_ms"],
                              d["n_frames"]))
