@@ -1771,7 +1771,12 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99
 
 
 def tx_tokcount(spark, sf_dir):
-    """Token counting: analyzer tokens + BPE-ish subword piece estimate."""
+    """Token counting: analyzer tokens + BPE-ish subword piece estimate.
+
+    Not a registry entry since r05: both columns are verified through
+    ``tx_quality`` (which carries n_tokens and gained bpe_pieces), freeing
+    a slot in the driver's 50-row correctness budget for
+    ``q_querylog_corpus``. Kept as a standalone shape."""
     from vectordb_testbricks_spark.operators.textquality import (
         bpe_ish_piece_count, token_count)
     d = _t(spark, sf_dir, "documents")
@@ -1793,11 +1798,19 @@ FROM documents ORDER BY doc_id
 
 
 def tx_quality(spark, sf_dir):
-    """Quality scoring: length/punct/stopword features + composite score."""
-    from vectordb_testbricks_spark.operators.textquality import quality_features
+    """Quality scoring: length/punct/stopword features + composite score,
+    plus the BPE-ish subword piece estimate (folded from the former
+    tx_tokcount registry entry — same scan-stage row grain, one wider
+    projection instead of two registry slots)."""
+    from vectordb_testbricks_spark.operators.textquality import (
+        bpe_ish_piece_count, quality_features)
     d = _t(spark, sf_dir, "documents")
-    qf = quality_features(d, "doc_id", "text")
-    return qf.select("doc_id", "n_chars", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    qf = quality_features(
+        d, "doc_id", "text",
+        extra={"bpe_pieces": bpe_ish_piece_count(F.col("text"))})
+    return qf.select("doc_id", "n_chars",
+                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                     "bpe_pieces",
                      F.round("punct_ratio", 6).alias("punct_ratio"),
                      F.round("stopword_ratio", 6).alias("stopword_ratio"),
                      F.round("mean_token_len", 6).alias("mean_token_len"),
@@ -1823,14 +1836,21 @@ g AS (
     CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
       / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len
   FROM f)
-SELECT doc_id, n_chars, n_tokens,
+SELECT g.doc_id, n_chars, n_tokens, b.bpe_pieces,
   ROUND(punct_ratio, 6) AS punct_ratio,
   ROUND(stopword_ratio, 6) AS stopword_ratio,
   ROUND(mean_token_len, 6) AS mean_token_len,
   ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
         + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score
-FROM g ORDER BY doc_id
+FROM g JOIN (
+  SELECT doc_id,
+    CAST(list_sum(list_transform({TOKS_SQL.format(col='text')},
+             t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+      + length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS BIGINT)
+      AS bpe_pieces
+  FROM documents) b ON b.doc_id = g.doc_id
+ORDER BY g.doc_id
 """
 
 
@@ -1890,6 +1910,88 @@ SELECT doc_id, content_md5,
        list_min(list_transform(kgrams, g -> {MD5L.format(s='g')})) AS min_kgram_hash
 FROM s ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------- querylog corpus (G4)
+# The horizonPoc pipeline end-to-end (convert_jsonl_to_expressions.py:30-132
+# → go_bench/query_horizon_count.go:513-531): a JSONL query log of
+# MongoDB-style conditions converts to engine filter expressions, each
+# executed as a count. Corpus shapes: empty (P15 full scan), $in + combined
+# range, single-sided $gte, $not_in conjunction, literal equality, JSON-path
+# rename (k → props["k"], the longitude→gcj02_lon analogue), float range,
+# $ne, and array $in / contains_all through the tag_id→tags array rename.
+# Each tuple is (jsonl line, equivalent DuckDB WHERE) — the Spark side runs
+# the CONVERTED expression through exprlang, the oracle runs the hand-written
+# SQL, so conversion + compilation are both under test.
+_QUERYLOG_CORPUS = [
+    ("{}", "TRUE"),
+    ('{"event_type": {"$in": ["click", "view"]}, '
+     '"value": {"$gte": 10, "$lte": 200}}',
+     "event_type IN ('click', 'view') AND value >= 10 AND value <= 200"),
+    ('{"user_id": {"$gte": 10}}', "user_id >= 10"),
+    ('{"event_type": {"$not_in": ["error", "signup"]}}',
+     "event_type <> 'error' AND event_type <> 'signup'"),
+    ('{"event_type": "purchase"}', "event_type = 'purchase'"),
+    ('{"k": {"$lte": 25}}',
+     "CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 25"),
+    ('{"value": {"$gte": 50.5}}', "value >= 50.5"),
+    ('{"user_id": {"$ne": 7}}', "user_id <> 7"),
+    ('{"tag_id": {"$in": ["purchase", "big"]}}',
+     "list_has_any(tags, ['purchase', 'big'])"),
+    ('{"tag_id": {"contains_all": ["click", "small"]}}',
+     "list_has_all(tags, ['click', 'small'])"),
+]
+_QUERYLOG_FIELD_MAP = {"k": 'props["k"]', "tag_id": "tags"}
+_QUERYLOG_ARRAY_FIELDS = {"tag_id"}
+_QUERYLOG_TAGS_SQL = ("[event_type, CASE WHEN value > 100 "
+                      "THEN 'big' ELSE 'small' END]")
+
+
+def _querylog_events(spark, sf_dir):
+    """events + a derived tags array (the horizon timeline_tags analogue)."""
+    return _t(spark, sf_dir, "events").withColumn(
+        "tags", F.array(F.col("event_type"),
+                        F.when(F.col("value") > 100, F.lit("big"))
+                        .otherwise(F.lit("small"))))
+
+
+def q_querylog_corpus(spark, sf_dir):
+    """G4 end-to-end: convert the JSONL log, compile every expression, and
+    count matches for ALL of them in ONE scan (conditional-sum aggregate +
+    explode to rows) — the Spark-first shape for an expression corpus; the
+    reference's Go driver runs the counts serially per expression."""
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.querylog import convert_jsonl
+    ev = _querylog_events(spark, sf_dir)
+    exprs = convert_jsonl([line for line, _ in _QUERYLOG_CORPUS],
+                          field_map=_QUERYLOG_FIELD_MAP,
+                          array_fields=_QUERYLOG_ARRAY_FIELDS)
+    counts = ev.agg(*[
+        F.sum(F.when(compile_expr(ex, ev) if ex else F.lit(True),
+                     1).otherwise(0)).alias(f"n_{i}")
+        for i, ex in enumerate(exprs)])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("qid"),
+                 F.lit(ex).alias("expr"),
+                 F.col(f"n_{i}").cast("bigint").alias("n_matches"))
+        for i, ex in enumerate(exprs)])).alias("r")
+    return counts.select(rows).select("r.qid", "r.expr", "r.n_matches")
+
+
+def _sql_querylog_corpus() -> str:
+    from vectordb_testbricks_spark.querylog import convert_jsonl
+    exprs = convert_jsonl([line for line, _ in _QUERYLOG_CORPUS],
+                          field_map=_QUERYLOG_FIELD_MAP,
+                          array_fields=_QUERYLOG_ARRAY_FIELDS)
+    selects = []
+    for i, ((_, where), ex) in enumerate(zip(_QUERYLOG_CORPUS, exprs)):
+        lit = ex.replace("'", "''")
+        selects.append(
+            f"SELECT {i} AS qid, '{lit}' AS expr, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_matches FROM ev WHERE {where}")
+    union = "\nUNION ALL\n".join(selects)
+    return (f"WITH ev AS (SELECT *, {_QUERYLOG_TAGS_SQL} AS tags "
+            f"FROM events)\n{union}")
 
 
 _SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -2455,7 +2557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": dd_simhash_pairs,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_embed_cosine": dd_embed_cosine,
-        "tx_tokcount": tx_tokcount,
         "tx_quality": tx_quality,
         "tx_langid": tx_langid,
         "tx_fingerprint": tx_fingerprint,
@@ -2466,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_modality_stats": mm_modality_stats,
         "part_route_counts": part_route_counts,
+        "q_querylog_corpus": q_querylog_corpus,
         "st_window_agg": st_window_agg,
         "st_sessionize": st_sessionize,
         "st_dedup": st_dedup,
@@ -2512,7 +2614,6 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash_pairs": SQL_DD_SIMHASH_PAIRS,
         "dd_ngram_jaccard": SQL_DD_NGRAM,
         "dd_embed_cosine": SQL_DD_EMBED,
-        "tx_tokcount": SQL_TX_TOKCOUNT,
         "tx_quality": SQL_TX_QUALITY,
         "tx_langid": SQL_TX_LANGID,
         "tx_fingerprint": SQL_TX_FINGERPRINT,
@@ -2523,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features": SQL_MM_FEATURES,
         "mm_modality_stats": SQL_MM_STATS,
         "part_route_counts": SQL_PART_ROUTE,
+        "q_querylog_corpus": _sql_querylog_corpus(),
         "st_window_agg": SQL_ST_WINDOW,
         "st_sessionize": SQL_ST_SESSIONIZE,
         "st_dedup": SQL_ST_DEDUP,

@@ -60,10 +60,14 @@ def mean_token_len(c: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(docs: DataFrame, id_col: str, text_col: str,
+                     extra: dict[str, "Column"] | None = None) -> DataFrame:
     """Quality-signal feature frame: (id, n_chars, n_tokens, punct_ratio,
-    stopword_ratio, mean_token_len, quality_score). The composite score is a
-    simple monotone blend used for threshold filtering (C4-style gate)."""
+    stopword_ratio, mean_token_len, quality_score[, extra...]). The
+    composite score is a simple monotone blend used for threshold filtering
+    (C4-style gate). ``extra`` appends more per-row expressions (e.g. a
+    token-count variant) into the SAME scan-stage projection — one pass,
+    no join."""
     c = F.col(text_col)
     ntok = token_count(c)
     pr = punct_ratio(c)
@@ -82,6 +86,7 @@ def quality_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sr.alias("stopword_ratio"),
         mtl.alias("mean_token_len"),
         score.alias("quality_score"),
+        *[v.alias(k) for k, v in (extra or {}).items()],
     )
 
 
