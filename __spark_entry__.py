@@ -445,16 +445,15 @@ def dd_minhash_1m(spark, sf_dir):
     array-expression / bucket-join work, no driver collection. Not a
     registry entry (no 1M-row DuckDB oracle in the per-round budget) —
     correctness of the pipeline itself is oracled by dd_minhash."""
-    from vectordb_testbricks_spark.functions.text import md5_long
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     n, uniq = 1_000_000, 900_000
-    tid = F.when(F.col("id") < uniq, F.col("id")) \
-           .otherwise(F.col("id") - uniq).cast("string")
+    tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
+    # corpus words via xxhash64 (cheap JVM hash — the md5 budget belongs to
+    # the pipeline under test, not the generator), decorrelated per (tid, i)
     words = F.transform(
         F.sequence(F.lit(0), F.lit(19)),
-        lambda i: F.concat(F.lit("w"), (md5_long(F.concat_ws(
-            "_", F.lit("mh1m"), tid, i.cast("string"))) % 50000)
-            .cast("string")))
+        lambda i: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(F.lit("mh1m"), tid, i), F.lit(50000)).cast("string")))
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
