@@ -459,6 +459,39 @@ def dd_minhash_1m(spark, sf_dir):
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
 
 
+def v_ivf_1m(spark, sf_dir):
+    """Bench-only scale evidence for the IVF design (the v_ivf_cosine
+    fixture is 2k vectors): build the index over 1M seeded 16-dim vectors
+    (sampled KMeans training, JVM-codegen centroid assignment) and probe
+    nprobe=8 of 64 lists for nq=4 corpus queries, k=100. The probe scan
+    touches ~1/8 of the corpus (the nprobe/n_lists fraction — the
+    scan-bytes×scan-fraction economics README describes); query vectors
+    are corpus rows re-derived from (seed, pk), so top-1 ground truth is
+    the query itself. Not a registry entry (no 1M-row oracle in the
+    per-round budget) — exactness/recall of the same code path is
+    asserted at fixture scale in tests/test_operators.py."""
+    from vectordb_testbricks_spark.datagen import gen_rows
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, ivf_search)
+    # persist = materialization barrier: the corpus must be a TABLE before
+    # the index build — the 64-centroid assignment references the vector
+    # column ~n_lists×dim times, and an inlined generator expression would
+    # re-run the 16-md5 vector derivation per reference (the HOF no-CSE
+    # trap). A real deployment reads the corpus from parquet anyway.
+    base = shared_persist(
+        gen_rows(spark, 0, 1_000_000, seed=11, dim=16).select(
+            "pk", "embedding"))
+    model = build_ivf(base, "embedding", "pk", n_lists=64, seed=11)
+    qs = None
+    for qid, pk0 in enumerate((0, 250_000, 500_000, 750_000)):
+        one = (gen_rows(spark, pk0, 1, seed=11, dim=16)
+               .select(F.lit(qid).cast("int").alias("query_id"),
+                       to_double_array(F.col("embedding")).alias("qvec")))
+        qs = one if qs is None else qs.unionByName(one)
+    return ivf_search(model, qs, k=100, nprobe=8)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")

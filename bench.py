@@ -149,7 +149,7 @@ def main() -> None:
     # comparable with BASELINE.md). Disable with SPARK_GRAFT_BENCH_SCALE=0.
     scale: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
-        for name in ("dd_minhash_1m",):
+        for name in ("dd_minhash_1m", "v_ivf_1m"):
             fn = getattr(entrymod, name)
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
