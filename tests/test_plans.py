@@ -258,3 +258,58 @@ def test_topk15000_plan_is_two_phase(spark):
     # the group-limit key is the per-query partition spec
     assert all("query_id" in l for l in partials + finals), p
     assert not re.search(r"Window \[[^\]]*\], \[\]", p), "unpartitioned window"
+
+
+def test_lsh_bucket_join_reads_persisted_table_twice(spark):
+    """The banded-LSH self-join must consume the PERSISTED bucket relation
+    on both sides (two InMemoryTableScans), never re-evaluate the
+    signature subtree per side — the signature array is the pipeline's
+    costliest expression (num_hashes × |codes| ops per row; 2× evaluation
+    doubled dd_minhash_1m's candidate stage)."""
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(20)],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    p = _plan(lsh_candidate_pairs(sigs, "doc_id"))
+    assert p.count("InMemoryTableScan") >= 2, p
+    # bucket key is a single xxhash64 bigint, and the join is keyed on it
+    assert "xxhash64" in p, p
+    join_lines = [l for l in p.splitlines() if "Join [key#" in l]
+    assert join_lines, p
+
+
+def test_manager_bm25_search_scans_sidecar_not_docs_text(spark, tmp_path):
+    """The manager's BM25 search is the production function-field path: its
+    plan must read the persisted tf sidecar parquet (FileScan over fn_*/tf)
+    and must NOT re-tokenize the collection's text column — tf is computed
+    at insert, search only joins against it (Milvus computes the function
+    field server-side at insert, schema_matrix_2_6.yaml:65-69)."""
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import (
+        FieldSpec, FunctionSpec, SchemaSpec)
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    mgr.create_collection(SchemaSpec("c", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=128, enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")]))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string").withColumn(
+        "sparse_bm25", F.lit(None).cast("map<int,float>"))
+    mgr.insert("c", docs)
+    p = _plan(mgr.bm25_search("c", "alpha", k=2))
+    # the tf sidecar scan is identifiable by its schema (the FileScan's
+    # location string is display-truncated, so match ReadSchema not path)
+    scans = [l for l in p.splitlines() if "FileScan" in l]
+    tf_scans = [l for l in scans if "tf:int" in l and "dl:int" in l]
+    assert tf_scans, p
+    # no scan in the plan reads the collection's text column — search must
+    # never re-tokenize the corpus
+    text_reads = [l for l in scans
+                  if "text:string" in l.split("ReadSchema")[-1]]
+    assert not text_reads, p
