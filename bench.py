@@ -151,6 +151,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         for name in ("dd_minhash_1m", "v_ivf_1m"):
             fn = getattr(entrymod, name)
+            # isolate each 1M-row entry: headline caches would otherwise
+            # evict its working set mid-run (v_ivf_1m measured 52s under
+            # cache pressure vs 33s isolated)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             scale[name] = {"sec": round(time.perf_counter() - t0, 3),
