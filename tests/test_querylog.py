@@ -79,3 +79,53 @@ def test_convert_jsonl_and_compile(spark):
     # ids in [10,20] with id%5 ∈ {1,3} → {11,13,16,18}; 50 falses; all rows
     # contain a∧b; empty expr = full scan
     assert counts == [4, 50, 100, 100]
+
+
+def test_converted_conditions_always_compile(spark):
+    """Property: ANY condition object built from the converter's supported
+    operator vocabulary converts to an expression that parses and compiles
+    against a matching schema — the G4 guarantee that a real query log
+    never produces an uncompilable expression. Values fuzz over ints,
+    floats, bools and strings (incl. quotes/backslashes, the P14 escaping
+    surface)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    df = spark.range(1).select(
+        F.col("id").alias("num_a"),
+        F.col("id").cast("double").alias("num_b"),
+        (F.col("id") == 0).alias("flag"),
+        F.lit("s").alias("name"),
+        F.array(F.lit("x")).alias("tags"))
+
+    scalar = st.one_of(
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e9, max_value=1e9),
+        st.booleans(),
+        st.text(alphabet=st.sampled_from(list(
+            'abc XYZ09_%."\\\'[]()')), max_size=8))
+    range_spec = st.fixed_dictionaries(
+        {}, optional={"$gte": scalar, "$lte": scalar,
+                      "$eq": scalar, "$ne": scalar})
+    in_spec = st.fixed_dictionaries(
+        {}, optional={"$in": st.lists(scalar, min_size=1, max_size=3),
+                      "$not_in": st.lists(scalar, min_size=1, max_size=3)})
+    arr_spec = st.fixed_dictionaries(
+        {}, optional={
+            "$in": st.lists(scalar, min_size=1, max_size=3),
+            "contains_all": st.lists(scalar, min_size=1, max_size=3)})
+
+    cond = st.fixed_dictionaries({}, optional={
+        "num_a": range_spec, "num_b": range_spec,
+        "flag": st.booleans(), "name": in_spec, "tag_id": arr_spec})
+
+    @settings(max_examples=200, deadline=None)
+    @given(cond)
+    def check(c):
+        expr = QL.rewrite_range_expression(QL.condition_to_expression(
+            c, field_map={"tag_id": "tags"}, array_fields={"tag_id"}))
+        if expr:
+            compile_expr(expr, df)  # must not raise
+
+    check()

@@ -188,3 +188,37 @@ def test_stream_appends_into_persisted_ivf(spark, tables, tmp_path):
             for r in knn_search(emb, queries, "embedding", "vec_id",
                                 k=10, metric="COSINE").collect()}
     assert got == want
+
+
+@pytest.mark.stream
+def test_stream_ingest_maintains_bm25_sidecar(spark, mgr, tmp_path):
+    """Streaming insert through the manager is the same DML path as batch,
+    so a collection with a BM25 FunctionSpec gets its tf/doclen sidecar
+    appended per micro-batch — search over the sidecar immediately
+    reflects streamed docs (the streaming analogue of Milvus computing
+    function fields server-side on insert)."""
+    from vectordb_testbricks_spark.schema import FunctionSpec
+    spec = SchemaSpec("fts_stream", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=256, enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")])
+    mgr.create_collection(spec)
+    src = str(tmp_path / "fts_src")
+    docs = spark.createDataFrame(
+        [(1, "spark streams data"), (2, "ducks stream rivers"),
+         (3, "spark caches data")],
+        "doc_id long, text string").withColumn(
+        "sparse_bm25", F.lit(None).cast("map<int,float>"))
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_ingest(mgr, "fts_stream", stream, str(tmp_path / "fts_cp"),
+                      mode="insert")
+    q.awaitTermination(120)
+    from vectordb_testbricks_spark.operators.bm25 import bm25_search
+    got = mgr.bm25_search("fts_stream", "spark data", k=3).collect()
+    ref = bm25_search(mgr.read("fts_stream"), "spark data", "doc_id",
+                      "text", k=3).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] \
+        == [(r.doc_id, round(r.score, 9)) for r in ref]
+    assert {r.doc_id for r in got} == {1, 3}

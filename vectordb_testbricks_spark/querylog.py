@@ -32,7 +32,10 @@ def _fmt(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):
-        escaped = v.replace('"', '\\"')
+        # backslash FIRST: a trailing '\' would otherwise escape the
+        # closing quote and emit an unparseable expression (found by the
+        # hypothesis round-trip in tests/test_querylog.py)
+        escaped = v.replace("\\", "\\\\").replace('"', '\\"')
         return f'"{escaped}"'
     return str(v)
 
