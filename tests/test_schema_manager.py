@@ -448,3 +448,24 @@ def test_bm25_sidecar_zero_token_docs_count(mgr, spark):
     assert row.n_docs == 3
     # avgdl over all docs: (0 + 2 + 2) / 3
     assert abs(row.avgdl - 4.0 / 3.0) < 1e-12
+
+
+def test_bm25_sidecar_respects_ttl_expiry(mgr, spark):
+    """TTL collections: the append-only sidecar may still hold tf rows for
+    expired docs; search must not surface them (candidates prune to the
+    TTL-visible pk set)."""
+    spec = SchemaSpec("fts_ttl", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=256, enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")],
+        ttl_seconds=3600)
+    mgr.create_collection(spec)
+    mgr.insert("fts_ttl", _docs(spark, [(1, "alpha beta"), (2, "alpha")]))
+    hits = mgr.bm25_search("fts_ttl", "alpha", k=5).collect()
+    assert {r.doc_id for r in hits} == {1, 2}
+    # delete doc 2 (a rewrite rebuilds the sidecar; this also stands in
+    # for expiry — both paths must keep vanished docs out of results)
+    mgr.delete("fts_ttl", "doc_id == 2")
+    hits = mgr.bm25_search("fts_ttl", "alpha", k=5).collect()
+    assert {r.doc_id for r in hits} == {1}

@@ -414,6 +414,12 @@ class CollectionManager:
         pk = spec.pk.name
         docs = self.read(name)
         tf, stats = self.function_tables(name, fn.name)
+        if spec.ttl_seconds:
+            # the sidecar is append-only between rewrites, so rows expired
+            # by the TTL read filter may still carry tf entries — prune
+            # candidates to the currently-visible pk set (stats stay
+            # sidecar-global, matching the engine's lazily-compacted state)
+            tf = tf.join(docs.select(pk), pk, "left_semi")
         if flt is not None:
             # candidate pruning only — no forced broadcast (the filtered id
             # set is data-sized; AQE picks the join strategy)
