@@ -492,6 +492,27 @@ def v_ivf_1m(spark, sf_dir):
     return ivf_search(model, qs, k=100, nprobe=8)
 
 
+def dd_embed_1m(spark, sf_dir):
+    """Bench-only scale evidence for the sign-bucket embedding near-dup
+    design (the dd_embed_cosine fixture is 4k vectors): 1M seeded 16-dim
+    vectors where ids 900k..1M duplicate ids 0..100k, blocked ONLY by the
+    16-bit sign bucket (no label column at this scale) — ~2^16 buckets
+    prune the quadratic join to ~15-row cells; exact copies always share
+    the bucket, so the expected pair set is the 100k planted duplicates
+    at cosine 1. Corpus persisted before the pipeline for the same
+    HOF-inlining reason as v_ivf_1m."""
+    from vectordb_testbricks_spark.datagen import gen_vector
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
+    n, uniq = 1_000_000, 900_000
+    tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
+    base = shared_persist(spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        gen_vector(13, tid, 16).alias("embedding")))
+    return embedding_near_dups(base, "vec_id", "embedding",
+                               threshold=0.99, sign_bits=16)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")
