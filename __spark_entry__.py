@@ -422,17 +422,17 @@ def v_knn_topk15000(spark, sf_dir):
     Catalyst WindowGroupLimit): the Partial group-limit prunes each map
     partition to ≤ k rows per query before the exchange — no
     single-partition window even at k=15000."""
-    from vectordb_testbricks_spark.datagen import gen_rows
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
     from vectordb_testbricks_spark.operators.search import knn_search
-    base = gen_rows(spark, 0, 120_000, seed=7, dim=16).select(
-        "pk", "embedding")
+    base = spark.range(120_000).select(
+        F.col("id").alias("pk"),
+        gen_vector_fast(7, F.col("id"), 16).alias("embedding"))
     # seeded datagen re-derives any row from (seed, pk): generate the two
     # query rows directly instead of scanning the corpus for them
-    qs = (gen_rows(spark, 0, 1, seed=7, dim=16)
-          .unionByName(gen_rows(spark, 60_000, 1, seed=7, dim=16))
-          .select(F.when(F.col("pk") == 0, 0).otherwise(1)
+    qs = (spark.range(0, 1).unionByName(spark.range(60_000, 60_001))
+          .select(F.when(F.col("id") == 0, 0).otherwise(1)
                   .cast("int").alias("query_id"),
-                  F.col("embedding").alias("qvec")))
+                  gen_vector_fast(7, F.col("id"), 16).alias("qvec")))
     return knn_search(base, qs, "embedding", "pk", metric="COSINE", k=15000)
 
 
@@ -469,25 +469,29 @@ def v_ivf_1m(spark, sf_dir):
     are corpus rows re-derived from (seed, pk), so top-1 ground truth is
     the query itself. Not a registry entry (no 1M-row oracle in the
     per-round budget) — exactness/recall of the same code path is
-    asserted at fixture scale in tests/test_operators.py."""
-    from vectordb_testbricks_spark.datagen import gen_rows
+    asserted at fixture scale in tests/test_operators.py. Vectors come
+    from gen_vector_fast (xxhash64 noise) — generator cost must not
+    pollute the index cost under test, the same argument dd_minhash_1m
+    makes for its corpus words."""
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
     from vectordb_testbricks_spark.materialize import shared_persist
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search)
     # persist = materialization barrier: the corpus must be a TABLE before
     # the index build — the 64-centroid assignment references the vector
     # column ~n_lists×dim times, and an inlined generator expression would
-    # re-run the 16-md5 vector derivation per reference (the HOF no-CSE
-    # trap). A real deployment reads the corpus from parquet anyway.
-    base = shared_persist(
-        gen_rows(spark, 0, 1_000_000, seed=11, dim=16).select(
-            "pk", "embedding"))
+    # re-run the vector derivation per reference (the HOF no-CSE trap). A
+    # real deployment reads the corpus from parquet anyway.
+    base = shared_persist(spark.range(1_000_000).select(
+        F.col("id").alias("pk"),
+        gen_vector_fast(11, F.col("id"), 16).alias("embedding")))
     model = build_ivf(base, "embedding", "pk", n_lists=64, seed=11)
     qs = None
     for qid, pk0 in enumerate((0, 250_000, 500_000, 750_000)):
-        one = (gen_rows(spark, pk0, 1, seed=11, dim=16)
-               .select(F.lit(qid).cast("int").alias("query_id"),
-                       to_double_array(F.col("embedding")).alias("qvec")))
+        one = spark.range(pk0, pk0 + 1).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            to_double_array(gen_vector_fast(11, F.col("id"), 16))
+            .alias("qvec"))
         qs = one if qs is None else qs.unionByName(one)
     return ivf_search(model, qs, k=100, nprobe=8)
 
@@ -501,16 +505,56 @@ def dd_embed_1m(spark, sf_dir):
     the bucket, so the expected pair set is the 100k planted duplicates
     at cosine 1. Corpus persisted before the pipeline for the same
     HOF-inlining reason as v_ivf_1m."""
-    from vectordb_testbricks_spark.datagen import gen_vector
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
     from vectordb_testbricks_spark.materialize import shared_persist
     from vectordb_testbricks_spark.operators.dedup import embedding_near_dups
     n, uniq = 1_000_000, 900_000
     tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
     base = shared_persist(spark.range(n).select(
         F.col("id").alias("vec_id"),
-        gen_vector(13, tid, 16).alias("embedding")))
+        gen_vector_fast(13, tid, 16).alias("embedding")))
     return embedding_near_dups(base, "vec_id", "embedding",
                                threshold=0.99, sign_bits=16)
+
+
+def v_bm25_1m(spark, sf_dir):
+    """Bench-only scale evidence for the ingest-time BM25 function sidecar
+    (the v_bm25 fixture is ~5k docs): ingest a 1M-doc seeded corpus
+    through CollectionManager.insert — which materializes the tf/doclen
+    sidecars server-side, the reference's computed-at-insert FunctionSpec
+    shape (milvus_client/common/schema.py:37-43) — then run a 4-query
+    batch against the sidecar. The measured cost is dominated by the
+    one-time insert materialization (the trade the engine makes so search
+    reads term postings, never the text column); the search itself scans
+    only rows whose term matches a query token (~terms×n/vocab docs).
+    Corpus words via xxhash64 — the generator-cost argument dd_minhash_1m
+    makes. Not a registry entry (no 1M-row oracle in the per-round
+    budget); sidecar==ad-hoc scoring parity is oracled by v_bm25's
+    'managed' mode at fixture scale."""
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import (
+        FieldSpec, FunctionSpec, SchemaSpec)
+    n, vocab = 1_000_000, 30_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(F.lit("fts1m"), F.col("id"), i),
+            F.lit(vocab)).cast("string")))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    wh = tempfile.mkdtemp(prefix="vts_bm25_1m_")
+    mgr = CollectionManager(spark, wh)
+    spec = SchemaSpec("fts1m", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=4096, enable_analyzer=True),
+        FieldSpec("sparse_bm25", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")])
+    mgr.create_collection(spec)
+    mgr.insert("fts1m", docs)
+    queries = ["w17 w4242 w999", "w12345 w6789", "w1 w2 w3 w4",
+               "w29000 w100 w2020"]
+    return mgr.bm25_search("fts1m", queries, k=10)
 
 
 def v_knn_hamming(spark, sf_dir):

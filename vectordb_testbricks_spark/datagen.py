@@ -41,6 +41,28 @@ def hash_unit(seed: int, *keys: Column) -> Column:
         / ((_NOISE_MOD - 1) / 2.0)
 
 
+def gen_vector_fast(seed: int, pk: Column, dim: int,
+                    normalize: bool = True) -> Column:
+    """Bench-scale sibling of :func:`gen_vector`: xxhash64 noise instead of
+    md5-string chains — same distribution and determinism contract (pure
+    function of (seed, pk, i)), ~8× cheaper to evaluate. For 1M-row
+    scale-evidence corpora where generator cost must not pollute the
+    pipeline under test (the same argument dd_minhash_1m makes for its
+    xxhash64 words). NOT oracle-portable (DuckDB has no xxhash64);
+    registry queries keep :func:`gen_vector`."""
+    half = (_NOISE_MOD - 1) / 2.0
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.lit(seed), pk, i),
+                          F.lit(_NOISE_MOD)) - half) / half)
+    if not normalize:
+        return raw
+    return F.aggregate(
+        F.transform(raw, lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v,
+        lambda s: F.transform(raw, lambda x: x / F.sqrt(s)))
+
+
 def gen_vector(seed: int, pk: Column, dim: int, normalize: bool = True) -> Column:
     """G2: stable per-pk vector — hash noise per (seed, pk, i), L2-normalized
     like the reference's float vectors (data.py:18-24).

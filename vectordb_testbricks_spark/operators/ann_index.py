@@ -73,17 +73,52 @@ def _train_centroids(sample: np.ndarray, n_lists: int, seed: int,
     return cent
 
 
-_JVM_ASSIGN_MAX_CELLS = 64 * 1024  # n_lists × dim budget for the codegen path
+# n_lists × dim budget for the JVM expression paths. Measured on 1M 16-dim
+# rows (local[32]): 64×16=1024 cells runs 1.8-4s unrolled vs ~9s Arrow/BLAS,
+# but 256×16=4096 cells already loses (17s vs 9s — the expression outgrows
+# janino method limits and falls back to interpreted projection), so the
+# crossover sits near 2k cells.
+_JVM_ASSIGN_MAX_CELLS = 2048
+
+# Add-chain depth budget for the unrolled form: janino compile cost grows
+# sharply with expression nesting depth (= dim), not cell count — 4×64
+# (256 cells) costs ~10s of compile and can OOM plan canonicalization,
+# while 64×16 (1024 cells) compiles instantly. Deeper vectors use the
+# compact HOF form instead: interpreted per element, zero compile risk.
+_JVM_UNROLL_MAX_DIM = 32
+
+
+def _dist_exprs(xs: list, cent: np.ndarray) -> list:
+    """Argmin-equivalent expanded-form distances ‖c‖² − 2·x·c (‖x‖² is
+    constant per row) as straight-line arithmetic over scalar element
+    columns. No HOF lambdas: aggregate/zip_with are CodegenFallback —
+    interpreted per element — which made the old per-centroid l2_sq
+    assignment ~8× slower at 1M×64×16. Same expanded form as the BLAS
+    path, so the two paths agree numerically to rounding."""
+    out = []
+    for c in cent:
+        e = F.lit(float((c * c).sum()))
+        for i, ci in enumerate(c):
+            e = e + xs[i] * F.lit(-2.0 * float(ci))
+        out.append(e)
+    return out
 
 
 def _assign_expr_jvm(vec_col: str, cent: np.ndarray):
-    """centroid_id as a pure codegen expression: squared-L2 against each
-    literal centroid, argmin via array_position(min). No Python workers."""
-    from vectordb_testbricks_spark.functions.vector import l2_sq
-
-    dists = F.array(*[
-        l2_sq(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in cent])
+    """centroid_id as a pure JVM expression (no Python workers), argmin via
+    array_position(min). Two forms by shape: unrolled expanded-form
+    straight-line arithmetic for shallow vectors (fastest per row), compact
+    per-centroid l2_sq HOFs for deeper ones (see _JVM_UNROLL_MAX_DIM).
+    Prefer :func:`with_centroid_id` where a DataFrame is in hand — it
+    extracts each vector element once instead of once per centroid."""
+    if cent.shape[1] <= _JVM_UNROLL_MAX_DIM:
+        xs = [F.col(vec_col)[i].cast("double") for i in range(cent.shape[1])]
+        dists = F.array(*_dist_exprs(xs, cent))
+    else:
+        from vectordb_testbricks_spark.functions.vector import l2_sq
+        dists = F.array(*[
+            l2_sq(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cent])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -94,6 +129,32 @@ def _assign_expr(vec_col: str, cent: np.ndarray, spark):
     if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
         return _assign_expr_jvm(vec_col, cent)
     return _assign_expr_pandas(vec_col, cent, spark)
+
+
+def with_centroid_id(df: DataFrame, vec_col: str, cent: np.ndarray,
+                     out_col: str = "centroid_id") -> DataFrame:
+    """Append the centroid assignment as ``out_col`` — the DataFrame-level
+    fast path all build/append sites route through. On the JVM path the
+    assignment is two-step: project each vector element to a scalar
+    attribute once, then evaluate the n_lists distances over the
+    attributes. CollapseProject keeps the split (an outer Project that
+    references a non-cheap alias n_lists times is not collapsed), so each
+    element is extracted once instead of once per centroid — measured
+    ~2.3× over the single-expression form at 1M×64×16."""
+    spark = df.sparkSession
+    if cent.shape[0] * cent.shape[1] > _JVM_ASSIGN_MAX_CELLS:
+        return df.withColumn(out_col,
+                             _assign_expr_pandas(vec_col, cent, spark))
+    if cent.shape[1] > _JVM_UNROLL_MAX_DIM:
+        return df.withColumn(out_col, _assign_expr_jvm(vec_col, cent))
+    dim = cent.shape[1]
+    tmp = [f"_cd_x{i}" for i in range(dim)]
+    proj = df.select(
+        "*", *[F.col(vec_col)[i].cast("double").alias(t)
+               for i, t in enumerate(tmp)])
+    dists = F.array(*_dist_exprs([F.col(t) for t in tmp], cent))
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return proj.withColumn(out_col, cid).drop(*tmp)
 
 
 def _assign_expr_pandas(vec_col: str, cent: np.ndarray, spark):
@@ -126,8 +187,7 @@ def build_ivf(base: DataFrame, vec_col: str, id_col: str,
     sample = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
 
-    assign = _assign_expr(vec_col, cent, base.sparkSession)
-    assigned = base.withColumn("centroid_id", assign)
+    assigned = with_centroid_id(base, vec_col, cent)
     return IvfModel(assigned=assigned, centroids=cent.tolist(),
                     vec_col=vec_col, id_col=id_col)
 
@@ -179,8 +239,7 @@ def append_ivf(new_rows: DataFrame, path: str, vec_col: str,
     retrain (build_ivf + write_ivf) when imbalance crosses a threshold."""
     cent = np.asarray(read_centroids(new_rows.sparkSession, path),
                       dtype=np.float64)
-    assign = _assign_expr(vec_col, cent, new_rows.sparkSession)
-    (new_rows.withColumn("centroid_id", assign)
+    (with_centroid_id(new_rows, vec_col, cent)
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
@@ -296,8 +355,6 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
     vmin = sample.min(axis=0)
     inv = np.maximum((sample.max(axis=0) - vmin) / 255.0, 1e-12)
 
-    assign = _assign_expr("_nv", cent, base.sparkSession)
-
     vmin_arr = F.array(*[F.lit(float(v)) for v in vmin])
     inv_arr = F.array(*[F.lit(float(v)) for v in inv])
     # q = clamp(round((x - vmin)/inv), 0, 255) - 128, stored as tinyint
@@ -307,7 +364,8 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
         lambda d, s: (F.greatest(F.lit(0.0),
                                  F.least(F.lit(255.0), F.round(d / s)))
                       .cast("int") - 128).cast("tinyint"))
-    quantized = x.select(id_col, assign.alias("centroid_id"), q8.alias("_q8"))
+    quantized = (with_centroid_id(x, "_nv", cent)
+                 .select(id_col, "centroid_id", q8.alias("_q8")))
     return Sq8Model(quantized=quantized, vmin=[float(v) for v in vmin],
                     inv_scale=[float(v) for v in inv],
                     centroids=cent.tolist(), base=base,
@@ -433,9 +491,9 @@ def build_bin_ivf(base: DataFrame, vec_col: str, id_col: str,
     sample = np.asarray([list(r["_nv"]) for r in rows], dtype=np.float64)
     cent = _train_centroids(sample, min(n_lists, len(sample)), seed, max_iter)
 
-    assign = _assign_expr("_nv", cent, base.sparkSession)
-    packed = x.select(id_col, assign.alias("centroid_id"),
-                      pack_sign_bits(F.col(vec_col)).alias("_bits"))
+    packed = (with_centroid_id(x, "_nv", cent)
+              .select(id_col, "centroid_id",
+                      pack_sign_bits(F.col(vec_col)).alias("_bits")))
     return BinIvfModel(packed=packed, centroids=cent.tolist(), base=base,
                        vec_col=vec_col, id_col=id_col)
 
