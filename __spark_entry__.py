@@ -2307,6 +2307,107 @@ FROM orders GROUP BY 1 ORDER BY part_id
 """
 
 
+_PART_LIFECYCLE_CACHE: dict = {}
+
+_ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"]
+
+
+def _partition_lifecycle_manager(spark, sf_dir):
+    """One-time ingest backing the scoped/TTL modes of part_route_modes:
+    an explicit-partition collection holding orders routed by
+    o_orderpriority (T1), and a TTL collection holding region
+    (ttl.seconds read filter, §1.3). Cached per (session, sf_dir) like
+    _bm25_managed_collection; re-runs reuse the warehouse on disk."""
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+    key = (_session_key(spark), sf_dir, "part_lifecycle")
+    cached = _PART_LIFECYCLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    wh = tempfile.mkdtemp(prefix="vts_part_wh_")
+    mgr = CollectionManager(spark, wh)
+    mgr.create_collection(SchemaSpec("orders_part", [
+        FieldSpec("o_orderkey", "INT64", primary=True),
+        FieldSpec("o_orderpriority", "VARCHAR", max_length=64),
+        FieldSpec("o_totalprice", "DOUBLE"),
+    ], partitions=list(_ORDER_PRIORITIES)))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    for p in _ORDER_PRIORITIES:
+        mgr.insert("orders_part",
+                   o.filter(F.col("o_orderpriority") == p),
+                   partition_name=p)
+    mgr.create_collection(SchemaSpec("region_ttl", [
+        FieldSpec("r_regionkey", "INT64", primary=True),
+        FieldSpec("r_name", "VARCHAR", max_length=64),
+    ], ttl_seconds=365 * 24 * 3600))
+    mgr.insert("region_ttl",
+               _t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    _PART_LIFECYCLE_CACHE[key] = mgr
+    return mgr
+
+
+def part_route_modes(spark, sf_dir):
+    """T1-T4 + TTL consolidated: the hash-bucket routing counts (the
+    original part_route_counts shape), a partition-scoped manager read
+    (T3 — ``read(partition_names=...)``, pruned at the partition column;
+    plan guard tests/test_plans.py PartitionFilters), and the TTL read
+    filter driven through the ``read(now=...)`` clock seam — a live clock
+    sees every ingested row, a clock one TTL past ingest sees none
+    (reference collection property ttl.seconds, SURVEY.md §1.3). The
+    bench keeps the pure part_route_counts function; this union is the
+    registry/oracle surface."""
+    import datetime
+    route = part_route_counts(spark, sf_dir).select(
+        F.lit("route").alias("mode"),
+        F.col("part_id").cast("string").alias("key"), "cnt", "total")
+    mgr = _partition_lifecycle_manager(spark, sf_dir)
+    scoped = (mgr.read("orders_part",
+                       partition_names=["1-URGENT", "3-MEDIUM"])
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double").alias("total"))
+              .select(F.lit("scoped").alias("mode"),
+                      F.col("o_orderpriority").alias("key"), "cnt", "total"))
+    live = (mgr.read("region_ttl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("ttl_live").alias("mode"),
+                    F.lit("-").alias("key"), "cnt",
+                    F.lit(0.0).alias("total")))
+    # two years past ingest > the one-year TTL: every row must be expired.
+    # Deterministic as long as this statement runs within a year of the
+    # ingest above (they run in the same session).
+    future = datetime.datetime.now() + datetime.timedelta(days=730)
+    expired = (mgr.read("region_ttl", now=future)
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .select(F.lit("ttl_expired").alias("mode"),
+                       F.lit("-").alias("key"), "cnt",
+                       F.lit(0.0).alias("total")))
+    return (route.unionByName(scoped).unionByName(live)
+            .unionByName(expired).orderBy("mode", "key"))
+
+
+SQL_PART_ROUTE_MODES = """
+SELECT 'route' AS mode, CAST(o_custkey % 8 AS VARCHAR) AS key,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'scoped', o_orderpriority, COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') GROUP BY 2
+UNION ALL
+SELECT 'ttl_live', '-', (SELECT COUNT(*) FROM region), CAST(0.0 AS DOUBLE)
+UNION ALL
+SELECT 'ttl_expired', '-', 0, CAST(0.0 AS DOUBLE)
+ORDER BY mode, key
+"""
+
+
 def st_window_agg(spark, sf_dir):
     """Tumbling-window aggregate over the events stream (batch semantics of
     the Structured-Streaming pipeline in streaming/events.py)."""
@@ -2663,7 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "mm_features": mm_features,
         "mm_modality_stats": mm_modality_stats,
-        "part_route_counts": part_route_counts,
+        "part_route_counts": part_route_modes,
         "q_querylog_corpus": q_querylog_corpus,
         "st_window_agg": st_window_agg,
         "st_sessionize": st_sessionize,
@@ -2720,7 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": SQL_MM_FRAMES,
         "mm_features": SQL_MM_FEATURES,
         "mm_modality_stats": SQL_MM_STATS,
-        "part_route_counts": SQL_PART_ROUTE,
+        "part_route_counts": SQL_PART_ROUTE_MODES,
         "q_querylog_corpus": _sql_querylog_corpus(),
         "st_window_agg": SQL_ST_WINDOW,
         "st_sessionize": SQL_ST_SESSIONIZE,
