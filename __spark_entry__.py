@@ -1432,19 +1432,25 @@ WHERE NOT COALESCE(event_type = 'error' OR value < 10.0, FALSE)
 
 
 def dml_insert(spark, sf_dir):
-    """S1: append a generated batch (regions replicated with shifted PKs —
-    the G5 expansion pattern) and read the merged table back."""
+    """S1+G5: append an expansion batch built by the real expand_data
+    operator — region replicated 3× with PKs remapped by copy·stride
+    (horizonPoc/expand_data.py semantics; copy 0 is the original, so the
+    insert batch is copies 1-2) — then read the merged table back. This
+    makes the G5 scale-out expansion itself oracle-verified, not just the
+    insert append."""
+    from vectordb_testbricks_spark.datagen import expand_data
     from vectordb_testbricks_spark.operators.dml import insert
     r = _t(spark, sf_dir, "region")
-    batch = r.select((F.col("r_regionkey") + 100).alias("r_regionkey"),
-                     F.concat(F.lit("COPY_"), F.col("r_name")).alias("r_name"))
+    batch = (expand_data(r, copies=3, pk_col="r_regionkey", stride=100)
+             .filter(F.col("r_regionkey") >= 100))
     return insert(r, batch).orderBy("r_regionkey")
 
 
 SQL_DML_INSERT = """
-SELECT * FROM region
+SELECT r_regionkey, r_name FROM region
 UNION ALL
-SELECT r_regionkey + 100, 'COPY_' || r_name FROM region
+SELECT r_regionkey + 100 * c, r_name
+FROM region CROSS JOIN (SELECT 1 AS c UNION ALL SELECT 2 AS c)
 ORDER BY r_regionkey
 """
 
@@ -1513,6 +1519,65 @@ SELECT COUNT(*) AS n_rows,
            'l_returnflag=' || l_returnflag)), 1, 15) AS BIGINT)
            % 1000000000000) AS BIGINT) AS checksum
 FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+def val_checksum_report(spark, sf_dir):
+    """C1-C5 consolidated: the C3 checksum (two rows) plus a validator
+    report driving the real validators.* code paths (C1 count, C2
+    presence/absence, C4 upsert-applied via seed+101 regeneration, C5
+    search smoke) over a deterministic seeded collection that has been
+    upserted and delete-sliced. The oracle pins the expected outcomes —
+    regressions in any validator or in the DML operators shift the
+    emitted values and hash-fail. Validator internals collect bounded
+    driver-side state (counts and ≤5-element PK lists), mirroring the
+    reference's client-side check loop (validate_phase_dml_dql.py).
+    The bench keeps the pure val_checksum function; this union is the
+    registry/oracle surface."""
+    from vectordb_testbricks_spark import validators as V
+    from vectordb_testbricks_spark.datagen import gen_rows
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.dml import (
+        delete_by_filter, upsert)
+    chk = val_checksum(spark, sf_dir)
+    base = gen_rows(spark, 0, 500, seed=42, dim=8)
+    upd = gen_rows(spark, 10, 5, seed=42 + 101, dim=8)
+    state = shared_persist(
+        delete_by_filter(upsert(base, upd, "pk"), "pk >= 495"))
+    c1 = V.check_count(state, 495)
+    c2p = V.check_pk_presence(state, "pk", [0, 1, 2])
+    c2d = V.check_pk_presence(state, "pk", [495, 499],
+                              expect_present=False)
+    c4 = V.check_upsert_applied(state, "pk", [10, 14], seed=42)
+    qvec = [float(x) for x in state.filter(F.col("pk") == 3)
+            .select("embedding").collect()[0][0]]
+    c5 = V.check_search_smoke(state, "embedding", "pk", qvec)
+    rep = spark.createDataFrame(
+        [("c1_count", int(c1["got"])),
+         ("c2_deleted_present", len(c2d["present_but_deleted"])),
+         ("c2_present_missing", len(c2p["missing"])),
+         ("c4_upsert_mismatched", len(c4["mismatched_pks"])),
+         ("c5_hits", int(c5["hits"]))],
+        "check string, val bigint")
+    c3 = chk.select(
+        F.explode(F.map_from_arrays(
+            F.array(F.lit("c3_rows"), F.lit("c3_checksum")),
+            F.array(F.col("n_rows").cast("bigint"),
+                    F.col("checksum").cast("bigint"))))
+        .alias("check", "val"))
+    return c3.unionByName(rep).orderBy("check")
+
+
+SQL_VAL_CHECKSUM_REPORT = f"""
+WITH c3 AS ({SQL_VAL_CHECKSUM})
+SELECT 'c3_rows' AS "check", CAST(n_rows AS BIGINT) AS val FROM c3
+UNION ALL SELECT 'c3_checksum', checksum FROM c3
+UNION ALL SELECT 'c1_count', 495
+UNION ALL SELECT 'c2_deleted_present', 0
+UNION ALL SELECT 'c2_present_missing', 0
+UNION ALL SELECT 'c4_upsert_mismatched', 0
+UNION ALL SELECT 'c5_hits', 1
+ORDER BY "check"
 """
 
 
@@ -2746,7 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_delete": dml_delete,
         "dml_insert": dml_insert,
         "wl_pressure": wl_pressure,
-        "val_checksum": val_checksum,
+        "val_checksum": val_checksum_report,
         "val_latency_stats": val_latency_stats,
         "gen_rows_check": gen_rows_check,
         "dd_exact": dd_exact,
@@ -2803,7 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "dml_delete": SQL_DML_DELETE,
         "dml_insert": SQL_DML_INSERT,
         "wl_pressure": SQL_WL_PRESSURE,
-        "val_checksum": SQL_VAL_CHECKSUM,
+        "val_checksum": SQL_VAL_CHECKSUM_REPORT,
         "val_latency_stats": SQL_VAL_LATENCY,
         "gen_rows_check": SQL_GEN_ROWS,
         "dd_exact": SQL_DD_EXACT,
