@@ -517,7 +517,7 @@ def dd_embed_1m(spark, sf_dir):
                                threshold=0.99, sign_bits=16)
 
 
-def v_bm25_1m(spark, sf_dir):
+def v_bm25_1m(spark, sf_dir, n=1_000_000, vocab=30_000):
     """Bench-only scale evidence for the ingest-time BM25 function sidecar
     (the v_bm25 fixture is ~5k docs): ingest a 1M-doc seeded corpus
     through CollectionManager.insert — which materializes the tf/doclen
@@ -530,12 +530,12 @@ def v_bm25_1m(spark, sf_dir):
     Corpus words via xxhash64 — the generator-cost argument dd_minhash_1m
     makes. Not a registry entry (no 1M-row oracle in the per-round
     budget); sidecar==ad-hoc scoring parity is oracled by v_bm25's
-    'managed' mode at fixture scale."""
+    'managed' mode at fixture scale, and the wiring here is smoke-tested
+    at small n (tests/test_operators.py)."""
     import tempfile
     from vectordb_testbricks_spark.manager import CollectionManager
     from vectordb_testbricks_spark.schema import (
         FieldSpec, FunctionSpec, SchemaSpec)
-    n, vocab = 1_000_000, 30_000
     words = F.transform(
         F.sequence(F.lit(0), F.lit(19)),
         lambda i: F.concat(F.lit("w"), F.pmod(
@@ -552,8 +552,11 @@ def v_bm25_1m(spark, sf_dir):
     ], functions=[FunctionSpec("fts", "BM25", "text", "sparse_bm25")])
     mgr.create_collection(spec)
     mgr.insert("fts1m", docs)
-    queries = ["w17 w4242 w999", "w12345 w6789", "w1 w2 w3 w4",
-               "w29000 w100 w2020"]
+    # query terms folded into the vocab so every query matches postings at
+    # any corpus size (the small-n wiring test runs with vocab=500)
+    qids = [[17, 4242, 999], [12345, 6789], [1, 2, 3, 4],
+            [29000, 100, 2020]]
+    queries = [" ".join(f"w{t % vocab}" for t in q) for q in qids]
     return mgr.bm25_search("fts1m", queries, k=10)
 
 

