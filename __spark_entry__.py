@@ -1434,6 +1434,55 @@ WHERE NOT COALESCE(event_type = 'error' OR value < 10.0, FALSE)
 """
 
 
+def dml_delete_modes(spark, sf_dir):
+    """S4+V11 consolidated: the filter delete (the original dml_delete
+    row) plus a search-based delete driven through the real
+    WorkloadRunner.op_search_delete — search top-nb, delete the hit PKs
+    (2.6/common.py:217-231) — over a managed embeddings collection. The
+    survivors' (count, sum of vec_id) pins exactly WHICH ids were
+    deleted, so the oracle re-derives the top-5 cosine hit set in SQL.
+    The bench keeps the pure dml_delete function; this union is the
+    registry/oracle surface."""
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+    from vectordb_testbricks_spark.workload import WorkloadRunner
+    filt = dml_delete(spark, sf_dir).select(
+        F.lit("filter").alias("mode"), "cnt", "total")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    mgr = CollectionManager(spark, tempfile.mkdtemp(prefix="vts_sdel_"))
+    mgr.create_collection(SchemaSpec("emb_sdel", [
+        FieldSpec("vec_id", "INT64", primary=True),
+        FieldSpec("embedding", "FLOAT_VECTOR", dim=len(qvec)),
+    ]))
+    mgr.insert("emb_sdel", emb.select("vec_id", "embedding"))
+    runner = WorkloadRunner(mgr, "emb_sdel", "vec_id",
+                            vec_col="embedding")
+    runner.op_search_delete(qvec, nb=5)
+    survivors = (mgr.read("emb_sdel")
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      F.sum("vec_id").cast("double").alias("total"))
+                 .select(F.lit("search_delete").alias("mode"),
+                         "cnt", "total"))
+    return filt.unionByName(survivors).orderBy("mode")
+
+
+SQL_DML_DELETE_MODES = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT e.vec_id, {_SQL_COS} AS score
+           FROM embeddings e CROSS JOIN q),
+top5 AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 5)
+SELECT 'filter' AS mode, cnt, total FROM ({SQL_DML_DELETE})
+UNION ALL
+SELECT 'search_delete', COUNT(*), CAST(SUM(vec_id) AS DOUBLE)
+FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM top5)
+ORDER BY mode
+"""
+
+
 def dml_insert(spark, sf_dir):
     """S1+G5: append an expansion batch built by the real expand_data
     operator — region replicated 3× with PKs remapped by copy·stride
@@ -2414,6 +2463,9 @@ def _partition_lifecycle_manager(spark, sf_dir):
     ], ttl_seconds=365 * 24 * 3600))
     mgr.insert("region_ttl",
                _t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    # S8: the scoped read below goes through an alias, so alias resolution
+    # is on the oracle-checked path too (alter_alias.py semantics)
+    mgr.alter_alias("orders_live", "orders_part")
     _PART_LIFECYCLE_CACHE[key] = mgr
     return mgr
 
@@ -2433,7 +2485,7 @@ def part_route_modes(spark, sf_dir):
         F.lit("route").alias("mode"),
         F.col("part_id").cast("string").alias("key"), "cnt", "total")
     mgr = _partition_lifecycle_manager(spark, sf_dir)
-    scoped = (mgr.read("orders_part",
+    scoped = (mgr.read("orders_live",  # alias → orders_part (S8)
                        partition_names=["1-URGENT", "3-MEDIUM"])
               .groupBy("o_orderpriority")
               .agg(F.count(F.lit(1)).alias("cnt"),
@@ -2811,7 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ann_indexes": v_ann_indexes,
         "dml_upsert": dml_upsert,
         "dml_partial_update": dml_partial_update,
-        "dml_delete": dml_delete,
+        "dml_delete": dml_delete_modes,
         "dml_insert": dml_insert,
         "wl_pressure": wl_pressure,
         "val_checksum": val_checksum_report,
@@ -2868,7 +2920,7 @@ def oracle_sql() -> dict[str, str]:
         "v_ann_indexes": SQL_V_ANN_INDEXES,
         "dml_upsert": SQL_DML_UPSERT,
         "dml_partial_update": SQL_DML_PARTIAL,
-        "dml_delete": SQL_DML_DELETE,
+        "dml_delete": SQL_DML_DELETE_MODES,
         "dml_insert": SQL_DML_INSERT,
         "wl_pressure": SQL_WL_PRESSURE,
         "val_checksum": SQL_VAL_CHECKSUM_REPORT,

@@ -154,8 +154,12 @@ def main() -> None:
             fn = getattr(entrymod, name)
             # isolate each 1M-row entry: headline caches would otherwise
             # evict its working set mid-run (v_ivf_1m measured 52s under
-            # cache pressure vs 33s isolated)
+            # cache pressure vs 33s isolated), and an explicit full GC
+            # normalizes the long-lived JVM's heap state (dd_minhash_1m
+            # swung 15-45s purely on GC debt from the preceding 90+
+            # headline runs)
             spark.catalog.clearCache()
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             scale[name] = {"sec": round(time.perf_counter() - t0, 3),
