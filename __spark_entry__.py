@@ -468,8 +468,10 @@ def v_ivf_1m(spark, sf_dir):
     scan-bytes×scan-fraction economics README describes); query vectors
     are corpus rows re-derived from (seed, pk), so top-1 ground truth is
     the query itself. Not a registry entry (no 1M-row oracle in the
-    per-round budget) — exactness/recall of the same code path is
-    asserted at fixture scale in tests/test_operators.py. Vectors come
+    per-round budget) — the unrolled dim≤32 assignment branch this entry
+    dispatches to is pinned against the BLAS path at fixture scale
+    (tests/test_operators.py test_ivf_assignment_unrolled_path_agrees);
+    probe/recall semantics by the IVF fixture tests. Vectors come
     from gen_vector_fast (xxhash64 noise) — generator cost must not
     pollute the index cost under test, the same argument dd_minhash_1m
     makes for its corpus words."""
@@ -541,8 +543,10 @@ def v_bm25_1m(spark, sf_dir, n=1_000_000, vocab=30_000):
         lambda i: F.concat(F.lit("w"), F.pmod(
             F.xxhash64(F.lit("fts1m"), F.col("id"), i),
             F.lit(vocab)).cast("string")))
+    import shutil
     docs = spark.range(n).select(
-        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"),
+        F.lit(None).cast("map<int,float>").alias("sparse_bm25"))
     wh = tempfile.mkdtemp(prefix="vts_bm25_1m_")
     mgr = CollectionManager(spark, wh)
     spec = SchemaSpec("fts1m", [
@@ -557,7 +561,14 @@ def v_bm25_1m(spark, sf_dir, n=1_000_000, vocab=30_000):
     qids = [[17, 4242, 999], [12345, 6789], [1, 2, 3, 4],
             [29000, 100, 2020]]
     queries = [" ".join(f"w{t % vocab}" for t in q) for q in qids]
-    return mgr.bm25_search("fts1m", queries, k=10)
+    hits = mgr.bm25_search("fts1m", queries, k=10)
+    # materialize the 40-row result, then reclaim the 1M-doc temp
+    # warehouse — repeated bench/test runs would otherwise strand GBs of
+    # parquet in /tmp; the timed work (ingest + sidecar + search) has all
+    # happened by the time collect returns
+    out = spark.createDataFrame(hits.collect(), hits.schema)
+    shutil.rmtree(wh, ignore_errors=True)
+    return out
 
 
 def v_knn_hamming(spark, sf_dir):
@@ -1466,6 +1477,12 @@ def dml_delete_modes(spark, sf_dir):
                       F.sum("vec_id").cast("double").alias("total"))
                  .select(F.lit("search_delete").alias("mode"),
                          "cnt", "total"))
+    # materialize the single survivors row, then reclaim the per-call
+    # temp warehouse (an embeddings-sized parquet copy per invocation)
+    import shutil
+    survivors = spark.createDataFrame(survivors.collect(),
+                                      survivors.schema)
+    shutil.rmtree(mgr.warehouse, ignore_errors=True)
     return filt.unionByName(survivors).orderBy("mode")
 
 

@@ -130,6 +130,40 @@ def test_ivf_assignment_jvm_and_pandas_paths_agree(emb, spark):
     assert diff == 0
 
 
+def test_ivf_assignment_unrolled_path_agrees(emb, spark):
+    """The dim≤32 unrolled straight-line branch (both the Column form and
+    with_centroid_id's two-step scalar projection) must route every row to
+    the same centroid as the Arrow/BLAS path. The embeddings fixture is
+    dim 64 — which dispatches to the compact HOF branch — so this trims
+    to 16 dims to pin the unrolled branch the 1M bench entries rely on."""
+    import numpy as np
+
+    from vectordb_testbricks_spark.operators.ann_index import (
+        _JVM_UNROLL_MAX_DIM, _assign_expr_jvm, _assign_expr_pandas,
+        _train_centroids, with_centroid_id)
+    from vectordb_testbricks_spark.functions.vector import to_double_array
+
+    dim = 16
+    assert dim <= _JVM_UNROLL_MAX_DIM
+    base = emb.select(
+        "vec_id",
+        F.slice(to_double_array(F.col("embedding")), 1, dim).alias("v"))
+    rows = base.select("v").limit(200).collect()
+    sample = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    cent = _train_centroids(sample, 8, seed=7, max_iter=5)
+    both = base.select(
+        "vec_id",
+        _assign_expr_jvm("v", cent).alias("jvm"),
+        _assign_expr_pandas("v", cent, spark).alias("arrow"))
+    assert both.filter(F.col("jvm") != F.col("arrow")).count() == 0
+    two_step = with_centroid_id(base, "v", cent)
+    assert "_cd_x0" not in two_step.columns  # temp projections dropped
+    joined = two_step.join(
+        both.select("vec_id", "arrow"), "vec_id")
+    assert joined.filter(
+        F.col("centroid_id") != F.col("arrow")).count() == 0
+
+
 def test_binary_rerank_driver_packing_matches_pack_sign_bits(emb, spark):
     """binary_rerank_search packs the query driver-side in Python; the bits
     must equal pack_sign_bits of the same vector — a mismatch would silently
@@ -769,7 +803,7 @@ def test_bm25_scale_entry_wiring_small_n(spark):
     assert sorted(by_q) == [0, 1, 2, 3]
     for q, rows in by_q.items():
         assert sorted(r["rank"] for r in rows) == list(range(1, 11))
-        assert all(rows[i]["score"] >= rows[i + 1]["score"]
-                   for i in range(len(rows) - 1)
-                   if rows[i]["rank"] < rows[i + 1]["rank"]) or True
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        assert all(ranked[i]["score"] >= ranked[i + 1]["score"]
+                   for i in range(len(ranked) - 1))
         assert all(r["score"] > 0 for r in rows)

@@ -122,15 +122,6 @@ def _assign_expr_jvm(vec_col: str, cent: np.ndarray):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _assign_expr(vec_col: str, cent: np.ndarray, spark):
-    """Centroid-assignment dispatch, shared by every build/append site so
-    build-time and append-time routing can never diverge: JVM codegen while
-    n_lists×dim fits the codegen budget, Arrow-batched BLAS beyond."""
-    if cent.shape[0] * cent.shape[1] <= _JVM_ASSIGN_MAX_CELLS:
-        return _assign_expr_jvm(vec_col, cent)
-    return _assign_expr_pandas(vec_col, cent, spark)
-
-
 def with_centroid_id(df: DataFrame, vec_col: str, cent: np.ndarray,
                      out_col: str = "centroid_id") -> DataFrame:
     """Append the centroid assignment as ``out_col`` — the DataFrame-level
