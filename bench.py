@@ -167,6 +167,32 @@ def main() -> None:
             print(f"# scale {name}: {scale[name]['sec']:.3f}s rows={n}",
                   flush=True)
 
+    # concurrent-QPS entry: the reference's headline serving metric is
+    # QPS under a concurrent worker pool (search_permanently.py:36-96,
+    # async_search.py worker pool), not just single-query latency. Drive
+    # 16 cosine top-k searches through the V10 async machinery
+    # (run_async_searches: per-thread job groups over the shared executor
+    # pool) on 8 workers and record wall-clock + effective QPS. Disable
+    # with SPARK_GRAFT_BENCH_CONCURRENCY=0.
+    concurrency: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0":
+        from vectordb_testbricks_spark.workload import run_async_searches
+        cfn = qmap["v_knn_cosine"]
+        cfn(spark, sf_dir).count()   # plan warm-up outside the timed region
+        rep = run_async_searches(
+            spark, [lambda: cfn(spark, sf_dir) for _ in range(16)],
+            max_workers=8)
+        concurrency = {
+            "tasks": len(rep.outcomes), "workers": 8,
+            "successes": rep.successes, "failures": rep.failures,
+            "timeouts": rep.timeouts,
+            "wall_clock_sec": round(rep.wall_clock_sec, 3),
+            "qps": round(rep.qps, 2),
+        }
+        print(f"# concurrency: {concurrency['qps']} qps "
+              f"({concurrency['successes']}/{concurrency['tasks']} ok, "
+              f"{concurrency['wall_clock_sec']}s wall)", flush=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -178,6 +204,8 @@ def main() -> None:
     }
     if scale:
         out["scale"] = scale
+    if concurrency:
+        out["concurrency"] = concurrency
     if latency:
         out["latency"] = latency
         out["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)
