@@ -1,9 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Output contract (r06): the FINAL printed line is a compact (<2 KB) JSON
+object the driver's tail capture can always parse —
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "tests_green": bool,
+   "tests_summary": "..."}
+The verbose evidence blocks (per-query latency percentiles, 1M-row scale
+entries, concurrency QPS) are printed as an EARLIER JSON line and written
+durably to BENCH_DETAIL.json ($SPARK_GRAFT_BENCH_DETAIL to override) —
+round 5's single ~5.5 KB line outgrew the driver's ~4 KB tail window and
+recorded as parsed:null, losing the round's headline number.
 
 The metric set mirrors the reference's workload definitions (QPS/latency,
 search_permanently.py:36-96) reduced to per-query wall-clock; BASELINE.md
@@ -169,31 +176,78 @@ def main() -> None:
 
     # concurrent-QPS entry: the reference's headline serving metric is
     # QPS under a concurrent worker pool (search_permanently.py:36-96,
-    # async_search.py worker pool), not just single-query latency. Drive
-    # 16 cosine top-k searches through the V10 async machinery
-    # (run_async_searches: per-thread job groups over the shared executor
-    # pool) on 8 workers and record wall-clock + effective QPS. Disable
-    # with SPARK_GRAFT_BENCH_CONCURRENCY=0.
+    # async_search.py worker pool; go_bench drives concurrency 10,
+    # config.yaml:1-26), not just single-query latency. Two matched paths
+    # over the same corpus and query family:
+    #   pool    — 16 single-query (nq=1) cosine top-k searches through the
+    #             V10 async machinery (run_async_searches: per-thread job
+    #             groups over the shared scheduler pool), 8 workers.
+    #   batched — the SAME 16 query vectors as ONE nq=16 plan (broadcast
+    #             queries ⨯ base, two-phase WindowGroupLimit top-k).
+    # Recording both evidences the design claim that in Spark, batching
+    # queries into one plan beats thread-pooling independent plans.
+    # Disable with SPARK_GRAFT_BENCH_CONCURRENCY=0.
     concurrency: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0":
         from vectordb_testbricks_spark.workload import run_async_searches
-        cfn = qmap["v_knn_cosine"]
-        cfn(spark, sf_dir).count()   # plan warm-up outside the timed region
+        from vectordb_testbricks_spark.operators.search import knn_search
+
+        def _knn_nq(ids):
+            emb, q = entrymod._emb_queries(spark, sf_dir, ids=ids)
+            return knn_search(emb, q, "embedding", "vec_id",
+                              metric="COSINE", k=10)
+
+        _knn_nq((0,)).count()        # plan warm-up outside the timed region
         rep = run_async_searches(
-            spark, [lambda: cfn(spark, sf_dir) for _ in range(16)],
+            spark, [lambda i=i: _knn_nq((i,)) for i in range(16)],
             max_workers=8)
+        t0 = time.perf_counter()
+        _knn_nq(tuple(range(16))).count()
+        batched_sec = time.perf_counter() - t0
         concurrency = {
-            "tasks": len(rep.outcomes), "workers": 8,
-            "successes": rep.successes, "failures": rep.failures,
-            "timeouts": rep.timeouts,
-            "wall_clock_sec": round(rep.wall_clock_sec, 3),
-            "qps": round(rep.qps, 2),
+            "pool": {
+                "tasks": len(rep.outcomes), "workers": 8, "nq_per_task": 1,
+                "successes": rep.successes, "failures": rep.failures,
+                "timeouts": rep.timeouts,
+                "wall_clock_sec": round(rep.wall_clock_sec, 3),
+            },
+            "batched": {"nq": 16,
+                        "wall_clock_sec": round(batched_sec, 3)},
+            "concurrency_qps": round(rep.qps, 2),
+            "batched_nq16_qps": round(16.0 / max(batched_sec, 1e-9), 2),
         }
-        print(f"# concurrency: {concurrency['qps']} qps "
-              f"({concurrency['successes']}/{concurrency['tasks']} ok, "
-              f"{concurrency['wall_clock_sec']}s wall)", flush=True)
+        print(f"# concurrency: pool {concurrency['concurrency_qps']} qps "
+              f"({rep.successes}/{len(rep.outcomes)} ok, "
+              f"{concurrency['pool']['wall_clock_sec']}s wall) vs "
+              f"batched nq=16 {concurrency['batched_nq16_qps']} qps "
+              f"({concurrency['batched']['wall_clock_sec']}s)", flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # verbose evidence → earlier stdout line + durable side file; the
+    # driver's tail capture only needs to survive long enough to keep the
+    # compact final line intact.
+    detail: dict = {"kind": "bench_detail", "sf": sf, "total_sec": total}
+    if latency:
+        detail["latency"] = latency
+        detail["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)
+                        for name, s in latency.items()}
+    if scale:
+        detail["scale"] = scale
+    if concurrency:
+        detail["concurrency"] = concurrency
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 os.path.join(repo, "BENCH_DETAIL.json"))
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:          # read-only checkout: stdout line suffices
+        print(f"# bench detail not written to {detail_path}: {e}",
+              flush=True)
+    print(json.dumps(detail), flush=True)
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -202,15 +256,16 @@ def main() -> None:
         "sf": sf,
         **suite,
     }
-    if scale:
-        out["scale"] = scale
-    if concurrency:
-        out["concurrency"] = concurrency
-    if latency:
-        out["latency"] = latency
-        out["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)
-                      for name, s in latency.items()}
-    print(json.dumps(out), flush=True)
+    # hard <2 KB guarantee for the final line (driver tail capture): trim
+    # the free-text field first, then the per-query map — the headline
+    # total must always survive.
+    out["tests_summary"] = str(out.get("tests_summary", ""))[:120]
+    line = json.dumps(out)
+    if len(line) >= 2000:
+        out.pop("queries", None)
+        out["queries_note"] = "trimmed to fit tail capture; see BENCH_DETAIL"
+        line = json.dumps(out)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

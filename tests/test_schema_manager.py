@@ -450,6 +450,32 @@ def test_bm25_sidecar_zero_token_docs_count(mgr, spark):
     assert abs(row.avgdl - 4.0 / 3.0) < 1e-12
 
 
+def test_bm25_stats_accumulate_across_insert_batches(mgr, spark):
+    """Global stats (df_t, n_docs, avgdl) reflect every insert batch via
+    the additive delta log alone — no sidecar rebuild happens on insert
+    (the fn dir's CURRENT manifest never flips), yet the recovered stats
+    are exact across batches."""
+    import os
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [
+        (1, "red fish"), (2, "blue fish blue")]))
+    mgr.insert("fts_coll", _docs(spark, [
+        (3, "red red herring fish"), (4, "green")]))
+    # insert is append-only: no rebuild, so no CURRENT manifest exists yet
+    fn_root = os.path.join(mgr.warehouse, "fts_coll", "fn_fts")
+    assert not os.path.exists(os.path.join(fn_root, "CURRENT"))
+    # and the terms delta log holds one partial file set per batch
+    _, stats = mgr.function_tables("fts_coll")
+    by_term = {r.term: r for r in stats.collect()}
+    assert by_term["fish"].df_t == 3      # docs 1, 2, 3
+    assert by_term["red"].df_t == 2       # docs 1, 3
+    assert by_term["green"].df_t == 1
+    row = by_term["fish"]
+    assert row.n_docs == 4
+    # dl: 2 + 3 + 4 + 1 = 10 tokens over 4 docs
+    assert abs(row.avgdl - 2.5) < 1e-12
+
+
 def test_bm25_sidecar_respects_ttl_expiry(mgr, spark):
     """TTL collections: the append-only sidecar may still hold tf rows for
     expired docs; search must not surface them (candidates prune to the
