@@ -628,7 +628,39 @@ def v_knn_metrics(spark, sf_dir):
                         "label",
                         F.col("score").cast("double").alias("score"), "rank"))
         out = part if out is None else out.unionByName(part)
-    return out
+    # V12 fold ('SHAPE' branch): the reference's result-shape checks
+    # (workload.py:155-162 — nq hit lists, each exactly k rows, ids unique
+    # within a list, scores non-increasing with rank) computed over the
+    # COSINE branch and emitted as 4 report rows in the same schema:
+    # vec_id = check id, label = observed, score = expected, rank = pass.
+    from pyspark.sql import Window
+    hits = _knn(spark, sf_dir, "COSINE")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    lagged = hits.withColumn("_prev", F.lag("score").over(w))
+    perq = lagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+        F.sum(F.when(F.col("_prev") < F.col("score"), 1)
+              .otherwise(0)).alias("inv"))
+    agg = perq.agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum((F.col("n") == 10).cast("int")).alias("fl"),
+        F.sum((F.col("nd") == 10).cast("int")).alias("ul"),
+        F.sum("inv").alias("inv"))
+    exp = {"nq": 3, "fl": 3, "ul": 3, "inv": 0}
+    structs = F.array(*[
+        F.struct(F.lit(cid).alias("cid"), F.col(c).alias("obs"),
+                 F.lit(exp[c]).alias("exp"))
+        for cid, c in enumerate(("nq", "fl", "ul", "inv"))])
+    shape = (agg.select(F.explode(structs).alias("s"))
+             .select(F.lit("SHAPE").alias("metric"),
+                     F.lit(-1).cast("bigint").alias("query_id"),
+                     F.col("s.cid").cast("bigint").alias("vec_id"),
+                     F.col("s.obs").cast("int").alias("label"),
+                     F.col("s.exp").cast("double").alias("score"),
+                     F.when(F.col("s.obs") == F.col("s.exp"), 1)
+                     .otherwise(0).cast("bigint").alias("rank")))
+    return out.unionByName(shape)
 
 
 def _metric_knn_sql(metric: str, score: str, ord_: str, scoreout: str) -> str:
@@ -639,11 +671,47 @@ def _metric_knn_sql(metric: str, score: str, ord_: str, scoreout: str) -> str:
             f"CAST(score AS DOUBLE) AS score, rank FROM ({sub})")
 
 
+_SQL_SHAPE_COS_SUB = _SQL_KNN_TMPL.format(
+    score=_SQL_COS, where="", ord="DESC", scoreout="ROUND(score, 4)",
+    lbl="", lbl_e="")
+
+# V12 'SHAPE' branch oracle: same four checks recomputed in SQL over the
+# COSINE ranked subquery (LAG for the monotone-score check).
+_SQL_KNN_SHAPE = f"""
+SELECT 'SHAPE' AS metric, CAST(-1 AS BIGINT) AS query_id,
+       CAST(c.cid AS BIGINT) AS vec_id, CAST(c.obs AS INTEGER) AS label,
+       CAST(c.exp AS DOUBLE) AS score,
+       CAST(CASE WHEN c.obs = c.exp THEN 1 ELSE 0 END AS BIGINT) AS rank
+FROM (
+  WITH hits AS ({_SQL_SHAPE_COS_SUB}),
+  lagged AS (SELECT query_id, vec_id, score,
+                    LAG(score) OVER (PARTITION BY query_id
+                                     ORDER BY rank) AS prev
+             FROM hits),
+  perq AS (SELECT query_id, COUNT(*) AS n, COUNT(DISTINCT vec_id) AS nd,
+                  CAST(SUM(CASE WHEN prev < score THEN 1 ELSE 0 END)
+                       AS BIGINT) AS inv
+           FROM lagged GROUP BY query_id),
+  agg AS (SELECT COUNT(*) AS nq,
+                 CAST(SUM(CASE WHEN n = 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fl,
+                 CAST(SUM(CASE WHEN nd = 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ul,
+                 CAST(SUM(inv) AS BIGINT) AS inv
+          FROM perq)
+  SELECT 0 AS cid, nq AS obs, 3 AS exp FROM agg
+  UNION ALL SELECT 1, fl, 3 FROM agg
+  UNION ALL SELECT 2, ul, 3 FROM agg
+  UNION ALL SELECT 3, inv, 0 FROM agg
+) c
+"""
+
 SQL_V_KNN_METRICS = "\nUNION ALL\n".join([
     _metric_knn_sql("L2", _SQL_L2, "ASC", "ROUND(score, 4)"),
     _metric_knn_sql("IP", _SQL_DOT, "DESC", "ROUND(score, 4)"),
     _metric_knn_sql("COSINE", _SQL_COS, "DESC", "ROUND(score, 4)"),
     _metric_knn_sql("HAMMING", _SQL_HAM, "ASC", "CAST(score AS BIGINT)"),
+    _SQL_KNN_SHAPE,
 ])
 
 
@@ -1658,12 +1726,42 @@ def val_checksum_report(spark, sf_dir):
     qvec = [float(x) for x in state.filter(F.col("pk") == 3)
             .select("embedding").collect()[0][0]]
     c5 = V.check_search_smoke(state, "embedding", "pk", qvec)
+    # every consumer of `state` has collected by now; release the cached
+    # blocks so repeated registry invocations in a long-lived session
+    # don't pin one stale plan per call
+    state.unpersist()
+    # C8 fold: index list/params must survive a manager round-trip (schema
+    # JSON write → fresh manager → describe), the catalog half of
+    # validate_index_compatibility.py's upgrade check. Emitted as a drift
+    # count so the oracle pins 0.
+    import shutil
+    import tempfile
+    from vectordb_testbricks_spark.manager import CollectionManager
+    from vectordb_testbricks_spark.schema import (
+        FieldSpec, IndexSpec, SchemaSpec)
+    wh = tempfile.mkdtemp(prefix="vts_c8_wh_")
+    try:
+        m1 = CollectionManager(spark, wh)
+        m1.create_collection(SchemaSpec("c8_coll", [
+            FieldSpec("pk", "INT64", primary=True),
+            FieldSpec("embedding", "FLOAT_VECTOR", dim=8),
+        ], indexes=[
+            IndexSpec("embedding", "IVF_FLAT", "COSINE", {"nlist": 64}),
+            IndexSpec("pk", "STL_SORT"),
+        ]))
+        before = m1.describe_collection("c8_coll")
+        after = CollectionManager(spark, wh).describe_collection("c8_coll")
+        c8 = V.check_index_compatibility(before, after)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    c8_drift = len(c8["missing"]) + len(c8["added"]) + len(c8["changed"])
     rep = spark.createDataFrame(
         [("c1_count", int(c1["got"])),
          ("c2_deleted_present", len(c2d["present_but_deleted"])),
          ("c2_present_missing", len(c2p["missing"])),
          ("c4_upsert_mismatched", len(c4["mismatched_pks"])),
-         ("c5_hits", int(c5["hits"]))],
+         ("c5_hits", int(c5["hits"])),
+         ("c8_index_drift", c8_drift)],
         "check string, val bigint")
     c3 = chk.select(
         F.explode(F.map_from_arrays(
@@ -1683,6 +1781,7 @@ UNION ALL SELECT 'c2_deleted_present', 0
 UNION ALL SELECT 'c2_present_missing', 0
 UNION ALL SELECT 'c4_upsert_mismatched', 0
 UNION ALL SELECT 'c5_hits', 1
+UNION ALL SELECT 'c8_index_drift', 0
 ORDER BY "check"
 """
 
@@ -1947,13 +2046,16 @@ FROM pairs WHERE hamming <= 3
 
 def dd_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dups via a frequency-capped inverted shingle
-    index with AllPairs/PPJoin prefix filtering (max_df = 50; each doc
-    posts only its first ⌊0.3·|codes|⌋+1 sorted codes), threshold 0.7.
-    min_shared = 2 is the precision lever on top: the prefix lemma
-    guarantees 1 shared prefix code at the threshold, but requiring 2
-    cuts candidates ~25× (697k → 29k at sf0.1) while every true ≥0.7
-    pair in the corpus shares well over 2 (verified: identical final
-    rows as min_shared=1 at sf0.01 AND sf0.1)."""
+    index with AllPairs/PPJoin prefix + positional filtering (max_df =
+    50; each doc posts its first ⌊0.3·|codes|⌋+1 codes under the rarity
+    order — df asc, code tie-break — so prefixes carry rare codes and
+    join fan-out collapses), threshold 0.7. The persisted posting table
+    is the inverted index; steady-state searches reuse it. min_shared =
+    2 is the precision lever on top: the prefix lemma guarantees 1
+    shared prefix code at the threshold, but requiring 2 cuts candidates
+    while every true ≥0.7 pair shares well over 2 (re-verified under the
+    rarity order: identical final rows as min_shared=1 at sf0.01 AND
+    sf0.1)."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text",
                                 n=3, threshold=0.7, max_df=50, min_shared=2,
@@ -1970,12 +2072,15 @@ SQL_DD_NGRAM = f"""
 WITH {_SQL_D2},
 {_SQL_CODES},
 sh AS (SELECT doc_id, code,
-              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY code) - 1 AS pos,
               COUNT(*) OVER (PARTITION BY doc_id) AS sz
        FROM codes),
-rare AS (SELECT code FROM sh GROUP BY code HAVING COUNT(*) <= 50),
-posting AS (SELECT sh.doc_id, sh.code, sh.sz FROM sh JOIN rare USING (code)
-            WHERE sh.pos < floor(CAST({_NGRAM_PFX} AS DOUBLE) * sh.sz) + 1),
+dfreq AS (SELECT code, COUNT(*) AS df FROM sh GROUP BY code),
+posting AS (SELECT sh.doc_id, sh.code, sh.sz,
+                   ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                      ORDER BY dfreq.df, sh.code) - 1 AS pos
+            FROM sh JOIN dfreq USING (code)
+            WHERE dfreq.df <= 50
+            QUALIFY pos < floor(CAST({_NGRAM_PFX} AS DOUBLE) * sh.sz) + 1),
 cands AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM posting a JOIN posting b ON a.code = b.code AND a.doc_id < b.doc_id
@@ -2498,6 +2603,14 @@ def _partition_lifecycle_manager(spark, sf_dir):
     if cached is not None:
         return cached
     wh = tempfile.mkdtemp(prefix="vts_part_wh_")
+    # the warehouse is cached per (session, sf_dir) for reuse within this
+    # process; without an exit hook every test/bench/oracle process
+    # strands one orders-sized copy in /tmp (the other managed entries
+    # rmtree theirs eagerly — this one must outlive the call for reuse,
+    # so clean up at interpreter exit instead)
+    import atexit
+    import shutil as _shutil
+    atexit.register(_shutil.rmtree, wh, ignore_errors=True)
     mgr = CollectionManager(spark, wh)
     mgr.create_collection(SchemaSpec("orders_part", [
         FieldSpec("o_orderkey", "INT64", primary=True),

@@ -42,17 +42,96 @@ def test_decode_backend_validation(media):
             MM.decode_media(media, backend="pil")
 
 
-@pytest.mark.skipif(not MM.REAL_CODECS_AVAILABLE,
-                    reason="Pillow not installed in this container")
-def test_pil_backend_decodes_golden_png(spark):
-    """Optional real-codec path: a genuine 1×1 PNG decodes to its true
-    pixel dimensions (not the hash-derived fake ones)."""
+def test_pil_backend_golden_or_gate(spark):
+    """Where Pillow ships, the pil backend decodes the golden 1×1 PNG to
+    its true pixel dimensions; where it doesn't, asking for it raises the
+    gate error. Either way the test executes — no permanent skip."""
     m = spark.createDataFrame(
         [(1, "image", bytearray(_PNG_1PX))],
         "media_id long, modality string, payload binary")
-    row = MM.decode_media(m, backend="pil").collect()[0]
-    assert (row["width"], row["height"]) == (1, 1)
-    assert row["digest"] == hashlib.md5(_PNG_1PX).hexdigest()
+    if MM.REAL_CODECS_AVAILABLE:
+        row = MM.decode_media(m, backend="pil").collect()[0]
+        assert (row["width"], row["height"]) == (1, 1)
+        assert row["digest"] == hashlib.md5(_PNG_1PX).hexdigest()
+    else:
+        with pytest.raises(NotImplementedError):
+            MM.decode_media(m, backend="pil")
+
+
+def test_png_backend_decodes_golden_png(spark):
+    """The dependency-free real-codec path: the stdlib PNG backend decodes
+    the golden 1×1 PNG to its true pixel dimensions inside the same
+    Arrow-batched decode plan — runs in every environment."""
+    m = spark.createDataFrame(
+        [(1, "image", bytearray(_PNG_1PX)),
+         (2, "audio", bytearray(b"not a png; audio falls back to fake"))],
+        "media_id long, modality string, payload binary")
+    rows = {r["media_id"]: r
+            for r in MM.decode_media(m, backend="png").collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (1, 1)
+    assert rows[1]["digest"] == hashlib.md5(_PNG_1PX).hexdigest()
+    # non-image modality: fake derivation, same as the pil backend
+    assert rows[2]["duration_ms"] == rows[2]["n_bytes"] * 10
+
+
+def _filter_scanline(ftype: int, line: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward PNG filter (the encoder side, implemented independently in
+    the test so the decoder's inversion is checked against the spec, not
+    against itself)."""
+    out = bytearray([ftype])
+    for i, x in enumerate(line):
+        a = line[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if ftype == 0:
+            out.append(x)
+        elif ftype == 1:
+            out.append((x - a) & 0xFF)
+        elif ftype == 2:
+            out.append((x - b) & 0xFF)
+        elif ftype == 3:
+            out.append((x - (a + b) // 2) & 0xFF)
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_decode_png_inverts_all_filter_types():
+    """Round-trip: forward-filter a known 4×5 RGB pixel buffer with every
+    filter type (one per scanline: None/Sub/Up/Average/Paeth), wrap it in
+    a valid PNG, and assert decode_png recovers the exact pixels."""
+    import struct
+    import zlib
+    w, h, ch = 4, 5, 3
+    stride = w * ch
+    pixels = bytes((y * 37 + i * 11) % 256
+                   for y in range(h) for i in range(stride))
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride:(y + 1) * stride]
+        raw += _filter_scanline(y % 5, line, prev, ch)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (MM.PNG_SIGNATURE
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    dw, dh, dpix = MM.decode_png(png)
+    assert (dw, dh) == (w, h)
+    assert dpix == pixels
+
+
+def test_decode_png_rejects_non_png():
+    with pytest.raises(ValueError, match="bad signature"):
+        MM.decode_png(b"GIF89a not a png")
 
 
 def test_media_schema(media):

@@ -162,6 +162,14 @@ def test_ivf_assignment_unrolled_path_agrees(emb, spark):
         both.select("vec_id", "arrow"), "vec_id")
     assert joined.filter(
         F.col("centroid_id") != F.col("arrow")).count() == 0
+    # temp-name collision guard: a caller column named like a temp
+    # projection must survive with its values intact (the suffix probe
+    # keeps the drop from taking the caller's column)
+    clash = base.withColumn("_cd_x0", F.lit(99))
+    out = with_centroid_id(clash, "v", cent)
+    assert "_cd_x0" in out.columns
+    assert out.filter(F.col("_cd_x0") != 99).count() == 0
+    assert out.columns.count("_cd_x0") == 1
 
 
 def test_binary_rerank_driver_packing_matches_pack_sign_bits(emb, spark):
@@ -769,6 +777,25 @@ def test_ngram_prefix_candidates_superset_of_results(spark):
     cands = {(r.id_a, r.id_b) for r in ngram_candidate_pairs(
         codes, "doc_id", threshold=0.7).collect()}
     assert cands >= pairs
+    # randomized property check for the PPJoin positional bound: over a
+    # corpus with heavy vocabulary overlap (boundary Jaccard values land
+    # near t), the position-pruned result must equal the unfiltered-
+    # posting result at several thresholds
+    import random
+    rnd = random.Random(23)
+    words = [f"w{i}" for i in range(30)]
+    rows2 = [(i, " ".join(rnd.choice(words) for _ in range(18)))
+             for i in range(30)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    for t in (0.5, 0.7, 0.9):
+        kw2 = dict(n=3, threshold=t, max_df=100, min_shared=1)
+        p1 = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+              ngram_jaccard_pairs(docs2, "doc_id", "text",
+                                  prefix=True, **kw2).collect()}
+        p0 = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+              ngram_jaccard_pairs(docs2, "doc_id", "text",
+                                  prefix=False, **kw2).collect()}
+        assert p1 == p0, f"positional filter lost pairs at t={t}"
 
 
 def test_ngram_prefix_shrinks_candidates(spark):

@@ -281,6 +281,24 @@ def test_lsh_bucket_join_reads_persisted_table_twice(spark):
     assert join_lines, p
 
 
+def test_ngram_candidate_join_reads_persisted_posting_twice(spark):
+    """The AllPairs candidate self-join must consume the PERSISTED
+    prefix-posting relation on both sides (two InMemoryTableScans) —
+    the posting build (posexplode → df agg → rarity-order window) is the
+    index-construction cost and must be paid once per corpus, not once
+    per side per search."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        _token_codes, ngram_candidate_pairs)
+    from vectordb_testbricks_spark.materialize import shared_persist
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(20)],
+        "doc_id long, text string")
+    codes = shared_persist(_token_codes(docs, "doc_id", "text", shingle_n=3))
+    p = _plan(ngram_candidate_pairs(codes, "doc_id", threshold=0.7))
+    assert p.count("InMemoryTableScan") >= 2, p
+    codes.unpersist()
+
+
 def test_manager_bm25_search_scans_sidecar_not_docs_text(spark, tmp_path):
     """The manager's BM25 search is the production function-field path: its
     plan must read the persisted tf sidecar parquet (FileScan over fn_*/tf)

@@ -20,7 +20,6 @@ Two recurring problems with ad-hoc ``df.persist()`` in pipeline operators:
 
 from __future__ import annotations
 
-import re
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -41,13 +40,28 @@ def shared_persist(df: DataFrame) -> DataFrame:
 # logical-plan nodes whose presence means the input already went (or will
 # go) through a shuffle — its width is governed by shuffle.partitions, so
 # widening is pointless and probing .rdd could trigger AQE stage execution.
-# Anchored at the node-name position of a plan tree line (start of line
-# after the `:  +- ` tree-drawing prefix), NOT a raw substring: an
-# identifier appearing in an expression (a column named `JoinDate`, a
-# relation named `SortKey`) must not flag the plan as wide.
-_WIDE_NODE_RE = re.compile(
-    r"^[\s:+-]*(Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression"
-    r"|Deduplicate)\b", re.M)
+# Matched STRUCTURALLY: a py4j walk over the optimized plan tree comparing
+# node class simple-names — no string parsing of the plan's toString, so
+# an identifier appearing in an expression (a column named `JoinDate`, a
+# relation named `SortKey`) can never flag the plan as wide.
+_WIDE_NODES = frozenset({
+    "Join", "Aggregate", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "Deduplicate",
+})
+
+
+def _has_wide_node(plan) -> bool:
+    """Depth-first walk of a Catalyst logical plan (py4j JavaObject),
+    testing each node's class simple-name against :data:`_WIDE_NODES`."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in _WIDE_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def parallelize_small(df: DataFrame) -> DataFrame:
@@ -61,8 +75,7 @@ def parallelize_small(df: DataFrame) -> DataFrame:
     filter / union — no shuffle node in the optimized plan, hence nothing
     for AQE to run). Shuffled inputs are returned untouched: their width is
     already ``spark.sql.shuffle.partitions``."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if _WIDE_NODE_RE.search(plan):
+    if _has_wide_node(df._jdf.queryExecution().optimizedPlan()):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

@@ -139,7 +139,14 @@ def with_centroid_id(df: DataFrame, vec_col: str, cent: np.ndarray,
     if cent.shape[1] > _JVM_UNROLL_MAX_DIM:
         return df.withColumn(out_col, _assign_expr_jvm(vec_col, cent))
     dim = cent.shape[1]
-    tmp = [f"_cd_x{i}" for i in range(dim)]
+    # temp names must not collide with the caller's columns: select('*',
+    # alias) would create a duplicate, and the trailing drop would take
+    # the caller's column with it. Suffix until the namespace is clear.
+    taken = set(df.columns)
+    sfx = ""
+    while any(f"_cd_x{i}{sfx}" in taken for i in range(dim)):
+        sfx += "_"
+    tmp = [f"_cd_x{i}{sfx}" for i in range(dim)]
     proj = df.select(
         "*", *[F.col(vec_col)[i].cast("double").alias(t)
                for i, t in enumerate(tmp)])

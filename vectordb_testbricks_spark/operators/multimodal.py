@@ -133,22 +133,121 @@ def _pil_decode(payload: bytes, modality: str) -> dict:
         }
 
 
+# ------------------------------------------------------- stdlib PNG codec
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Minimal stdlib PNG decode: parse chunks, inflate IDAT, invert the
+    per-scanline filters (None/Sub/Up/Average/Paeth — PNG spec / RFC 2083
+    §6). Handles 8-bit-depth, non-interlaced images of every color type.
+    Returns ``(width, height, pixels)`` where ``pixels`` is ``height``
+    unfiltered scanlines of ``width × channels`` bytes.
+
+    This is a *real* decoder (dependency-free), so the real-codec branch
+    of the media pipeline executes in every environment — Pillow remains
+    an optional richer backend for other formats."""
+    import struct
+    import zlib
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace:
+                raise ValueError(
+                    "png backend handles 8-bit non-interlaced PNGs only")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data does not match declared dims")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if f == 1:                                 # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:                               # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:                               # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:                               # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+def _png_decode(payload: bytes, modality: str) -> dict:
+    """Real image decode via the stdlib PNG decoder (always available).
+    Non-image modalities fall back to the fake derivation, same as the
+    Pillow backend."""
+    if modality not in ("image", "video"):
+        return _fake_decode(payload, modality)
+    w, h, _pixels = decode_png(payload)
+    return {
+        "digest": hashlib.md5(payload).hexdigest(),
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+        "n_frames": 1 if modality == "video" else None,
+    }
+
+
+_DECODE_BACKENDS = {"fake": _fake_decode, "pil": _pil_decode,
+                    "png": _png_decode}
+
+
 def decode_media(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode stage: payload binary → typed metadata via ``mapInPandas``.
 
     ``backend='fake'`` (default) derives metadata deterministically from
-    the payload bytes — the oracle-checkable path. ``backend='pil'``
-    decodes real image bytes with Pillow (raises NotImplementedError when
-    the library is absent). Both run in the same Arrow-batched plan shape.
+    the payload bytes — the oracle-checkable path. ``backend='png'`` is a
+    real, dependency-free PNG decoder (stdlib zlib + filter inversion) —
+    the real-codec branch that runs everywhere. ``backend='pil'`` decodes
+    arbitrary image formats with Pillow (raises NotImplementedError when
+    the library is absent). All run in the same Arrow-batched plan shape.
 
     The payload column is dropped on output — downstream stages are
     metadata-only and must not re-shuffle gigabytes of media bytes.
     """
-    if backend not in ("fake", "pil"):
+    if backend not in _DECODE_BACKENDS:
         raise ValueError(f"unknown decode backend {backend!r}")
     if backend == "pil":
         require_real_codecs()
-    decode = _pil_decode if backend == "pil" else _fake_decode
+    decode = _DECODE_BACKENDS[backend]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
