@@ -460,6 +460,30 @@ def dd_minhash_1m(spark, sf_dir):
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
 
 
+def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
+    """Bench-only scale evidence for the AllPairs inverted-index design
+    (the dd_ngram_jaccard fixture is 10k docs; this runs the identical
+    pipeline — shingle codes → df-capped rarity-ordered prefix postings →
+    positional-filtered self-join → exact-Jaccard verify — over a seeded
+    1M-doc corpus). Docs ``uniq``..``n`` are exact copies of docs
+    0..(n−uniq), so the expected pair set is the 100k planted duplicates
+    (J = 1 ≥ 0.7); random 20-word docs over a 50k vocab make natural
+    collisions negligible. Same corpus generator as dd_minhash_1m so the
+    two dedup scale entries are comparable. Not a registry entry (no
+    1M-row DuckDB oracle in the per-round budget) — correctness of the
+    pipeline itself is oracled by dd_ngram_jaccard."""
+    from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
+    tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(19)),
+        lambda i: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(F.lit("mh1m"), tid, i), F.lit(50000)).cast("string")))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7,
+                               max_df=50, min_shared=2)
+
+
 def v_ivf_1m(spark, sf_dir):
     """Bench-only scale evidence for the IVF design (the v_ivf_cosine
     fixture is 2k vectors): build the index over 1M seeded 16-dim vectors

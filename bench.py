@@ -156,8 +156,8 @@ def main() -> None:
     # comparable with BASELINE.md). Disable with SPARK_GRAFT_BENCH_SCALE=0.
     scale: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
-        for name in ("dd_minhash_1m", "v_ivf_1m", "v_ivf_persisted_1m",
-                     "dd_embed_1m", "v_bm25_1m"):
+        for name in ("dd_minhash_1m", "dd_ngram_1m", "v_ivf_1m",
+                     "v_ivf_persisted_1m", "dd_embed_1m", "v_bm25_1m"):
             fn = getattr(entrymod, name)
             # isolate each 1M-row entry: headline caches would otherwise
             # evict its working set mid-run (v_ivf_1m measured 52s under

@@ -168,3 +168,36 @@ def test_parser_never_crashes_on_arbitrary_input(tables):
         except (ExprSyntaxError, ExprCompileError):
             pass
     fuzz()
+
+
+def test_text_match_gated_and_semantics(spark):
+    """TEXT_MATCH (gated 3.0-roadmap prototype): raises the typed compile
+    error unless enabled; enabled, it matches docs whose analyzed text
+    shares ANY analyzed query term (case-folded, punctuation split)."""
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown fox."), (2, "lazy dog sleeps"),
+         (3, "quick!dog"), (4, "nothing relevant here")],
+        "id long, text string")
+    with pytest.raises(ExprCompileError, match="gated"):
+        compile_expr("TEXT_MATCH(text, 'quick')", df)
+    pred = compile_expr("TEXT_MATCH(text, 'Quick, DOG')", df,
+                        enable_text_match=True)
+    assert sorted(r.id for r in df.filter(pred).collect()) == [1, 2, 3]
+    # an all-punctuation query analyzes to zero terms -> matches nothing
+    none = compile_expr("TEXT_MATCH(text, '!!! ...')", df,
+                        enable_text_match=True)
+    assert df.filter(none).count() == 0
+
+
+def test_text_match_prefers_token_sidecar(spark):
+    """When the plan carries a materialized token column (_toks_<field>),
+    TEXT_MATCH probes it instead of re-tokenizing the raw text — the
+    tokenize-once shape shared with the BM25 function field."""
+    df = spark.createDataFrame(
+        [(1, "raw says alpha", ["zebra"]), (2, "raw says beta", ["beta"])],
+        "id long, text string, _toks_text array<string>")
+    pred = compile_expr("TEXT_MATCH(text, 'zebra')", df,
+                        enable_text_match=True)
+    assert [r.id for r in df.filter(pred).collect()] == [1]

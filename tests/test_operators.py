@@ -815,6 +815,20 @@ def test_ngram_prefix_shrinks_candidates(spark):
     assert n_pfx < n_all
 
 
+def test_ngram_scale_entry_wiring_small_n(spark):
+    """dd_ngram_1m at a tiny n: the bench-only scale entry's wiring
+    (seeded corpus with planted exact duplicates → AllPairs inverted
+    index → verified pairs) must find exactly the planted pair set — a
+    broken entry would otherwise only surface mid-bench."""
+    import __spark_entry__ as E
+    pairs = E.dd_ngram_1m(spark, "/root/testdata/sf0.001",
+                          n=1000, uniq=900).collect()
+    assert len(pairs) == 100
+    assert {(r.id_a, r.id_b) for r in pairs} == {
+        (i, i + 900) for i in range(100)}
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs)
+
+
 def test_bm25_scale_entry_wiring_small_n(spark):
     """v_bm25_1m at a tiny n: the bench-only scale entry's wiring (seeded
     corpus → manager ingest with BM25 FunctionSpec → sidecar search) must

@@ -66,10 +66,12 @@ def _cast_for(value) -> str | None:
 
 
 class _Compiler:
-    def __init__(self, df: DataFrame, json_columns: set[str] | None = None):
+    def __init__(self, df: DataFrame, json_columns: set[str] | None = None,
+                 enable_text_match: bool = False):
         self.df = df
         self.schema = {f.name: f.dataType for f in df.schema.fields}
         self.json_columns = set(json_columns or ())
+        self.enable_text_match = enable_text_match
 
     # ------------------------------------------------------------ operands
 
@@ -228,7 +230,34 @@ class _Compiler:
         if fn == "starts_with":
             op = self.operand(node.args[0])
             return op.col.startswith(str(_lit_value(node.args[1])))
+        if fn == "text_match":
+            return self.text_match(node.args[0], node.args[1])
         raise ExprCompileError(f"unknown function {fn!r}")
+
+    def text_match(self, field_node, query_node) -> Column:
+        """Milvus 3.0 ``TEXT_MATCH(field, 'terms')`` prototype (gated —
+        roadmap surface, feature-inventory doc §3; no reference
+        implementation exists): true when the analyzed field shares ANY
+        analyzed query term. The query literal is analyzed driver-side
+        with the same standard analyzer; the field side prefers the
+        materialized token sidecar column ``_toks_<field>`` when the
+        plan carries one (tokenize-once, the BM25/function-field shape)
+        and falls back to inline tokenization otherwise."""
+        if not self.enable_text_match:
+            raise ExprCompileError(
+                "TEXT_MATCH is a gated 3.0-roadmap prototype; compile "
+                "with enable_text_match=True to use it")
+        from vectordb_testbricks_spark.functions.text import (
+            py_tokenize, tokenize)
+        if not isinstance(field_node, ast.Path) or field_node.accessors:
+            raise ExprCompileError("TEXT_MATCH needs a plain field name")
+        terms = py_tokenize(str(_lit_value(query_node)))
+        if not terms:
+            return F.lit(False)
+        sidecar = f"_toks_{field_node.name}"
+        toks = (F.col(sidecar) if sidecar in self.schema
+                else tokenize(self.operand(field_node).col))
+        return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
 
     def _array_arg(self, node, elem_hint) -> Column:
         """Compile an argument that must be an array: a real ArrayType column
@@ -322,14 +351,16 @@ def _json_array_type(elem_hint) -> str:
 
 
 def compile_expr(expr: str, df: DataFrame,
-                 json_columns: set[str] | None = None) -> Column:
+                 json_columns: set[str] | None = None,
+                 enable_text_match: bool = False) -> Column:
     """Compile a Milvus filter-expression string to a boolean Column for `df`.
 
     Empty/None expression compiles to ``lit(True)`` (full scan,
-    reference validators.py:61-65).
+    reference validators.py:61-65). ``enable_text_match`` unlocks the
+    gated TEXT_MATCH 3.0-roadmap prototype.
     """
     node = parse(expr)
-    return _Compiler(df, json_columns).predicate(node)
+    return _Compiler(df, json_columns, enable_text_match).predicate(node)
 
 
 __all__ = ["compile_expr", "parse", "ExprCompileError", "ExprSyntaxError"]

@@ -95,6 +95,19 @@ def materialized_tokens(docs, id_col: str, text_col: str,
     return shared_persist(tk)
 
 
+def py_tokenize(text: str, *, lowercase: bool = True,
+                stop_words: tuple[str, ...] = ()) -> list[str]:
+    """Driver-side twin of :func:`tokenize` for literal query strings
+    (TEXT_MATCH predicates, ad-hoc analyzers) — same split regex, same
+    fold/stop semantics, so a term analyzed in Python matches the tokens
+    the Column path produced."""
+    import re as _re
+    base = text.lower() if lowercase else text
+    pat = TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED
+    return [t for t in _re.split(pat, base)
+            if t != "" and t not in stop_words]
+
+
 def md5_long(c: Column) -> Column:
     """Portable 60-bit non-negative integer hash of a string column."""
     return hex_to_long(F.md5(c))
