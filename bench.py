@@ -166,6 +166,12 @@ def main() -> None:
             # swung 15-45s purely on GC debt from the preceding 90+
             # headline runs)
             spark.catalog.clearCache()
+            # double full-GC with a settle pause: one pass right after
+            # clearCache still left enough old-gen debt from the ~100
+            # headline runs to swing dd_minhash_1m 15s → 69s; the second
+            # pass after finalization reclaims the freed cache blocks
+            spark._jvm.System.gc()
+            time.sleep(1.0)
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

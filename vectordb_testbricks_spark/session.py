@@ -36,7 +36,11 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
         # catalog loader converts back to TimestampType (micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode on a 128 GiB box: everything (driver,
+        # executor threads, cached tables) shares this one heap, and the
+        # 1M-row bench entries measured 3-4× GC-debt swings at 8g after a
+        # long headline phase — 16g keeps old-gen churn off the timings
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
