@@ -326,6 +326,15 @@ def test_manager_bm25_search_scans_sidecar_not_docs_text(spark, tmp_path):
     scans = [l for l in p.splitlines() if "FileScan" in l]
     tf_scans = [l for l in scans if "tf:int" in l and "dl:int" in l]
     assert tf_scans, p
+    # the driver-side query tokenization makes the term restriction a
+    # literal In(...) predicate, which must PUSH DOWN to the tf parquet
+    # scan (Catalyst folds a 1-term In to EqualTo) — at corpus scale this
+    # prunes row groups by min/max stats instead of probing every posting
+    # through the broadcast join
+    assert any("PushedFilters" in l and (
+        "In(term" in l.split("PushedFilters")[1][:200]
+        or "EqualTo(term" in l.split("PushedFilters")[1][:200])
+        for l in tf_scans), p
     # no scan in the plan reads the collection's text column — search must
     # never re-tokenize the corpus
     text_reads = [l for l in scans

@@ -26,7 +26,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_testbricks_spark.exprlang import compile_expr
-from vectordb_testbricks_spark.functions.text import tokenize
 
 K1 = 1.2
 B = 0.75
@@ -134,20 +133,28 @@ def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
         tf_df = term_frequencies(docs, id_col, text_col, analyzer)
     if stats is None:
         stats = corpus_stats(docs, id_col, text_col, analyzer)
-    # tokenize each query with the same analyzer; duplicate terms count once
-    # per occurrence (standard BM25 treats query tf multiplicatively; Milvus
-    # sums per occurrence — we keep each occurrence)
-    from vectordb_testbricks_spark.functions.text import analyzer_kwargs
+    # tokenize each query DRIVER-side with the same analyzer (py_tokenize
+    # is the Column path's exact twin); duplicate terms count once per
+    # occurrence (standard BM25 treats query tf multiplicatively; Milvus
+    # sums per occurrence — we keep each occurrence). Literal terms buy
+    # two things over the previous in-plan tokenize: one fewer Spark job
+    # per search, and an isin() prefilter whose In(term, ...) predicate
+    # REACHES THE tf SCAN — on a parquet tf sidecar at corpus scale this
+    # prunes row groups by min/max stats instead of probing every posting
+    # through the broadcast join (plan guard: tests/test_plans.py).
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, py_tokenize)
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        list(enumerate(query_texts)), "query_id int, qtext string")
-    qterms_df = qdf.select(
-        "query_id",
-        F.explode(tokenize(F.col("qtext"),
-                           **analyzer_kwargs(analyzer))).alias("term"))
-    # restrict the tf table to query terms FIRST — the scoring math then only
-    # touches ~nq·|q| terms' postings instead of the whole corpus
-    matched = tf_df.join(F.broadcast(qterms_df), "term")
+    kw = analyzer_kwargs(analyzer)
+    qterm_rows = [(qid, t) for qid, text in enumerate(query_texts)
+                  for t in py_tokenize(text, **kw)]
+    qterms_df = spark.createDataFrame(qterm_rows,
+                                      "query_id int, term string")
+    all_terms = sorted({t for _, t in qterm_rows})
+    # every query analyzed to zero terms: nothing can match (isin with an
+    # empty list is invalid, so short-circuit explicitly)
+    pre = (F.col("term").isin(all_terms) if all_terms else F.lit(False))
+    matched = tf_df.filter(pre).join(F.broadcast(qterms_df), "term")
     scored = (matched.join(F.broadcast(stats), "term")
               .select("query_id", id_col, bm25_contrib().alias("contrib"))
               .groupBy("query_id", id_col)
