@@ -2776,6 +2776,48 @@ def st_sessionize(spark, sf_dir):
         "n_events", "total_value")
 
 
+def st_stream_1m(spark, sf_dir, n=1_000_000):
+    """Bench-only scale evidence for the streaming subsystem: 1M seeded
+    events written as an 8-file parquet backlog, processed by the REAL
+    Structured Streaming job (streaming/events.py run_stream: file source
+    → watermarked tumbling-window aggregate → parquet sink, availableNow
+    trigger, exactly-once checkpoint) — not the batch twin. Event times
+    span one day, so the 2h watermark closes 22 of 24 hourly windows in
+    append mode (the open tail is held in state, the documented
+    semantics). Returns the emitted per-window summary, materialized so
+    the temp source/checkpoint/sink dirs can be reclaimed. Correctness of
+    the shared transformation is oracled by st_window_agg; stream==batch
+    equality is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    from vectordb_testbricks_spark.streaming.events import run_stream
+    base = tempfile.mkdtemp(prefix="vts_st1m_")
+    try:
+        src = os.path.join(base, "src")
+        ev = spark.range(n).select(
+            (F.col("id") % 50000).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("id") % 3 + 1).cast("int")).alias("event_type"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_interval(secs=(F.col("id") % 86400).cast("double"))
+             ).alias("ts"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(10000)) / 100.0
+             ).alias("value"))
+        ev.repartition(8).write.parquet(src)
+        q = run_stream(spark, src, os.path.join(base, "ck"),
+                       os.path.join(base, "out"))
+        q.awaitTermination()
+        res = (spark.read.parquet(os.path.join(base, "out"))
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("windows"),
+                    F.sum("cnt").alias("events"))
+               .orderBy("event_type"))
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 SQL_ST_SESSIONIZE = """
 WITH w AS (
   SELECT user_id, ts, value,

@@ -179,3 +179,44 @@ def test_feature_shape(media):
     feats = MM.extract_features(media, dim=8).collect()
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(0.0 <= x < 1.0 for r in feats for x in r["feature"])
+
+
+def test_decode_png_roundtrip_property():
+    """Property: any 8-bit pixel buffer, any per-row filter choice, any
+    color type survives encode(forward filters) → decode_png exactly."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def roundtrip(data):
+        w = data.draw(st.integers(1, 6))
+        h = data.draw(st.integers(1, 6))
+        color, ch = data.draw(st.sampled_from(
+            [(0, 1), (2, 3), (4, 2), (6, 4)]))
+        stride = w * ch
+        pixels = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=h * stride, max_size=h * stride)))
+        filters = data.draw(st.lists(
+            st.integers(0, 4), min_size=h, max_size=h))
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            line = pixels[y * stride:(y + 1) * stride]
+            raw += _filter_scanline(filters[y], line, prev, ch)
+            prev = line
+        png = (MM.PNG_SIGNATURE
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        dw, dh, dpix = MM.decode_png(png)
+        assert (dw, dh, dpix) == (w, h, pixels)
+    roundtrip()

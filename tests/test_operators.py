@@ -829,6 +829,18 @@ def test_ngram_scale_entry_wiring_small_n(spark):
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs)
 
 
+def test_stream_scale_entry_wiring_small_n(spark):
+    """st_stream_1m at a tiny n: the real Structured Streaming job (file
+    source → watermarked window agg → parquet sink, availableNow) over a
+    20k-event backlog spanning ~5.5h must emit exactly the 3 hourly
+    windows the 2h watermark closes, 3600 events each per type."""
+    import __spark_entry__ as E
+    rows = E.st_stream_1m(spark, "/root/testdata/sf0.001",
+                          n=20000).collect()
+    assert [(r.event_type, r.windows, r.events) for r in rows] == [
+        ("click", 3, 3600), ("purchase", 3, 3600), ("view", 3, 3600)]
+
+
 def test_bm25_scale_entry_wiring_small_n(spark):
     """v_bm25_1m at a tiny n: the bench-only scale entry's wiring (seeded
     corpus → manager ingest with BM25 FunctionSpec → sidecar search) must
