@@ -2818,6 +2818,55 @@ def st_stream_1m(spark, sf_dir, n=1_000_000):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def st_sessionize_1m(spark, sf_dir, n=1_000_000):
+    """Bench-only scale evidence for the stateful custom-operator path:
+    1M seeded events through the REAL streaming sessionizer
+    (streaming/sessionize.py sessionize_stream — applyInPandasWithState,
+    event-time timeout, 2h watermark) from an 8-file parquet backlog to a
+    checkpointed parquet sink, availableNow. Each of n/20 users emits 20
+    events 400s apart (one 7600s session); session-start offsets spread
+    uniformly over a 80000s range regardless of n, so the final watermark
+    (max event time − 2h) closes the same ~88% fraction of sessions at
+    any scale — closed sessions emit exactly once, the open tail stays in
+    state (append-mode semantics). Returns a materialized summary;
+    correctness of the session function is oracled by st_sessionize and
+    the stream==batch tests."""
+    import shutil
+    import tempfile
+    from vectordb_testbricks_spark.streaming.sessionize import (
+        sessionize_stream)
+    users = n // 20
+    base = tempfile.mkdtemp(prefix="vts_sess1m_")
+    try:
+        src = os.path.join(base, "src")
+        offset = (F.col("id") / 20).cast("long") * 80000 / F.lit(users)
+        ev = spark.range(n).select(
+            (F.col("id") / 20).cast("long").alias("user_id"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_interval(secs=(offset.cast("long")
+                                     + (F.col("id") % 20) * 400)
+                               .cast("double"))).alias("ts"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(10000)) / 100.0
+             ).alias("value"))
+        ev.repartition(8).write.parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .parquet(src).select("user_id", "ts", "value"))
+        q = (sessionize_stream(stream).writeStream.format("parquet")
+             .option("path", os.path.join(base, "out"))
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(base, "out"))
+        res = out.agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.sum("n_events").alias("events"),
+            F.min("n_events").alias("min_ev"),
+            F.max("n_events").alias("max_ev"))
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 SQL_ST_SESSIONIZE = """
 WITH w AS (
   SELECT user_id, ts, value,

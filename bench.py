@@ -158,7 +158,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         for name in ("dd_minhash_1m", "dd_ngram_1m", "v_ivf_1m",
                      "v_ivf_persisted_1m", "dd_embed_1m", "v_bm25_1m",
-                     "st_stream_1m"):
+                     "st_stream_1m", "st_sessionize_1m"):
             fn = getattr(entrymod, name)
             # isolate each 1M-row entry: headline caches would otherwise
             # evict its working set mid-run (v_ivf_1m measured 52s under

@@ -841,6 +841,17 @@ def test_stream_scale_entry_wiring_small_n(spark):
         ("click", 3, 3600), ("purchase", 3, 3600), ("view", 3, 3600)]
 
 
+def test_sessionize_scale_entry_wiring_small_n(spark):
+    """st_sessionize_1m at a tiny n: the applyInPandasWithState streaming
+    sessionizer must emit exactly the watermark-closed sessions — 887 of
+    1000 users at n=20000 (offsets u·80 over 0..80000s; sessions close
+    when the final watermark passes session_end + gap), all 20 events."""
+    import __spark_entry__ as E
+    r = E.st_sessionize_1m(spark, "/root/testdata/sf0.001",
+                           n=20000).collect()[0]
+    assert (r.sessions, r.events, r.min_ev, r.max_ev) == (887, 17740, 20, 20)
+
+
 def test_bm25_scale_entry_wiring_small_n(spark):
     """v_bm25_1m at a tiny n: the bench-only scale entry's wiring (seeded
     corpus → manager ingest with BM25 FunctionSpec → sidecar search) must
