@@ -350,3 +350,23 @@ def test_manager_bm25_search_scans_sidecar_not_docs_text(spark, tmp_path):
     assert any("df_t:bigint" in l for l in sscans), sp
     assert any("sum_dl:bigint" in l for l in sscans), sp
     assert not any("tf:int" in l for l in sscans), sp
+
+
+def test_registry_plans_have_no_scale_smells(spark):
+    """Whole-registry sweep: no entry's physical plan may contain a
+    row-at-a-time Python UDF (BatchEvalPython — everything Python-side
+    must be Arrow-batched), a CartesianProduct, or a SortMergeJoin (at
+    fixture scale every join side is either broadcastable or group-
+    limited; an SMJ here means a broadcast was lost). One guard instead
+    of fifty: any operator regression that changes join strategy or
+    drops to interpreted Python fails this test by name."""
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in E.queries().items():
+        p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = [s for s in ("BatchEvalPython", "CartesianProduct",
+                            "SortMergeJoin") if s in p]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
