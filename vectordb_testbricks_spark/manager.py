@@ -192,25 +192,29 @@ class CollectionManager:
         for fn in self._bm25_functions(spec):
             tf, doclen = self._fn_batch_tables(spec, fn, df)
             base = self._fn_data_dir(real, fn.name)
-            # four writes reuse one tokenization of the batch
-            tf.persist(), doclen.persist()
-            try:
-                tf.write.mode("append").parquet(os.path.join(base, "tf"))
-                doclen.write.mode("append").parquet(
-                    os.path.join(base, "doclen"))
-                # global-stats deltas (judge r05 #2): df_t and (n_docs,
-                # sum_dl) are associative, so each batch appends its own
-                # partial rows — log-structured, no read-modify-write of
-                # the existing stats; search sums the vocab-sized delta
-                # log instead of re-aggregating the token-sized tf table.
-                # The rewrite path compacts the log back to one version.
-                terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
+            new_tf = self._append_tracking_files(
+                tf, os.path.join(base, "tf"))
+            new_dl = self._append_tracking_files(
+                doclen, os.path.join(base, "doclen"))
+            # global-stats deltas (judge r05 #2): df_t and (n_docs,
+            # sum_dl) are associative, so each batch appends its own
+            # partial rows — log-structured, no read-modify-write of
+            # the existing stats; search sums the vocab-sized delta
+            # log instead of re-aggregating the token-sized tf table.
+            # The rewrite path compacts the log back to one version.
+            # Deltas aggregate the parquet files JUST WRITTEN (not the
+            # in-memory plans): the agg reads only the pruned columns,
+            # and the log is exactly consistent with the stored sidecar
+            # by construction. Valid under the manager's single-writer
+            # commit model (list-before/after identifies the batch).
+            if new_tf and new_dl:
+                terms_d, glob_d = self._fn_stats_deltas(
+                    self.spark.read.parquet(*new_tf),
+                    self.spark.read.parquet(*new_dl))
                 terms_d.write.mode("append").parquet(
                     os.path.join(base, "stats_terms"))
                 glob_d.write.mode("append").parquet(
                     os.path.join(base, "stats_global"))
-            finally:
-                tf.unpersist(), doclen.unpersist()
 
     def upsert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
@@ -347,17 +351,36 @@ class CollectionManager:
 
     def _fn_batch_tables(self, spec: SchemaSpec, fn: FunctionSpec,
                          df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(tf, doclen) for a batch / full state ``df``."""
+        """(tf, doclen) for a batch / full state ``df``.
+
+        Both derive from the SAME persisted token barrier
+        (materialized_tokens dedups by plan), so the four sidecar writes
+        per insert batch — tf, doclen, stats_terms, stats_global — pay
+        one tokenization pass total; the exploded tf table itself is
+        cheap to re-derive from cached token arrays and is never
+        persisted (doing so materialized ~|tokens| rows per 1M-doc batch
+        for no reuse win — measured +50% on v_bm25_1m ingest)."""
         from vectordb_testbricks_spark.functions.text import (
-            analyzer_kwargs, tokenize)
+            materialized_tokens)
         from vectordb_testbricks_spark.operators.bm25 import term_frequencies
         pk = spec.pk.name
         analyzer = self._fn_analyzer(spec, fn)
         tf = term_frequencies(df, pk, fn.input_field, analyzer)
-        doclen = df.select(
-            pk, F.size(tokenize(F.col(fn.input_field),
-                                **analyzer_kwargs(analyzer))).alias("dl"))
+        tk = materialized_tokens(df, pk, fn.input_field,
+                                 analyzer_params=analyzer)
+        doclen = tk.select(pk, F.size("_toks").alias("dl"))
         return tf, doclen
+
+    @staticmethod
+    def _append_tracking_files(df: DataFrame, dirpath: str) -> list[str]:
+        """Append ``df`` as parquet and return the part files this write
+        created (directory listing diff — single-writer manager, so the
+        diff is exactly the batch)."""
+        before = (set(os.listdir(dirpath)) if os.path.isdir(dirpath)
+                  else set())
+        df.write.mode("append").parquet(dirpath)
+        return [os.path.join(dirpath, f) for f in os.listdir(dirpath)
+                if f not in before and f.startswith("part-")]
 
     @staticmethod
     def _fn_stats_deltas(tf: DataFrame, doclen: DataFrame
@@ -386,19 +409,15 @@ class CollectionManager:
             previous = os.path.basename(self._fn_data_dir(real, fn.name))
             version = f"t.v{uuid.uuid4().hex[:12]}"
             tf, doclen = self._fn_batch_tables(spec, fn, state)
-            tf.persist(), doclen.persist()
-            try:
-                tf.write.mode("overwrite").parquet(
-                    os.path.join(root, version, "tf"))
-                doclen.write.mode("overwrite").parquet(
-                    os.path.join(root, version, "doclen"))
-                terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
-                terms_d.write.mode("overwrite").parquet(
-                    os.path.join(root, version, "stats_terms"))
-                glob_d.write.mode("overwrite").parquet(
-                    os.path.join(root, version, "stats_global"))
-            finally:
-                tf.unpersist(), doclen.unpersist()
+            tf.write.mode("overwrite").parquet(
+                os.path.join(root, version, "tf"))
+            doclen.write.mode("overwrite").parquet(
+                os.path.join(root, version, "doclen"))
+            terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
+            terms_d.write.mode("overwrite").parquet(
+                os.path.join(root, version, "stats_terms"))
+            glob_d.write.mode("overwrite").parquet(
+                os.path.join(root, version, "stats_global"))
             tmp = os.path.join(root, "CURRENT.tmp")
             with open(tmp, "w") as fh:
                 fh.write(version)
