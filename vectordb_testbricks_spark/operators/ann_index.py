@@ -199,8 +199,15 @@ def write_ivf(model: IvfModel, path: str) -> None:
     partition pruning on the read path. The trained centroids land beside
     the data (``<path>_centroids``, a k×dim parquet — tiny) so the
     persisted index is self-contained: append/read need no in-session
-    model object."""
-    model.assigned.write.mode("overwrite") \
+    model object.
+
+    The write repartitions on centroid_id first: without it every input
+    task emits one file per list it touches (tasks × n_lists small files
+    — at cluster scale, thousands of tasks × hundreds of lists is a
+    small-files catastrophe); clustered, each list is one file per
+    shuffle partition that owns it."""
+    model.assigned.repartition(F.col("centroid_id")) \
+        .write.mode("overwrite") \
         .partitionBy("centroid_id").parquet(path)
     sess = model.assigned.sparkSession
     meta = sess.createDataFrame(
@@ -373,8 +380,11 @@ def build_ivf_sq8(base: DataFrame, vec_col: str, id_col: str,
 def write_sq8(model: Sq8Model, path: str) -> None:
     """Persist the quantized table partitioned by centroid_id — probing
     prunes file groups on the read path, and the stored bytes are the
-    1-byte-per-dim layout (the scan-size win survives the round-trip)."""
-    model.quantized.write.mode("overwrite") \
+    1-byte-per-dim layout (the scan-size win survives the round-trip).
+    Clustered on centroid_id before the write, same small-files rationale
+    as :func:`write_ivf`."""
+    model.quantized.repartition(F.col("centroid_id")) \
+        .write.mode("overwrite") \
         .partitionBy("centroid_id").parquet(path)
 
 
