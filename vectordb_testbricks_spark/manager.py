@@ -158,6 +158,15 @@ class CollectionManager:
         return df.withColumn(PARTITION_COL,
                              self._route_col(spec, partition_name))
 
+    @staticmethod
+    def _multi_partition(spec: SchemaSpec) -> bool:
+        """True when the physical layout has more than one routing value
+        (explicit partitions or a hash-routed partition key) — the only
+        case where clustering a partitioned write on the routing column
+        helps; for single-partition collections it would serialize the
+        write into one task."""
+        return bool(spec.partitions) or spec.partition_key is not None
+
     def list_partitions(self, name: str) -> list[str]:
         data = self._data_dir(self.resolve(name))
         if not os.path.exists(data):
@@ -186,6 +195,12 @@ class CollectionManager:
             # parallelism and file count per batch regardless of the
             # incoming partitioning
             routed = routed.repartition(spec.shards_num, F.col(spec.pk.name))
+        elif self._multi_partition(spec):
+            # cluster on the routing column before a partitioned write:
+            # without it every input task emits one file per partition
+            # value it touches (tasks × partitions small files — the
+            # same small-files failure write_ivf guards against)
+            routed = routed.repartition(F.col(PARTITION_COL))
         (routed.write.mode("append").partitionBy(PARTITION_COL)
          .parquet(self._data_dir(self.resolve(name))))
         real = self.resolve(name)
@@ -281,8 +296,14 @@ class CollectionManager:
         import uuid
         real = self.resolve(name)
         d = self._dir(real)
+        spec = self.describe_collection(real)
         previous = os.path.basename(self._data_dir(real))
         version = f"data.v{uuid.uuid4().hex[:12]}"
+        if self._multi_partition(spec):
+            # same small-files guard as insert: cluster the rewrite on
+            # the routing column (skipped for single-partition
+            # collections, where it would serialize the whole write)
+            routed = routed.repartition(F.col(PARTITION_COL))
         (routed.write.mode("overwrite").partitionBy(PARTITION_COL)
          .parquet(os.path.join(d, version)))
         tmp = os.path.join(d, "CURRENT.tmp")
@@ -300,7 +321,6 @@ class CollectionManager:
         # function sidecars must reflect the rewritten state: recompute from
         # the new version (delete/upsert invalidate df/avgdl globally, so a
         # rewrite — unlike insert — cannot be incremental)
-        spec = self.describe_collection(real)
         if self._bm25_functions(spec):
             self._rebuild_function_sidecars(real, spec)
 
