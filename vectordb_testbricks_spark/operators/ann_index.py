@@ -245,6 +245,7 @@ def append_ivf(new_rows: DataFrame, path: str, vec_col: str,
     cent = np.asarray(read_centroids(new_rows.sparkSession, path),
                       dtype=np.float64)
     (with_centroid_id(new_rows, vec_col, cent)
+     .repartition(F.col("centroid_id"))   # small-files guard, as write_ivf
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
@@ -509,7 +510,8 @@ def build_bin_ivf(base: DataFrame, vec_col: str, id_col: str,
 def write_bin_ivf(model: BinIvfModel, path: str) -> None:
     """Persist packed lists partitioned by centroid_id — probes prune file
     groups AND read the 1-bit layout (both scan savings survive)."""
-    model.packed.write.mode("overwrite") \
+    model.packed.repartition(F.col("centroid_id")) \
+        .write.mode("overwrite") \
         .partitionBy("centroid_id").parquet(path)
 
 
