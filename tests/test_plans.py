@@ -370,3 +370,21 @@ def test_registry_plans_have_no_scale_smells(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_persisted_index_writes_one_file_per_list(spark, tables, tmp_path):
+    """Clustered partitioned writes: the persisted IVF layout must hold
+    exactly one part file per centroid list locally (pre-clustering, every
+    input task wrote a file into every list dir it touched — tasks × lists
+    small files, which at cluster scale starves the file listing and the
+    scan with tiny reads)."""
+    import glob
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_ivf, write_ivf)
+    emb = tables["embeddings"].df
+    model = build_ivf(emb, "embedding", "vec_id", n_lists=4, seed=7)
+    path = str(tmp_path / "ivf_files")
+    write_ivf(model, path)
+    for d in glob.glob(path + "/centroid_id=*"):
+        parts = glob.glob(d + "/part-*")
+        assert len(parts) == 1, (d, parts)
