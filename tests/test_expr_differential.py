@@ -1,0 +1,187 @@
+"""Randomized differential testing of the filter-expression language.
+
+Every expression string is parsed ONCE, then lowered twice — through the
+Spark compiler (exprlang.compiler) and through the DuckDB SQL emitter
+(exprlang.sqlgen) — and both run against the same parquet table. The
+per-expression signature (matching-row count + sum of matching ids) must
+agree exactly, NULL three-valued logic included. A curated list pins one
+expression per language feature; a seeded random generator then composes
+hundreds of nested and/or/not combinations over typed leaves — coverage
+the hand-written oracle strings in the driver registry cannot reach.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_testbricks_spark.exprlang import compile_expr, parse
+from vectordb_testbricks_spark.exprlang.sqlgen import to_sql
+
+N_ROWS = 1500
+N_RANDOM = 240
+CHUNK = 40
+
+
+@pytest.fixture(scope="module")
+def dft(spark, tmp_path_factory):
+    """Synthetic differential table: typed scalars with ~10% NULLs (the
+    three-valued-logic trap), strings with LIKE-able structure, and two
+    array columns. Written to parquet so both engines read identical
+    bytes."""
+    path = str(tmp_path_factory.mktemp("diff") / "dft.parquet")
+    df = spark.range(N_ROWS).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 != 3, (F.col("id") * 7 % 100).cast("int"))
+        .alias("i32"),
+        F.when(F.col("id") % 11 != 5,
+               (F.col("id") * 13 % 1000) / 10.0).alias("val"),
+        F.concat(F.lit("item-"), (F.col("id") % 37).cast("string"),
+                 F.when(F.col("id") % 4 == 0, "_x").otherwise("-y"))
+        .alias("name"),
+        F.when(F.col("id") % 7 != 2, F.col("id") % 3 == 0).alias("flag"),
+        F.transform(F.sequence(F.lit(0), F.col("id") % 4),
+                    lambda i: F.concat(F.lit("t"), ((F.col("id") + i) % 6)
+                                       .cast("string"))).alias("tags"),
+        F.when(F.col("id") % 13 != 6,
+               F.transform(F.sequence(F.lit(0), F.col("id") % 3),
+                           lambda i: ((F.col("id") * 3 + i) % 20)
+                           .cast("int"))).alias("nums"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW dft AS SELECT * FROM '{path}/*.parquet'")
+    return spark.read.parquet(path), con
+
+
+CURATED = [
+    "",                                        # P15 empty = full scan
+    "i32 == 21",                               # P1
+    "i32 != 21",
+    "val > 50.0",
+    "10 <= i32 <= 40",                         # P2 combined range
+    "i32 >= 10 and val < 80.0",                # P3
+    "i32 < 5 or i32 > 95",
+    "not (i32 == 21)",
+    "i32 in [7, 14, 21, 28]",                  # P4
+    "i32 not in [7, 14, 21, 28]",              # P5
+    'name like "item-1%"',                     # P6 (% only)
+    'name like "item-2%_x"',                   # _ is a literal in Milvus
+    "nums[0] > 10",                            # P8 element access
+    "nums[2] > 5",                             # P8 out-of-bounds = NULL
+    "not (nums[2] > 5)",                       # ...and its 3VL negation
+    'ARRAY_CONTAINS(tags, "t3")',              # P9
+    "ARRAY_CONTAINS_ANY(nums, [1, 5, 9])",     # P10
+    'ARRAY_CONTAINS_ALL(tags, ["t1", "t2"])',
+    "array_length(nums) == 3",
+    "flag == true",                            # P13
+    "flag == false and i32 > 50",
+    'starts_with(name, "item-3")',
+    'i32 > 30 and name like "item-%-y" and not (val < 20.0)',  # P16
+]
+
+
+def _leaf(rnd: random.Random) -> str:
+    k = rnd.randrange(12)
+    if k == 0:
+        return f"i32 {rnd.choice(['==', '!=', '>', '>=', '<', '<='])} " \
+               f"{rnd.randrange(-5, 105)}"
+    if k == 1:
+        return f"val {rnd.choice(['>', '>=', '<', '<='])} " \
+               f"{rnd.randrange(0, 1000) / 10.0}"
+    if k == 2:
+        lo = rnd.randrange(0, 80)
+        return f"{lo} <= i32 <= {lo + rnd.randrange(1, 30)}"
+    if k == 3:
+        items = sorted(rnd.sample(range(100), rnd.randrange(1, 6)))
+        neg = rnd.choice(["", "not "])
+        return f"i32 {neg}in {items}"
+    if k == 4:
+        return f'name like "item-{rnd.randrange(37)}%"'
+    if k == 5:
+        return f'name == "item-{rnd.randrange(37)}-y"'
+    if k == 6:
+        return f"flag == {rnd.choice(['true', 'false'])}"
+    if k == 7:
+        return f'ARRAY_CONTAINS(tags, "t{rnd.randrange(6)}")'
+    if k == 8:
+        items = sorted(rnd.sample(range(20), rnd.randrange(1, 4)))
+        return f"ARRAY_CONTAINS_ANY(nums, {items})"
+    if k == 9:
+        ts = ", ".join(f'"t{t}"'
+                       for t in sorted(rnd.sample(range(6),
+                                                  rnd.randrange(1, 3))))
+        return f"ARRAY_CONTAINS_ALL(tags, [{ts}])"
+    if k == 10:
+        return f"array_length(nums) == {rnd.randrange(1, 4)}"
+    return f"nums[{rnd.randrange(3)}] {rnd.choice(['>', '<='])} " \
+           f"{rnd.randrange(20)}"
+
+
+def _expr(rnd: random.Random, depth: int = 0) -> str:
+    if depth >= 3 or rnd.random() < 0.35:
+        return _leaf(rnd)
+    r = rnd.random()
+    a, b = _expr(rnd, depth + 1), _expr(rnd, depth + 1)
+    if r < 0.40:
+        return f"({a}) and ({b})"
+    if r < 0.80:
+        return f"({a}) or ({b})"
+    return f"not ({a})"
+
+
+def _signatures_spark(df, exprs):
+    aggs = []
+    for i, e in enumerate(exprs):
+        pred = compile_expr(e, df)
+        aggs.append(F.coalesce(F.sum(F.when(pred, 1)), F.lit(0))
+                    .alias(f"c{i}"))
+        aggs.append(F.coalesce(F.sum(F.when(pred, F.col("id"))), F.lit(0))
+                    .alias(f"s{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [(row[f"c{i}"], row[f"s{i}"]) for i in range(len(exprs))]
+
+
+def _signatures_duck(con, exprs):
+    sels = []
+    for i, e in enumerate(exprs):
+        sql = to_sql(parse(e))
+        sels.append(f"CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)")
+        sels.append(f"CAST(COALESCE(SUM(id) FILTER (WHERE {sql}), 0) "
+                    f"AS BIGINT)")
+    row = con.execute("SELECT " + ", ".join(sels) + " FROM dft").fetchone()
+    return [(row[2 * i], row[2 * i + 1]) for i in range(len(exprs))]
+
+
+def _check(df, con, exprs):
+    for i in range(0, len(exprs), CHUNK):
+        chunk = exprs[i:i + CHUNK]
+        got = _signatures_spark(df, chunk)
+        want = _signatures_duck(con, chunk)
+        for e, g, w in zip(chunk, got, want):
+            assert g == w, f"differential mismatch for {e!r}: " \
+                           f"spark={g} duckdb={w}"
+
+
+def test_curated_expressions_match_duckdb(dft):
+    df, con = dft
+    _check(df, con, CURATED)
+    # sanity: the corpus is not degenerate — most curated filters select
+    # a proper nonempty subset
+    sigs = _signatures_spark(df, CURATED)
+    nontrivial = sum(1 for c, _ in sigs if 0 < c < N_ROWS)
+    assert nontrivial >= len(CURATED) - 2
+
+
+def test_random_expressions_match_duckdb(dft):
+    df, con = dft
+    rnd = random.Random(7)
+    exprs = [_expr(rnd) for _ in range(N_RANDOM)]
+    _check(df, con, exprs)
+    # the generator must exercise real selectivity spread, not constants
+    sigs = _signatures_spark(df, exprs[:CHUNK])
+    assert len({c for c, _ in sigs}) > 10

@@ -111,7 +111,12 @@ class _Compiler:
                 if not isinstance(a, int):
                     raise ExprCompileError(
                         f"array column {node.name!r} needs integer index, got {a!r}")
-                cur = cur.getItem(a)
+                # try_element_at, NOT getItem: under ANSI mode (Spark 4
+                # default) getItem THROWS on an out-of-bounds index, but
+                # Milvus semantics for arr[i] past the end is simply
+                # no-match — the predicate must evaluate NULL, never kill
+                # the query (found by tests/test_expr_differential.py)
+                cur = F.try_element_at(cur, F.lit(a + 1))
                 cur_type = cur_type.elementType
             elif isinstance(cur_type, T.MapType):
                 cur = cur.getItem(a)
