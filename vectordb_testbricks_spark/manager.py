@@ -205,12 +205,13 @@ class CollectionManager:
          .parquet(self._data_dir(self.resolve(name))))
         real = self.resolve(name)
         for fn in self._bm25_functions(spec):
-            tf, doclen = self._fn_batch_tables(spec, fn, df)
+            tf, doclen, tk = self._fn_batch_tables(spec, fn, df)
             base = self._fn_data_dir(real, fn.name)
             new_tf = self._append_tracking_files(
                 tf, os.path.join(base, "tf"))
             new_dl = self._append_tracking_files(
                 doclen, os.path.join(base, "doclen"))
+            tk.unpersist()   # reuse window was exactly these two writes
             # global-stats deltas (judge r05 #2): df_t and (n_docs,
             # sum_dl) are associative, so each batch appends its own
             # partial rows — log-structured, no read-modify-write of
@@ -370,16 +371,20 @@ class CollectionManager:
         return field.analyzer_params
 
     def _fn_batch_tables(self, spec: SchemaSpec, fn: FunctionSpec,
-                         df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(tf, doclen) for a batch / full state ``df``.
+                         df: DataFrame
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(tf, doclen, tokens) for a batch / full state ``df``.
 
-        Both derive from the SAME persisted token barrier
-        (materialized_tokens dedups by plan), so the four sidecar writes
-        per insert batch — tf, doclen, stats_terms, stats_global — pay
-        one tokenization pass total; the exploded tf table itself is
-        cheap to re-derive from cached token arrays and is never
-        persisted (doing so materialized ~|tokens| rows per 1M-doc batch
-        for no reuse win — measured +50% on v_bm25_1m ingest)."""
+        tf and doclen derive from the SAME persisted token barrier
+        (materialized_tokens dedups by plan), so the sidecar writes per
+        insert batch pay one tokenization pass total; the exploded tf
+        table itself is cheap to re-derive from cached token arrays and
+        is never persisted (doing so materialized ~|tokens| rows per
+        1M-doc batch for no reuse win — measured +50% on v_bm25_1m
+        ingest). The token barrier is returned so callers can unpersist
+        it once their writes complete — its reuse window is exactly one
+        batch, and a long-running ingest would otherwise pin one cached
+        token table per batch forever."""
         from vectordb_testbricks_spark.functions.text import (
             materialized_tokens)
         from vectordb_testbricks_spark.operators.bm25 import term_frequencies
@@ -389,7 +394,7 @@ class CollectionManager:
         tk = materialized_tokens(df, pk, fn.input_field,
                                  analyzer_params=analyzer)
         doclen = tk.select(pk, F.size("_toks").alias("dl"))
-        return tf, doclen
+        return tf, doclen, tk
 
     @staticmethod
     def _append_tracking_files(df: DataFrame, dirpath: str) -> list[str]:
@@ -428,7 +433,7 @@ class CollectionManager:
             os.makedirs(root, exist_ok=True)
             previous = os.path.basename(self._fn_data_dir(real, fn.name))
             version = f"t.v{uuid.uuid4().hex[:12]}"
-            tf, doclen = self._fn_batch_tables(spec, fn, state)
+            tf, doclen, tk = self._fn_batch_tables(spec, fn, state)
             tf.write.mode("overwrite").parquet(
                 os.path.join(root, version, "tf"))
             doclen.write.mode("overwrite").parquet(
@@ -438,6 +443,7 @@ class CollectionManager:
                 os.path.join(root, version, "stats_terms"))
             glob_d.write.mode("overwrite").parquet(
                 os.path.join(root, version, "stats_global"))
+            tk.unpersist()   # all four writes done; drop the batch cache
             tmp = os.path.join(root, "CURRENT.tmp")
             with open(tmp, "w") as fh:
                 fh.write(version)
