@@ -41,6 +41,14 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
         # 1M-row bench entries measured 3-4× GC-debt swings at 8g after a
         # long headline phase — 16g keeps old-gen churn off the timings
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # long sessions compile hundreds of whole-stage-codegen classes;
+        # at the JVM's default ~240m reserved code cache the JIT stops
+        # compiling once it fills, and later CPU-hot generated loops run
+        # interpreted (measured: the minhash signature stage at 1M rows
+        # degraded 15s → 47-72s only AFTER ~120 prior query executions).
+        # 1g + explicit flushing keeps late plans JIT-compiled.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
