@@ -51,6 +51,22 @@ def dft(spark, tmp_path_factory):
                F.transform(F.sequence(F.lit(0), F.col("id") % 3),
                            lambda i: ((F.col("id") * 3 + i) % 20)
                            .cast("int"))).alias("nums"),
+        # dynamic catch-all: string-valued map; dyn_num is absent for
+        # id%6==0 rows (the missing-key NULL path)
+        F.when(
+            F.col("id") % 6 == 0,
+            F.map_from_arrays(
+                F.array(F.lit("dyn_word"), F.lit("dyn_flag")),
+                F.array(F.concat(F.lit("w"),
+                                 (F.col("id") % 9).cast("string")),
+                        (F.col("id") % 2 == 0).cast("string"))))
+        .otherwise(F.map_from_arrays(
+            F.array(F.lit("dyn_num"), F.lit("dyn_word"),
+                    F.lit("dyn_flag")),
+            F.array((F.col("id") % 50).cast("string"),
+                    F.concat(F.lit("w"), (F.col("id") % 9).cast("string")),
+                    (F.col("id") % 2 == 0).cast("string"))))
+        .alias("_dynamic"),
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
     con = duckdb.connect()
@@ -82,11 +98,30 @@ CURATED = [
     "flag == false and i32 > 50",
     'starts_with(name, "item-3")',
     'i32 > 30 and name like "item-%-y" and not (val < 20.0)',  # P16
+    "dyn_num > 25",                            # dynamic field, numeric cast
+    "dyn_num <= 10 or dyn_num >= 45",
+    "dyn_num in [3, 17, 33]",
+    'dyn_word == "w4"',                        # dynamic string compare
+    'dyn_word like "w%"',
+    "dyn_flag == true",                        # dynamic bool cast
+    "dyn_gone > 3",                            # key absent everywhere -> 0
+    "not (dyn_num > 25)",                      # 3VL with missing keys
 ]
 
 
 def _leaf(rnd: random.Random) -> str:
-    k = rnd.randrange(12)
+    k = rnd.randrange(16)
+    if k >= 12:
+        kk = k - 12
+        if kk == 0:
+            return f"dyn_num {rnd.choice(['>', '<=', '=='])} " \
+                   f"{rnd.randrange(50)}"
+        if kk == 1:
+            return f'dyn_word == "w{rnd.randrange(9)}"'
+        if kk == 2:
+            return f"dyn_flag == {rnd.choice(['true', 'false'])}"
+        items = sorted(rnd.sample(range(50), rnd.randrange(1, 4)))
+        return f"dyn_num {rnd.choice(['', 'not '])}in {items}"
     if k == 0:
         return f"i32 {rnd.choice(['==', '!=', '>', '>=', '<', '<='])} " \
                f"{rnd.randrange(-5, 105)}"
@@ -146,10 +181,14 @@ def _signatures_spark(df, exprs):
     return [(row[f"c{i}"], row[f"s{i}"]) for i in range(len(exprs))]
 
 
+COLUMNS = {"id", "i32", "val", "name", "flag", "tags", "nums",
+           "_dynamic"}
+
+
 def _signatures_duck(con, exprs):
     sels = []
     for i, e in enumerate(exprs):
-        sql = to_sql(parse(e))
+        sql = to_sql(parse(e), columns=COLUMNS)
         sels.append(f"CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)")
         sels.append(f"CAST(COALESCE(SUM(id) FILTER (WHERE {sql}), 0) "
                     f"AS BIGINT)")
@@ -174,7 +213,9 @@ def test_curated_expressions_match_duckdb(dft):
     # a proper nonempty subset
     sigs = _signatures_spark(df, CURATED)
     nontrivial = sum(1 for c, _ in sigs if 0 < c < N_ROWS)
-    assert nontrivial >= len(CURATED) - 2
+    # trivial by design: the empty filter (full scan), the negated
+    # full-scan pair, and the absent-key probes
+    assert nontrivial >= len(CURATED) - 5
 
 
 def test_random_expressions_match_duckdb(dft):

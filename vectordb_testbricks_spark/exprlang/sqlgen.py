@@ -9,17 +9,24 @@ tests/test_expr_differential.py.
 
 Scope: the scalar/array core (comparisons, combined ranges, and/or/not,
 in / not-in, Milvus LIKE, ARRAY_CONTAINS / _ANY / _ALL, array_length,
-array element access, starts_with, bool equality, empty filter). JSON
-paths, geo, and the gated TEXT_MATCH keep their curated oracles — their
-SQL encodings are engine-shaped enough that a generic emitter would just
-re-implement the curated strings.
+array element access, starts_with, bool equality, empty filter) plus the
+dynamic-field path (an undeclared name resolves to the ``_dynamic``
+map<string,string> with literal-driven TRY_CAST — mirror of
+compiler._dynamic_path). JSON paths, geo, and the gated TEXT_MATCH keep
+their curated oracles — their SQL encodings are engine-shaped enough
+that a generic emitter would just re-implement the curated strings.
 
 Semantics parity notes (each mirrors a compiler.py decision):
   * Milvus LIKE knows only ``%``; ``_``/``\\`` are literals. The emitted
     pattern routes through the same :func:`milvus_like_pattern` escaping
     and pins ``ESCAPE '\\'`` (DuckDB has no default escape char).
-  * Array element access is 0-based in Milvus/Spark (`getItem`), 1-based
-    in DuckDB lists — the emitter shifts the index.
+  * Array element access is 0-based in Milvus/Spark (try_element_at),
+    1-based in DuckDB lists — the emitter shifts the index; both sides
+    evaluate NULL out of bounds.
+  * Dynamic values are strings; a comparison against a numeric literal
+    TRY_CASTs the extracted value to DOUBLE (bool → BOOLEAN), exactly
+    the compiler's ``_cast_for`` discipline. DuckDB map access returns a
+    list, so the value is ``map_extract(m, 'k')[1]`` (NULL when absent).
   * ``==`` → ``=``, ``!=`` → ``<>``; three-valued NULL logic then agrees
     between Spark filters and SQL WHERE by construction.
 """
@@ -27,7 +34,10 @@ Semantics parity notes (each mirrors a compiler.py decision):
 from __future__ import annotations
 
 from vectordb_testbricks_spark.exprlang import parser as ast
-from vectordb_testbricks_spark.exprlang.compiler import milvus_like_pattern
+from vectordb_testbricks_spark.exprlang.compiler import (
+    _cast_for, milvus_like_pattern)
+
+DYNAMIC_SQL_COL = '"_dynamic"'
 
 
 class SqlGenError(ValueError):
@@ -48,30 +58,6 @@ def _ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def _path(node: ast.Path) -> str:
-    sql = _ident(node.name)
-    for a in node.accessors:
-        if not isinstance(a, int):
-            raise SqlGenError(
-                f"non-integer accessor {a!r} (JSON paths keep curated "
-                "oracles)")
-        sql = f"{sql}[{a + 1}]"   # DuckDB lists are 1-based
-    return sql
-
-
-def _operand(node) -> str:
-    if isinstance(node, ast.Lit):
-        return _lit(node.value)
-    if isinstance(node, ast.Path):
-        return _path(node)
-    if isinstance(node, ast.ListLit):
-        return "(" + ", ".join(_lit(v) for v in node.items) + ")"
-    if isinstance(node, ast.Call) and node.func in _CALLS:
-        # value-typed calls (array_length) appear as comparison operands
-        return _CALLS[node.func](node.args)
-    raise SqlGenError(f"unsupported operand {node!r}")
-
-
 def _list_sql(node) -> str:
     """A ListLit as a DuckDB list value (for list_has_any/_all)."""
     if not isinstance(node, ast.ListLit):
@@ -81,48 +67,117 @@ def _list_sql(node) -> str:
 
 _CMP = {"==": "=", "!=": "<>", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
 
-_CALLS = {
-    "array_contains": lambda a: (
-        f"list_contains({_operand(a[0])}, {_operand(a[1])})"),
-    "array_contains_any": lambda a: (
-        f"list_has_any({_operand(a[0])}, {_list_sql(a[1])})"),
-    "array_contains_all": lambda a: (
-        f"list_has_all({_operand(a[0])}, {_list_sql(a[1])})"),
-    "array_length": lambda a: f"len({_operand(a[0])})",
-    "starts_with": lambda a: (
-        f"starts_with({_operand(a[0])}, {_operand(a[1])})"),
-}
+_SQL_CAST = {"double": "DOUBLE", "boolean": "BOOLEAN"}
 
 
-def to_sql(node) -> str:
-    """Lower a parsed filter AST to a DuckDB boolean expression."""
-    if isinstance(node, ast.TrueLit):
-        return "TRUE"
-    if isinstance(node, ast.And):
-        return f"({to_sql(node.left)} AND {to_sql(node.right)})"
-    if isinstance(node, ast.Or):
-        return f"({to_sql(node.left)} OR {to_sql(node.right)})"
-    if isinstance(node, ast.Not):
-        return f"(NOT {to_sql(node.operand)})"
-    if isinstance(node, ast.Cmp):
-        return (f"({_operand(node.left)} {_CMP[node.op]} "
-                f"{_operand(node.right)})")
-    if isinstance(node, ast.In):
+class _Emitter:
+    def __init__(self, columns: set[str] | None):
+        self.columns = columns
+        self.calls = {
+            "array_contains": lambda a: (
+                f"list_contains({self.operand(a[0])}, "
+                f"{self.operand(a[1])})"),
+            "array_contains_any": lambda a: (
+                f"list_has_any({self.operand(a[0])}, {_list_sql(a[1])})"),
+            "array_contains_all": lambda a: (
+                f"list_has_all({self.operand(a[0])}, {_list_sql(a[1])})"),
+            "array_length": lambda a: f"len({self.operand(a[0])})",
+            "starts_with": lambda a: (
+                f"starts_with({self.operand(a[0])}, "
+                f"{self.operand(a[1])})"),
+        }
+
+    def is_dynamic(self, node) -> bool:
+        return (isinstance(node, ast.Path) and self.columns is not None
+                and node.name not in self.columns)
+
+    def path(self, node: ast.Path) -> str:
+        if self.is_dynamic(node):
+            if node.accessors:
+                raise SqlGenError(
+                    "JSON inside dynamic values keeps curated oracles")
+            return (f"map_extract({DYNAMIC_SQL_COL}, "
+                    f"{_lit(node.name)})[1]")
+        sql = _ident(node.name)
+        for a in node.accessors:
+            if not isinstance(a, int):
+                raise SqlGenError(
+                    f"non-integer accessor {a!r} (JSON paths keep "
+                    "curated oracles)")
+            sql = f"{sql}[{a + 1}]"   # DuckDB lists are 1-based
+        return sql
+
+    def operand(self, node) -> str:
+        if isinstance(node, ast.Lit):
+            return _lit(node.value)
+        if isinstance(node, ast.Path):
+            return self.path(node)
+        if isinstance(node, ast.ListLit):
+            return "(" + ", ".join(_lit(v) for v in node.items) + ")"
+        if isinstance(node, ast.Call) and node.func in self.calls:
+            # value-typed calls (array_length) as comparison operands
+            return self.calls[node.func](node.args)
+        raise SqlGenError(f"unsupported operand {node!r}")
+
+    def _dyn_cast(self, sql: str, other_lit) -> str:
+        """Literal-driven TRY_CAST for a dynamic (string) value — the SQL
+        twin of compiler._cast_for + try_cast."""
+        cast = _cast_for(other_lit.value)
+        if cast:
+            return f"TRY_CAST({sql} AS {_SQL_CAST[cast]})"
+        return sql
+
+    def cmp(self, node: ast.Cmp) -> str:
+        lsql, rsql = self.operand(node.left), self.operand(node.right)
+        if self.is_dynamic(node.left) and isinstance(node.right, ast.Lit):
+            lsql = self._dyn_cast(lsql, node.right)
+        if self.is_dynamic(node.right) and isinstance(node.left, ast.Lit):
+            rsql = self._dyn_cast(rsql, node.left)
+        return f"({lsql} {_CMP[node.op]} {rsql})"
+
+    def in_(self, node: ast.In) -> str:
+        osql = self.operand(node.operand)
+        if self.is_dynamic(node.operand) and isinstance(
+                node.items, ast.ListLit) and node.items.items:
+            osql = self._dyn_cast(osql, ast.Lit(node.items.items[0]))
         neg = "NOT " if node.negated else ""
-        return f"({_operand(node.operand)} {neg}IN {_operand(node.items)})"
-    if isinstance(node, ast.Like):
-        pat = _lit(milvus_like_pattern(node.pattern))
-        return f"({_operand(node.operand)} LIKE {pat} ESCAPE '\\')"
-    if isinstance(node, ast.Call):
-        fn = _CALLS.get(node.func)
-        if fn is None:
-            raise SqlGenError(
-                f"function {node.func!r} keeps its curated oracle")
-        return fn(node.args)
-    # a bare boolean column used as a predicate
-    if isinstance(node, ast.Path):
-        return _path(node)
-    raise SqlGenError(f"unsupported node {node!r}")
+        return f"({osql} {neg}IN {self.operand(node.items)})"
+
+    def to_sql(self, node) -> str:
+        if isinstance(node, ast.TrueLit):
+            return "TRUE"
+        if isinstance(node, ast.And):
+            return f"({self.to_sql(node.left)} AND {self.to_sql(node.right)})"
+        if isinstance(node, ast.Or):
+            return f"({self.to_sql(node.left)} OR {self.to_sql(node.right)})"
+        if isinstance(node, ast.Not):
+            return f"(NOT {self.to_sql(node.operand)})"
+        if isinstance(node, ast.Cmp):
+            return self.cmp(node)
+        if isinstance(node, ast.In):
+            return self.in_(node)
+        if isinstance(node, ast.Like):
+            pat = _lit(milvus_like_pattern(node.pattern))
+            return f"({self.operand(node.operand)} LIKE {pat} ESCAPE '\\')"
+        if isinstance(node, ast.Call):
+            fn = self.calls.get(node.func)
+            if fn is None:
+                raise SqlGenError(
+                    f"function {node.func!r} keeps its curated oracle")
+            return fn(node.args)
+        # a bare boolean column used as a predicate
+        if isinstance(node, ast.Path):
+            return self.path(node)
+        raise SqlGenError(f"unsupported node {node!r}")
+
+
+def to_sql(node, columns: set[str] | None = None) -> str:
+    """Lower a parsed filter AST to a DuckDB boolean expression.
+
+    ``columns``: the declared column names; when given, an undeclared
+    Path lowers through the dynamic-field map (compiler parity). When
+    None, every name is treated as a declared column."""
+    return _Emitter(columns).to_sql(node)
 
 
 __all__ = ["to_sql", "SqlGenError"]
