@@ -67,6 +67,14 @@ def dft(spark, tmp_path_factory):
                     F.concat(F.lit("w"), (F.col("id") % 9).cast("string")),
                     (F.col("id") % 2 == 0).cast("string"))))
         .alias("_dynamic"),
+        # JSON-string column (P7): nested object, ~11% NULLs
+        F.when(F.col("id") % 9 != 4, F.concat(
+            F.lit('{"k": '), (F.col("id") % 30).cast("string"),
+            F.lit(', "s": "s'), (F.col("id") % 5).cast("string"),
+            F.lit('", "b": '),
+            F.when(F.col("id") % 2 == 0, "true").otherwise("false"),
+            F.lit(', "n": {"x": '), (F.col("id") % 7).cast("string"),
+            F.lit("}}"))).alias("props"),
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
     con = duckdb.connect()
@@ -106,11 +114,27 @@ CURATED = [
     "dyn_flag == true",                        # dynamic bool cast
     "dyn_gone > 3",                            # key absent everywhere -> 0
     "not (dyn_num > 25)",                      # 3VL with missing keys
+    'props["k"] > 12',                         # P7 JSON path, numeric cast
+    'props["k"] in [3, 9, 21]',
+    'props["s"] == "s2"',                      # JSON string compare
+    'props["b"] == true',                      # JSON bool cast
+    'props["n"]["x"] <= 3',                    # nested JSON path
+    'props["zz"] > 1',                         # missing JSON key -> 0
+    'not (props["k"] > 12)',                   # 3VL with NULL props
 ]
 
 
 def _leaf(rnd: random.Random) -> str:
-    k = rnd.randrange(16)
+    k = rnd.randrange(19)
+    if k >= 16:
+        kk = k - 16
+        if kk == 0:
+            return f'props["k"] {rnd.choice([">", "<=", "=="])} ' \
+                   f"{rnd.randrange(30)}"
+        if kk == 1:
+            return f'props["s"] == "s{rnd.randrange(5)}"'
+        return f'props["n"]["x"] {rnd.choice([">", "<="])} ' \
+               f"{rnd.randrange(7)}"
     if k >= 12:
         kk = k - 12
         if kk == 0:
@@ -182,13 +206,15 @@ def _signatures_spark(df, exprs):
 
 
 COLUMNS = {"id", "i32", "val", "name", "flag", "tags", "nums",
-           "_dynamic"}
+           "_dynamic", "props"}
+JSON_COLUMNS = {"props"}
 
 
 def _signatures_duck(con, exprs):
     sels = []
     for i, e in enumerate(exprs):
-        sql = to_sql(parse(e), columns=COLUMNS)
+        sql = to_sql(parse(e), columns=COLUMNS,
+                     json_columns=JSON_COLUMNS)
         sels.append(f"CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)")
         sels.append(f"CAST(COALESCE(SUM(id) FILTER (WHERE {sql}), 0) "
                     f"AS BIGINT)")

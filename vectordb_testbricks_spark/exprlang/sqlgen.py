@@ -71,8 +71,10 @@ _SQL_CAST = {"double": "DOUBLE", "boolean": "BOOLEAN"}
 
 
 class _Emitter:
-    def __init__(self, columns: set[str] | None):
+    def __init__(self, columns: set[str] | None,
+                 json_columns: set[str] | None):
         self.columns = columns
+        self.json_columns = json_columns or set()
         self.calls = {
             "array_contains": lambda a: (
                 f"list_contains({self.operand(a[0])}, "
@@ -91,6 +93,19 @@ class _Emitter:
         return (isinstance(node, ast.Path) and self.columns is not None
                 and node.name not in self.columns)
 
+    def is_jsonish(self, node) -> bool:
+        """Operands whose SQL value is an extracted JSON/dynamic string —
+        the ones the literal-driven TRY_CAST discipline applies to
+        (compiler operand kind 'json')."""
+        return self.is_dynamic(node) or (
+            isinstance(node, ast.Path) and bool(node.accessors)
+            and node.name in self.json_columns)
+
+    @staticmethod
+    def _json_path(accessors) -> str:
+        return "$" + "".join(
+            f"[{a}]" if isinstance(a, int) else f".{a}" for a in accessors)
+
     def path(self, node: ast.Path) -> str:
         if self.is_dynamic(node):
             if node.accessors:
@@ -98,6 +113,12 @@ class _Emitter:
                     "JSON inside dynamic values keeps curated oracles")
             return (f"map_extract({DYNAMIC_SQL_COL}, "
                     f"{_lit(node.name)})[1]")
+        if node.accessors and node.name in self.json_columns:
+            # JSON-string column: the SQL twin of get_json_object —
+            # json_extract_string matches its NULL-on-missing and
+            # unquoted-scalar semantics
+            return (f"json_extract_string({_ident(node.name)}, "
+                    f"{_lit(self._json_path(node.accessors))})")
         sql = _ident(node.name)
         for a in node.accessors:
             if not isinstance(a, int):
@@ -129,15 +150,15 @@ class _Emitter:
 
     def cmp(self, node: ast.Cmp) -> str:
         lsql, rsql = self.operand(node.left), self.operand(node.right)
-        if self.is_dynamic(node.left) and isinstance(node.right, ast.Lit):
+        if self.is_jsonish(node.left) and isinstance(node.right, ast.Lit):
             lsql = self._dyn_cast(lsql, node.right)
-        if self.is_dynamic(node.right) and isinstance(node.left, ast.Lit):
+        if self.is_jsonish(node.right) and isinstance(node.left, ast.Lit):
             rsql = self._dyn_cast(rsql, node.left)
         return f"({lsql} {_CMP[node.op]} {rsql})"
 
     def in_(self, node: ast.In) -> str:
         osql = self.operand(node.operand)
-        if self.is_dynamic(node.operand) and isinstance(
+        if self.is_jsonish(node.operand) and isinstance(
                 node.items, ast.ListLit) and node.items.items:
             osql = self._dyn_cast(osql, ast.Lit(node.items.items[0]))
         neg = "NOT " if node.negated else ""
@@ -171,13 +192,16 @@ class _Emitter:
         raise SqlGenError(f"unsupported node {node!r}")
 
 
-def to_sql(node, columns: set[str] | None = None) -> str:
+def to_sql(node, columns: set[str] | None = None,
+           json_columns: set[str] | None = None) -> str:
     """Lower a parsed filter AST to a DuckDB boolean expression.
 
     ``columns``: the declared column names; when given, an undeclared
     Path lowers through the dynamic-field map (compiler parity). When
-    None, every name is treated as a declared column."""
-    return _Emitter(columns).to_sql(node)
+    None, every name is treated as a declared column. ``json_columns``:
+    declared string columns holding JSON — accessor paths on them lower
+    to json_extract_string (compiler's get_json_object twin)."""
+    return _Emitter(columns, json_columns).to_sql(node)
 
 
 __all__ = ["to_sql", "SqlGenError"]
