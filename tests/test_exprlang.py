@@ -201,3 +201,28 @@ def test_text_match_prefers_token_sidecar(spark):
     pred = compile_expr("TEXT_MATCH(text, 'zebra')", df,
                         enable_text_match=True)
     assert [r.id for r in df.filter(pred).collect()] == [1]
+
+
+def test_phrase_match_gated_and_semantics(spark):
+    """PHRASE_MATCH (gated, slop=0): analyzed query terms must occur
+    consecutively in order; case and punctuation fold through the same
+    analyzer; slop > 0 raises (out of prototype scope)."""
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick the brown fox"),
+         (3, "Quick, Brown fox"), (4, "brown quick"), (5, "quick")],
+        "id long, text string")
+    with pytest.raises(ExprCompileError, match="gated"):
+        compile_expr('PHRASE_MATCH(text, "quick brown")', df)
+    pred = compile_expr('PHRASE_MATCH(text, "Quick Brown!")', df,
+                        enable_text_match=True)
+    # adjacency in order: 1 (..quick brown..) and 3 (folded) match;
+    # 2 has them separated, 4 reversed, 5 incomplete
+    assert sorted(r.id for r in df.filter(pred).collect()) == [1, 3]
+    single = compile_expr('PHRASE_MATCH(text, "quick")', df,
+                          enable_text_match=True)
+    assert sorted(r.id for r in df.filter(single).collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ExprCompileError, match="slop=0"):
+        compile_expr('PHRASE_MATCH(text, "quick brown", 2)', df,
+                     enable_text_match=True)

@@ -237,7 +237,52 @@ class _Compiler:
             return op.col.startswith(str(_lit_value(node.args[1])))
         if fn == "text_match":
             return self.text_match(node.args[0], node.args[1])
+        if fn == "phrase_match":
+            return self.phrase_match(node.args)
         raise ExprCompileError(f"unknown function {fn!r}")
+
+    def phrase_match(self, args) -> Column:
+        """Milvus 3.0 ``PHRASE_MATCH(field, 'phrase'[, slop])`` prototype
+        (gated with TEXT_MATCH — roadmap surface, feature-inventory doc
+        §3 "phrase match slop"): true when the analyzed query terms occur
+        consecutively, in order, in the analyzed field. Only slop=0
+        (exact adjacency) is implemented — the well-defined core; sloppy
+        matching's Lucene edit-distance semantics are out of prototype
+        scope and raise rather than approximate silently. Pure-Column
+        plan: one ``exists`` over candidate start offsets with an
+        unrolled per-term adjacency check (terms are literals, so the
+        conjunction is straight-line codegen)."""
+        if not self.enable_text_match:
+            raise ExprCompileError(
+                "PHRASE_MATCH is a gated 3.0-roadmap prototype; compile "
+                "with enable_text_match=True to use it")
+        from vectordb_testbricks_spark.functions.text import (
+            py_tokenize, tokenize)
+        field_node, query_node = args[0], args[1]
+        slop = _lit_value(args[2]) if len(args) > 2 else 0
+        if slop != 0:
+            raise ExprCompileError(
+                "phrase_match prototype implements slop=0 only")
+        if not isinstance(field_node, ast.Path) or field_node.accessors:
+            raise ExprCompileError("PHRASE_MATCH needs a plain field name")
+        terms = py_tokenize(str(_lit_value(query_node)))
+        if not terms:
+            return F.lit(False)
+        sidecar = f"_toks_{field_node.name}"
+        toks = (F.col(sidecar) if sidecar in self.schema
+                else tokenize(self.operand(field_node).col))
+        m = len(terms)
+
+        def window_matches(i):
+            cond = None
+            for j, t in enumerate(terms):
+                # element_at is 1-based; i is the 0-based start offset
+                c = F.try_element_at(toks, (i + j + 1).cast("int")) == t
+                cond = c if cond is None else cond & c
+            return cond
+
+        starts = F.sequence(F.lit(0), F.size(toks) - m)
+        return (F.size(toks) >= m) & F.exists(starts, window_matches)
 
     def text_match(self, field_node, query_node) -> Column:
         """Milvus 3.0 ``TEXT_MATCH(field, 'terms')`` prototype (gated —
