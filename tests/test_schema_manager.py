@@ -495,3 +495,38 @@ def test_bm25_sidecar_respects_ttl_expiry(mgr, spark):
     mgr.delete("fts_ttl", "doc_id == 2")
     hits = mgr.bm25_search("fts_ttl", "alpha", k=5).collect()
     assert {r.doc_id for r in hits} == {1}
+
+
+def test_rewrite_crash_leaves_readers_intact_and_sweeps_orphans(mgr, spark):
+    """The versioned-commit protocol's crash claim, exercised: a crash
+    between writing a new data version and flipping CURRENT must leave
+    readers on the previous intact version, and the next successful
+    rewrite must sweep the orphan directory."""
+    import os
+    mgr.create_collection(SchemaSpec("cr", [
+        FieldSpec("pk", "INT64", primary=True),
+        FieldSpec("v", "INT64", nullable=True)]))
+    rows = spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                 "pk long, v long")
+    mgr.insert("cr", rows)
+    mgr.upsert("cr", spark.createDataFrame([(0, 999)], "pk long, v long"))
+    before = {r.pk: r.v for r in mgr.read("cr").collect()}
+    assert before[0] == 999 and len(before) == 6
+    # simulate the crash: a half-written version dir exists, CURRENT does
+    # NOT point at it
+    d = os.path.join(mgr.warehouse, "cr")
+    orphan = os.path.join(d, "data.vdeadbeefcafe")
+    os.makedirs(os.path.join(orphan, "_partition=_default"))
+    with open(os.path.join(orphan, "_partition=_default",
+                           "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")
+    # readers resolve through CURRENT: the orphan is invisible
+    assert {r.pk: r.v for r in mgr.read("cr").collect()} == before
+    # the next rewrite commits cleanly and sweeps the orphan
+    mgr.delete("cr", "pk == 5")
+    after = {r.pk: r.v for r in mgr.read("cr").collect()}
+    assert 5 not in after and after[0] == 999 and len(after) == 5
+    assert not os.path.exists(orphan)
+    # exactly current + previous versions retained
+    versions = [e for e in os.listdir(d) if e.startswith("data.v")]
+    assert len(versions) <= 2
