@@ -530,3 +530,34 @@ def test_rewrite_crash_leaves_readers_intact_and_sweeps_orphans(mgr, spark):
     # exactly current + previous versions retained
     versions = [e for e in os.listdir(d) if e.startswith("data.v")]
     assert len(versions) <= 2
+
+
+def test_concurrent_inserts_serialize_under_writer_lock(mgr, spark):
+    """Two threads inserting into the same BM25 collection concurrently:
+    the writer lock serializes the append + stats-delta commits, so no
+    batch's rows or stats partials are lost or double-counted."""
+    import threading
+    _mk_fts(mgr)
+    batches = [
+        [(i, f"alpha w{i}") for i in rng]
+        for rng in (range(0, 40), range(40, 80), range(80, 120))
+    ]
+    errs = []
+
+    def run(rows):
+        try:
+            mgr.insert("fts_coll", _docs(spark, rows))
+        except Exception as e:   # surfaced below; bare thread would hide it
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert mgr.read("fts_coll").count() == 120
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 120          # every doc, counted once
+    assert row["alpha"].n_docs == 120

@@ -20,6 +20,7 @@ pruning, which is the reference's partition-key speedup
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -179,13 +180,36 @@ class CollectionManager:
         return partition in self.list_partitions(name)
 
     # --------------------------------------------------------------- DML
+    @contextlib.contextmanager
+    def _write_lock(self, real: str):
+        """Exclusive per-collection writer lock (flock on a lock file).
+
+        The commit protocol — versioned dirs + CURRENT flip, append-diff
+        stats deltas — assumes ONE writer per collection at a time; this
+        makes the assumption mechanical instead of documentation-only for
+        same-host concurrent writers (threads or processes). On object
+        storage the equivalent is the catalog/metastore commit lock."""
+        path = os.path.join(self._dir(real), ".write_lock")
+        with open(path, "w") as fh:
+            try:
+                import fcntl
+                fcntl.flock(fh, fcntl.LOCK_EX)
+            except ImportError:      # non-POSIX: documented single-writer
+                pass
+            yield
+
     def insert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
         """S1: append a row batch (optionally into an explicit partition).
         TTL collections stamp each batch with the ingest timestamp.
         BM25 function sidecars are appended *incrementally* from the batch
         alone (the server-computed-at-insert shape, schema.py:37-43) —
-        no full rebuild."""
+        no full rebuild. Serialized per collection by the writer lock."""
+        with self._write_lock(self.resolve(name)):
+            self._insert_locked(name, df, partition_name)
+
+    def _insert_locked(self, name: str, df: DataFrame,
+                       partition_name: str | None = None) -> None:
         spec = self.describe_collection(name)
         routed = self._route(spec, df, partition_name)
         if spec.ttl_seconds:
@@ -241,13 +265,14 @@ class CollectionManager:
         keep the ``_partition`` they already live in, so explicit-partition
         layouts survive upserts."""
         from vectordb_testbricks_spark.operators.dml import upsert as _upsert
-        spec = self.describe_collection(name)
-        base = self.read(name)
-        incoming = self._route(spec, df, partition_name)
-        if spec.ttl_seconds:
-            incoming = incoming.withColumn(
-                INGEST_TS_COL, F.current_timestamp())
-        self._overwrite(name, _upsert(base, incoming, spec.pk.name))
+        with self._write_lock(self.resolve(name)):
+            spec = self.describe_collection(name)
+            base = self.read(name)
+            incoming = self._route(spec, df, partition_name)
+            if spec.ttl_seconds:
+                incoming = incoming.withColumn(
+                    INGEST_TS_COL, F.current_timestamp())
+            self._overwrite(name, _upsert(base, incoming, spec.pk.name))
 
     def partial_update(self, name: str, df: DataFrame,
                        partition_name: str | None = None) -> None:
@@ -257,28 +282,30 @@ class CollectionManager:
         partial_update). Existing rows keep their partition; only
         newly-inserted PKs are routed."""
         from vectordb_testbricks_spark.operators.dml import partial_upsert
-        spec = self.describe_collection(name)
-        base = self.read(name)
-        merged = partial_upsert(base, df, spec.pk.name)
-        # rows born from the full-outer join (PK absent in base) carry a
-        # NULL _partition — route just those, keep everyone else in place
-        merged = merged.withColumn(
-            PARTITION_COL,
-            F.coalesce(F.col(PARTITION_COL),
-                       self._route_col(spec, partition_name)))
-        if spec.ttl_seconds:
+        with self._write_lock(self.resolve(name)):
+            spec = self.describe_collection(name)
+            base = self.read(name)
+            merged = partial_upsert(base, df, spec.pk.name)
+            # rows born from the full-outer join (PK absent in base) carry
+            # a NULL _partition — route just those, keep the rest in place
             merged = merged.withColumn(
-                INGEST_TS_COL,
-                F.coalesce(F.col(INGEST_TS_COL), F.current_timestamp()))
-        self._overwrite(name, merged)
+                PARTITION_COL,
+                F.coalesce(F.col(PARTITION_COL),
+                           self._route_col(spec, partition_name)))
+            if spec.ttl_seconds:
+                merged = merged.withColumn(
+                    INGEST_TS_COL,
+                    F.coalesce(F.col(INGEST_TS_COL), F.current_timestamp()))
+            self._overwrite(name, merged)
 
     def delete(self, name: str, flt: str) -> None:
         """S4: delete-by-filter (anti-filter rewrite, persisted). Surviving
         rows keep their original partition placement."""
         from vectordb_testbricks_spark.operators.dml import delete_by_filter
-        spec = self.describe_collection(name)
-        base = self.read(name)
-        self._overwrite(name, delete_by_filter(base, flt))
+        with self._write_lock(self.resolve(name)):
+            spec = self.describe_collection(name)
+            base = self.read(name)
+            self._overwrite(name, delete_by_filter(base, flt))
 
     def _overwrite(self, name: str, routed: DataFrame) -> None:
         """Persist an already-routed full-collection state.
