@@ -39,6 +39,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _reclaimed_tmpdir(prefix: str) -> str:
+    """mkdtemp whose contents must outlive the creating call (session-
+    cached warehouses, lazily-read plans) but not the process: registered
+    for rmtree at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _session_key(spark: SparkSession) -> str:
     """Cache key for per-session ingest-time tables. applicationId is unique
     per SparkContext lifetime; id(spark) is not (CPython reuses addresses
@@ -645,9 +657,18 @@ def v_knn_metrics(spark, sf_dir):
     separate ``v_knn_fields`` entry; folded so the registry fits the
     driver's 50-row correctness budget). Scores cast to double so the
     integer HAMMING popcount unions cleanly with the float metrics."""
+    from vectordb_testbricks_spark.materialize import shared_persist
     out = None
+    hits = None
     for m in ("L2", "IP", "COSINE", "HAMMING"):
-        part = (_knn(spark, sf_dir, m, with_label=True)
+        branch = _knn(spark, sf_dir, m, with_label=True)
+        if m == "COSINE":
+            # the SHAPE fold below re-reads this branch; persist the
+            # 30-row hit list so the broadcast-join + top-k subtree runs
+            # once, not once per consumer (review r06 #7)
+            branch = shared_persist(branch)
+            hits = branch
+        part = (branch
                 .select(F.lit(m).alias("metric"), "query_id", "vec_id",
                         "label",
                         F.col("score").cast("double").alias("score"), "rank"))
@@ -658,7 +679,6 @@ def v_knn_metrics(spark, sf_dir):
     # COSINE branch and emitted as 4 report rows in the same schema:
     # vec_id = check id, label = observed, score = expected, rank = pass.
     from pyspark.sql import Window
-    hits = _knn(spark, sf_dir, "COSINE")
     w = Window.partitionBy("query_id").orderBy("rank")
     lagged = hits.withColumn("_prev", F.lag("score").over(w))
     perq = lagged.groupBy("query_id").agg(
@@ -1139,13 +1159,8 @@ def _bm25_managed_collection(spark, sf_dir):
     cached = _BM25_CACHE.get(key)
     if cached is not None:
         return cached
-    wh = tempfile.mkdtemp(prefix="vts_bm25_wh_")
-    # cached per session for reuse, reclaimed at interpreter exit (same
-    # leak class the judge flagged for the partition-lifecycle warehouse:
-    # repeated test/bench/oracle processes otherwise strand these in /tmp)
-    import atexit
-    import shutil as _shutil
-    atexit.register(_shutil.rmtree, wh, ignore_errors=True)
+    # cached per session for reuse, reclaimed at interpreter exit
+    wh = _reclaimed_tmpdir("vts_bm25_wh_")
     mgr = CollectionManager(spark, wh)
     spec = SchemaSpec("docs_fts", [
         FieldSpec("doc_id", "INT64", primary=True),
@@ -1675,12 +1690,9 @@ def wl_pressure(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"))
-    wh = tempfile.mkdtemp(prefix="wl_pressure_")
-    # the returned summary plan reads the warehouse lazily, so reclaim at
-    # interpreter exit (same leak class as the lifecycle warehouses)
-    import atexit
-    import shutil as _shutil
-    atexit.register(_shutil.rmtree, wh, ignore_errors=True)
+    # the returned summary plan reads the warehouse lazily, so reclaim
+    # at interpreter exit
+    wh = _reclaimed_tmpdir("wl_pressure_")
     mgr = CollectionManager(spark, wh)
     mgr.create_collection(SchemaSpec("press", [
         FieldSpec("o_orderkey", "INT64", primary=True),
@@ -2638,15 +2650,9 @@ def _partition_lifecycle_manager(spark, sf_dir):
     cached = _PART_LIFECYCLE_CACHE.get(key)
     if cached is not None:
         return cached
-    wh = tempfile.mkdtemp(prefix="vts_part_wh_")
-    # the warehouse is cached per (session, sf_dir) for reuse within this
-    # process; without an exit hook every test/bench/oracle process
-    # strands one orders-sized copy in /tmp (the other managed entries
-    # rmtree theirs eagerly — this one must outlive the call for reuse,
-    # so clean up at interpreter exit instead)
-    import atexit
-    import shutil as _shutil
-    atexit.register(_shutil.rmtree, wh, ignore_errors=True)
+    # cached per (session, sf_dir) for in-process reuse, reclaimed at
+    # interpreter exit
+    wh = _reclaimed_tmpdir("vts_part_wh_")
     mgr = CollectionManager(spark, wh)
     mgr.create_collection(SchemaSpec("orders_part", [
         FieldSpec("o_orderkey", "INT64", primary=True),

@@ -226,3 +226,28 @@ def test_phrase_match_gated_and_semantics(spark):
     with pytest.raises(ExprCompileError, match="slop=0"):
         compile_expr('PHRASE_MATCH(text, "quick brown", 2)', df,
                      enable_text_match=True)
+
+
+def test_text_match_uses_field_analyzer(spark):
+    """The query literal must analyze with the MATCH FIELD's analyzer: a
+    cased field (no lowercase filter) keeps 'Quick' != 'quick', and a
+    stop-filtered field drops stop words from the query too."""
+    df = spark.createDataFrame(
+        [(1, "Quick fox"), (2, "quick fox"), (3, "the fox")],
+        "id long, text string")
+    cased = {"tokenizer": "standard", "filter": []}
+    pred = compile_expr('TEXT_MATCH(text, "Quick")', df,
+                        enable_text_match=True,
+                        analyzers={"text": cased})
+    assert [r.id for r in df.filter(pred).collect()] == [1]
+    stop = {"tokenizer": "standard",
+            "filter": ["lowercase", {"type": "stop", "stop_words": ["the"]}]}
+    # 'the' analyzes away on BOTH sides: the query contributes no term
+    # for it, so only 'fox' matches (all rows)
+    pred = compile_expr('TEXT_MATCH(text, "the fox")', df,
+                        enable_text_match=True, analyzers={"text": stop})
+    assert sorted(r.id for r in df.filter(pred).collect()) == [1, 2, 3]
+    only_stop = compile_expr('TEXT_MATCH(text, "the")', df,
+                             enable_text_match=True,
+                             analyzers={"text": stop})
+    assert df.filter(only_stop).count() == 0

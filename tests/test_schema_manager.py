@@ -561,3 +561,42 @@ def test_concurrent_inserts_serialize_under_writer_lock(mgr, spark):
     row = {r.term: r for r in stats.collect()}
     assert row["alpha"].df_t == 120          # every doc, counted once
     assert row["alpha"].n_docs == 120
+
+
+def test_stats_crash_window_detected_and_healed(mgr, spark):
+    """A crash between the tf/doclen appends and the stats appends leaves
+    the PENDING marker: searches must fall back to exact derivation (never
+    serve skewed idf/avgdl), and the next insert must heal the delta log
+    by recompaction."""
+    import os
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [(1, "alpha beta"), (2, "alpha")]))
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    # simulate the crash: batch 2's tf/doclen land, stats partials do not
+    spec = mgr.describe_collection("fts_coll")
+    fn = mgr._bm25_functions(spec)[0]
+    tf2, dl2, tk2 = mgr._fn_batch_tables(
+        spec, fn, _docs(spark, [(3, "alpha gamma gamma")]))
+    with open(mgr._stats_pending_path(base), "w") as fh:
+        fh.write("crash")
+    tf2.write.mode("append").parquet(os.path.join(base, "tf"))
+    dl2.write.mode("append").parquet(os.path.join(base, "doclen"))
+    tk2.unpersist()
+    # ALSO append the crashed batch's data rows so corpus and sidecar
+    # agree (the data write precedes the sidecar writes in insert())
+    mgr._route(spec, _docs(spark, [(3, "alpha gamma gamma")]), None) \
+        .write.mode("append").partitionBy("_partition") \
+        .parquet(mgr._data_dir("fts_coll"))
+    # marker present -> stats fall back to exact derivation
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 3 and row["alpha"].n_docs == 3
+    # next insert heals: marker cleared, delta log recompacted to truth
+    mgr.insert("fts_coll", _docs(spark, [(4, "delta")]))
+    assert not os.path.exists(mgr._stats_pending_path(base))
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 3 and row["delta"].df_t == 1
+    assert row["alpha"].n_docs == 4
+    # dl: 2 + 1 + 3 + 1 = 7 over 4 docs
+    assert abs(row["alpha"].avgdl - 7.0 / 4.0) < 1e-12

@@ -67,11 +67,15 @@ def _cast_for(value) -> str | None:
 
 class _Compiler:
     def __init__(self, df: DataFrame, json_columns: set[str] | None = None,
-                 enable_text_match: bool = False):
+                 enable_text_match: bool = False,
+                 analyzers: dict | None = None):
         self.df = df
         self.schema = {f.name: f.dataType for f in df.schema.fields}
         self.json_columns = set(json_columns or ())
         self.enable_text_match = enable_text_match
+        # field name -> reference-shape analyzer_params, for the gated
+        # match predicates: query and field MUST analyze identically
+        self.analyzers = analyzers or {}
 
     # ------------------------------------------------------------ operands
 
@@ -257,7 +261,7 @@ class _Compiler:
                 "PHRASE_MATCH is a gated 3.0-roadmap prototype; compile "
                 "with enable_text_match=True to use it")
         from vectordb_testbricks_spark.functions.text import (
-            py_tokenize, tokenize)
+            analyzer_kwargs, py_tokenize, tokenize)
         field_node, query_node = args[0], args[1]
         slop = _lit_value(args[2]) if len(args) > 2 else 0
         if slop != 0:
@@ -265,12 +269,13 @@ class _Compiler:
                 "phrase_match prototype implements slop=0 only")
         if not isinstance(field_node, ast.Path) or field_node.accessors:
             raise ExprCompileError("PHRASE_MATCH needs a plain field name")
-        terms = py_tokenize(str(_lit_value(query_node)))
+        kw = analyzer_kwargs(self.analyzers.get(field_node.name))
+        terms = py_tokenize(str(_lit_value(query_node)), **kw)
         if not terms:
             return F.lit(False)
         sidecar = f"_toks_{field_node.name}"
         toks = (F.col(sidecar) if sidecar in self.schema
-                else tokenize(self.operand(field_node).col))
+                else tokenize(self.operand(field_node).col, **kw))
         m = len(terms)
 
         def window_matches(i):
@@ -298,15 +303,19 @@ class _Compiler:
                 "TEXT_MATCH is a gated 3.0-roadmap prototype; compile "
                 "with enable_text_match=True to use it")
         from vectordb_testbricks_spark.functions.text import (
-            py_tokenize, tokenize)
+            analyzer_kwargs, py_tokenize, tokenize)
         if not isinstance(field_node, ast.Path) or field_node.accessors:
             raise ExprCompileError("TEXT_MATCH needs a plain field name")
-        terms = py_tokenize(str(_lit_value(query_node)))
+        # Milvus analyzes the query with the MATCH FIELD's analyzer — a
+        # cased or stop-filtered field must fold the query identically,
+        # or query/field tokens diverge (review r06 #3)
+        kw = analyzer_kwargs(self.analyzers.get(field_node.name))
+        terms = py_tokenize(str(_lit_value(query_node)), **kw)
         if not terms:
             return F.lit(False)
         sidecar = f"_toks_{field_node.name}"
         toks = (F.col(sidecar) if sidecar in self.schema
-                else tokenize(self.operand(field_node).col))
+                else tokenize(self.operand(field_node).col, **kw))
         return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
 
     def _array_arg(self, node, elem_hint) -> Column:
@@ -402,15 +411,19 @@ def _json_array_type(elem_hint) -> str:
 
 def compile_expr(expr: str, df: DataFrame,
                  json_columns: set[str] | None = None,
-                 enable_text_match: bool = False) -> Column:
+                 enable_text_match: bool = False,
+                 analyzers: dict | None = None) -> Column:
     """Compile a Milvus filter-expression string to a boolean Column for `df`.
 
     Empty/None expression compiles to ``lit(True)`` (full scan,
     reference validators.py:61-65). ``enable_text_match`` unlocks the
-    gated TEXT_MATCH 3.0-roadmap prototype.
+    gated TEXT_MATCH / PHRASE_MATCH 3.0-roadmap prototypes;
+    ``analyzers`` maps field name -> analyzer_params so those predicates
+    analyze the query with the match field's analyzer.
     """
     node = parse(expr)
-    return _Compiler(df, json_columns, enable_text_match).predicate(node)
+    return _Compiler(df, json_columns, enable_text_match,
+                     analyzers).predicate(node)
 
 
 __all__ = ["compile_expr", "parse", "ExprCompileError", "ExprSyntaxError"]

@@ -214,16 +214,35 @@ class CollectionManager:
         routed = self._route(spec, df, partition_name)
         if spec.ttl_seconds:
             routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
+        hash_routed = (spec.partition_key is not None
+                       and partition_name is None)
         if spec.shards_num:
-            # shard by PK hash (2.6/common.py:1054-1055): fixes write
-            # parallelism and file count per batch regardless of the
-            # incoming partitioning
-            routed = routed.repartition(spec.shards_num, F.col(spec.pk.name))
-        elif self._multi_partition(spec):
+            if hash_routed:
+                # both knobs: cluster by (routing value, pk-hash shard)
+                # with one slot per pair — the write stays shards-wide
+                # per partition dir and emits ~shards files per dir
+                # instead of tasks × partitions (review r06 #4)
+                n = spec.num_partitions or 16
+                shard = F.pmod(F.hash(F.col(spec.pk.name)),
+                               F.lit(spec.shards_num))
+                routed = routed.repartition(
+                    n * spec.shards_num, F.col(PARTITION_COL), shard)
+            else:
+                # shard by PK hash (2.6/common.py:1054-1055): fixes write
+                # parallelism and file count per batch regardless of the
+                # incoming partitioning
+                routed = routed.repartition(spec.shards_num,
+                                            F.col(spec.pk.name))
+        elif hash_routed:
             # cluster on the routing column before a partitioned write:
             # without it every input task emits one file per partition
             # value it touches (tasks × partitions small files — the
-            # same small-files failure write_ivf guards against)
+            # same small-files failure write_ivf guards against). ONLY
+            # for hash routing: an explicit-partition batch carries one
+            # constant routing value, so clustering would serialize the
+            # whole write into a single task (review r06 #1) — its write
+            # lands in one dir with one file per input partition, which
+            # is already the right shape.
             routed = routed.repartition(F.col(PARTITION_COL))
         (routed.write.mode("append").partitionBy(PARTITION_COL)
          .parquet(self._data_dir(self.resolve(name))))
@@ -231,6 +250,16 @@ class CollectionManager:
         for fn in self._bm25_functions(spec):
             tf, doclen, tk = self._fn_batch_tables(spec, fn, df)
             base = self._fn_data_dir(real, fn.name)
+            os.makedirs(base, exist_ok=True)
+            # a crash between the tf/doclen appends and the stats appends
+            # would silently skew idf/avgdl forever; the PENDING marker
+            # makes the window detectable — searches fall back to exact
+            # derivation while it exists, and the next write heals the
+            # log by recompaction (review r06 #2)
+            self._repair_stats_if_pending(base)
+            pending = self._stats_pending_path(base)
+            with open(pending, "w") as fh:
+                fh.write("stats append in flight")
             new_tf = self._append_tracking_files(
                 tf, os.path.join(base, "tf"))
             new_dl = self._append_tracking_files(
@@ -246,7 +275,7 @@ class CollectionManager:
             # in-memory plans): the agg reads only the pruned columns,
             # and the log is exactly consistent with the stored sidecar
             # by construction. Valid under the manager's single-writer
-            # commit model (list-before/after identifies the batch).
+            # commit model (enforced by the writer lock).
             if new_tf and new_dl:
                 terms_d, glob_d = self._fn_stats_deltas(
                     self.spark.read.parquet(*new_tf),
@@ -255,6 +284,7 @@ class CollectionManager:
                     os.path.join(base, "stats_terms"))
                 glob_d.write.mode("append").parquet(
                     os.path.join(base, "stats_global"))
+            os.remove(pending)
 
     def upsert(self, name: str, df: DataFrame,
                partition_name: str | None = None) -> None:
@@ -424,6 +454,35 @@ class CollectionManager:
         return tf, doclen, tk
 
     @staticmethod
+    def _stats_pending_path(base: str) -> str:
+        return os.path.join(base, "_STATS_PENDING")
+
+    def _repair_stats_if_pending(self, base: str) -> None:
+        """Heal a stats delta log left inconsistent by a crash mid-insert:
+        when the PENDING marker survives, the tf/doclen sidecars may hold
+        a batch whose stats partials never landed — recompact the stats
+        dirs from the sidecars (the ground truth) and clear the marker.
+        Runs under the writer lock."""
+        pending = self._stats_pending_path(base)
+        if not os.path.exists(pending):
+            return
+        tf_dir = os.path.join(base, "tf")
+        if os.path.exists(tf_dir):
+            tf = self.spark.read.parquet(tf_dir)
+            doclen = self.spark.read.parquet(os.path.join(base, "doclen"))
+            terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
+            # overwrite into fresh dirs then swap — never leave the log
+            # truncated if THIS repair crashes too
+            for sub, df_ in (("stats_terms", terms_d),
+                             ("stats_global", glob_d)):
+                tmp = os.path.join(base, f"{sub}.repair")
+                df_.write.mode("overwrite").parquet(tmp)
+                final = os.path.join(base, sub)
+                shutil.rmtree(final, ignore_errors=True)
+                os.replace(tmp, final)
+        os.remove(pending)
+
+    @staticmethod
     def _append_tracking_files(df: DataFrame, dirpath: str) -> list[str]:
         """Append ``df`` as parquet and return the part files this write
         created (directory listing diff — single-writer manager, so the
@@ -511,10 +570,19 @@ class CollectionManager:
                 T.StructField("avgdl", T.DoubleType())]))
             return tf, stats
         tf = self.spark.read.parquet(os.path.join(base, "tf"))
-        terms_log = self.spark.read.parquet(
-            os.path.join(base, "stats_terms"))
-        glob_log = self.spark.read.parquet(
-            os.path.join(base, "stats_global"))
+        if (os.path.exists(self._stats_pending_path(base))
+                or not os.path.exists(os.path.join(base, "stats_terms"))):
+            # a crash left the delta log possibly missing a batch's
+            # partials (PENDING marker) — derive exact stats from the
+            # sidecars themselves until a write heals the log. Slower
+            # (tf-sized agg) but never wrong.
+            doclen = self.spark.read.parquet(os.path.join(base, "doclen"))
+            terms_log, glob_log = self._fn_stats_deltas(tf, doclen)
+        else:
+            terms_log = self.spark.read.parquet(
+                os.path.join(base, "stats_terms"))
+            glob_log = self.spark.read.parquet(
+                os.path.join(base, "stats_global"))
         df_t = terms_log.groupBy("term").agg(F.sum("df_t").alias("df_t"))
         totals = glob_log.agg(
             F.sum("n_docs").alias("n_docs"),

@@ -52,7 +52,10 @@ _WIDE_NODES = frozenset({
 
 def _has_wide_node(plan) -> bool:
     """Depth-first walk of a Catalyst logical plan (py4j JavaObject),
-    testing each node's class simple-name against :data:`_WIDE_NODES`."""
+    testing each node's class simple-name against :data:`_WIDE_NODES`.
+    Subquery plans are walked too — a scalar/IN subquery hides its
+    Aggregate outside ``children()``, and missing it would send the
+    .rdd partition probe off to execute the subquery stage."""
     stack = [plan]
     while stack:
         node = stack.pop()
@@ -61,6 +64,9 @@ def _has_wide_node(plan) -> bool:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
     return False
 
 

@@ -166,6 +166,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             if depth != 8 or interlace:
                 raise ValueError(
                     "png backend handles 8-bit non-interlaced PNGs only")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"invalid PNG color type {color}")
             meta = (w, h, _PNG_CHANNELS[color])
         elif ctype == b"IDAT":
             idat.append(data)
