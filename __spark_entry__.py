@@ -657,16 +657,18 @@ def v_knn_metrics(spark, sf_dir):
     separate ``v_knn_fields`` entry; folded so the registry fits the
     driver's 50-row correctness budget). Scores cast to double so the
     integer HAMMING popcount unions cleanly with the float metrics."""
-    from vectordb_testbricks_spark.materialize import shared_persist
     out = None
     hits = None
     for m in ("L2", "IP", "COSINE", "HAMMING"):
         branch = _knn(spark, sf_dir, m, with_label=True)
         if m == "COSINE":
-            # the SHAPE fold below re-reads this branch; persist the
-            # 30-row hit list so the broadcast-join + top-k subtree runs
-            # once, not once per consumer (review r06 #7)
-            branch = shared_persist(branch)
+            # the SHAPE fold below re-reads this branch; materialize the
+            # 30-row hit list driver-side (bounded: nq=3 × k=10 by
+            # contract) so the broadcast-join + top-k subtree runs once
+            # and no cache entry outlives the call — a shared_persist
+            # here was never unpersisted, pinning one entry per
+            # long-lived session (review r07 advice #5)
+            branch = spark.createDataFrame(branch.collect(), branch.schema)
             hits = branch
         part = (branch
                 .select(F.lit(m).alias("metric"), "query_id", "vec_id",

@@ -93,6 +93,8 @@ CURATED = [
     "not (i32 == 21)",
     "i32 in [7, 14, 21, 28]",                  # P4
     "i32 not in [7, 14, 21, 28]",              # P5
+    "i32 in []",                               # empty IN = const false
+    "i32 not in []",                           # empty NOT IN = const true
     'name like "item-1%"',                     # P6 (% only)
     'name like "item-2%_x"',                   # _ is a literal in Milvus
     "nums[0] > 10",                            # P8 element access
@@ -240,8 +242,9 @@ def test_curated_expressions_match_duckdb(dft):
     sigs = _signatures_spark(df, CURATED)
     nontrivial = sum(1 for c, _ in sigs if 0 < c < N_ROWS)
     # trivial by design: the empty filter (full scan), the negated
-    # full-scan pair, and the absent-key probes
-    assert nontrivial >= len(CURATED) - 5
+    # full-scan pair, the absent-key probes, and the constant
+    # empty-IN / empty-NOT-IN pair
+    assert nontrivial >= len(CURATED) - 7
 
 
 def test_random_expressions_match_duckdb(dft):

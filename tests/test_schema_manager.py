@@ -600,3 +600,56 @@ def test_stats_crash_window_detected_and_healed(mgr, spark):
     assert row["alpha"].n_docs == 4
     # dl: 2 + 1 + 3 + 1 = 7 over 4 docs
     assert abs(row["alpha"].avgdl - 7.0 / 4.0) < 1e-12
+
+
+def test_first_insert_crash_window_tf_without_doclen(mgr, spark):
+    """os.makedirs(base) precedes the appends, so a crash in the FIRST
+    insert can leave tf/ present with doclen/ missing. Searches must
+    degrade (derive doclen from tf's dl column) instead of raising on
+    the doclen read, and the next insert must heal (r07 advice #2)."""
+    import os
+    spec = _mk_fts(mgr)
+    fn = mgr._bm25_functions(spec)[0]
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    os.makedirs(base, exist_ok=True)
+    tf1, dl1, tk1 = mgr._fn_batch_tables(
+        spec, fn, _docs(spark, [(1, "alpha beta"), (2, "alpha")]))
+    with open(mgr._stats_pending_path(base), "w") as fh:
+        fh.write("crash")
+    tf1.write.mode("append").parquet(os.path.join(base, "tf"))
+    tk1.unpersist()
+    mgr._route(spec, _docs(spark, [(1, "alpha beta"), (2, "alpha")]),
+               None).write.mode("append").partitionBy("_partition") \
+        .parquet(mgr._data_dir("fts_coll"))
+    # doclen/ missing + marker present: stats derived, no crash
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 2 and row["alpha"].n_docs == 2
+    # search end-to-end also degrades without raising
+    assert mgr.bm25_search("fts_coll", "alpha", k=5).count() == 2
+    # next insert repairs from tf-derived doclen and clears the marker
+    mgr.insert("fts_coll", _docs(spark, [(3, "gamma")]))
+    assert not os.path.exists(mgr._stats_pending_path(base))
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 2 and row["gamma"].df_t == 1
+    assert row["alpha"].n_docs == 3
+
+
+def test_first_insert_crash_window_base_dir_only(mgr, spark):
+    """Crash after os.makedirs(base) but before ANY sidecar append: the
+    base dir alone must not confuse searches (empty-schema path) or the
+    next insert's repair."""
+    import os
+    _mk_fts(mgr)
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    os.makedirs(base, exist_ok=True)
+    with open(mgr._stats_pending_path(base), "w") as fh:
+        fh.write("crash")
+    tf, stats = mgr.function_tables("fts_coll")
+    assert tf.count() == 0 and stats.count() == 0
+    mgr.insert("fts_coll", _docs(spark, [(1, "alpha")]))
+    assert not os.path.exists(mgr._stats_pending_path(base))
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 1 and row["alpha"].n_docs == 1

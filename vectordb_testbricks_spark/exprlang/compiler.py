@@ -286,7 +286,12 @@ class _Compiler:
                 cond = c if cond is None else cond & c
             return cond
 
-        starts = F.sequence(F.lit(0), F.size(toks) - m)
+        # Clamp the sequence end to >= 0: Catalyst may split/reorder the
+        # size(toks) >= m conjunct away from the exists, and a descending
+        # F.sequence(0, negative) would probe try_element_at(toks, 0),
+        # which throws ELEMENT_AT_BY_INDEX_ZERO unconditionally. With the
+        # clamp, indexes stay >= 1 and out-of-range probes return NULL.
+        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - m, F.lit(0)))
         return (F.size(toks) >= m) & F.exists(starts, window_matches)
 
     def text_match(self, field_node, query_node) -> Column:

@@ -157,6 +157,11 @@ class _Emitter:
         return f"({lsql} {_CMP[node.op]} {rsql})"
 
     def in_(self, node: ast.In) -> str:
+        # `x in []` is valid expr-lang; Spark's isin([]) is constant
+        # false (true for `not in`), but `x IN ()` is a DuckDB syntax
+        # error — emit the constant to keep the differential twin total.
+        if isinstance(node.items, ast.ListLit) and not node.items.items:
+            return "TRUE" if node.negated else "FALSE"
         osql = self.operand(node.operand)
         if self.is_jsonish(node.operand) and isinstance(
                 node.items, ast.ListLit) and node.items.items:

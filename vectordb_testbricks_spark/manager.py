@@ -276,10 +276,18 @@ class CollectionManager:
             # and the log is exactly consistent with the stored sidecar
             # by construction. Valid under the manager's single-writer
             # commit model (enforced by the writer lock).
-            if new_tf and new_dl:
+            # Gate on EITHER list being non-empty, with an empty list
+            # standing in as an empty frame: if one append emits part
+            # files and the other doesn't, the landed side still gets its
+            # stats partials instead of being silently skipped until the
+            # next rewrite (review r07 advice #3). Stats always mirror
+            # exactly what the sidecar stores.
+            if new_tf or new_dl:
                 terms_d, glob_d = self._fn_stats_deltas(
-                    self.spark.read.parquet(*new_tf),
-                    self.spark.read.parquet(*new_dl))
+                    self.spark.read.parquet(*new_tf) if new_tf
+                    else tf.limit(0),
+                    self.spark.read.parquet(*new_dl) if new_dl
+                    else doclen.limit(0))
                 terms_d.write.mode("append").parquet(
                     os.path.join(base, "stats_terms"))
                 glob_d.write.mode("append").parquet(
@@ -469,7 +477,7 @@ class CollectionManager:
         tf_dir = os.path.join(base, "tf")
         if os.path.exists(tf_dir):
             tf = self.spark.read.parquet(tf_dir)
-            doclen = self.spark.read.parquet(os.path.join(base, "doclen"))
+            doclen = self._doclen_or_derived(base, tf)
             terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
             # overwrite into fresh dirs then swap — never leave the log
             # truncated if THIS repair crashes too
@@ -481,6 +489,21 @@ class CollectionManager:
                 shutil.rmtree(final, ignore_errors=True)
                 os.replace(tmp, final)
         os.remove(pending)
+
+    def _doclen_or_derived(self, base: str, tf: DataFrame) -> DataFrame:
+        """The doclen sidecar, or — when a crash between the tf and doclen
+        appends of the FIRST insert left ``tf/`` present with ``doclen/``
+        missing (os.makedirs now precedes the appends, so the base dir
+        alone proves nothing) — a doclen derived from tf's per-row ``dl``
+        column. The derivation misses zero-token docs (they have no tf
+        rows), which only perturbs the n_docs/avgdl scoring constants for
+        that partial batch; the next rewrite recomputes everything from
+        the data (review r07 advice #2)."""
+        dl_dir = os.path.join(base, "doclen")
+        if os.path.exists(dl_dir):
+            return self.spark.read.parquet(dl_dir)
+        pk_col = [c for c in tf.columns if c not in ("term", "tf", "dl")][0]
+        return tf.select(pk_col, "dl").dropDuplicates([pk_col])
 
     @staticmethod
     def _append_tracking_files(df: DataFrame, dirpath: str) -> list[str]:
@@ -575,8 +598,9 @@ class CollectionManager:
             # a crash left the delta log possibly missing a batch's
             # partials (PENDING marker) — derive exact stats from the
             # sidecars themselves until a write heals the log. Slower
-            # (tf-sized agg) but never wrong.
-            doclen = self.spark.read.parquet(os.path.join(base, "doclen"))
+            # (tf-sized agg) but never wrong. _doclen_or_derived also
+            # covers the tf-present/doclen-missing first-insert window.
+            doclen = self._doclen_or_derived(base, tf)
             terms_log, glob_log = self._fn_stats_deltas(tf, doclen)
         else:
             terms_log = self.spark.read.parquet(
