@@ -644,6 +644,42 @@ def v_bm25_1m(spark, sf_dir, n=1_000_000, vocab=30_000):
     return out
 
 
+def v_sparse_1m(spark, sf_dir, n=1_000_000, vocab=30_000, nnz=16):
+    """Bench-only scale evidence for the SPARSE_INVERTED_INDEX tier — the
+    r06 'weak at 100×' item closed: 1M docs × nnz=16 dims (~16M postings,
+    map<int,float> like the schema registry's SPARSE_FLOAT_VECTOR) built,
+    written bucketed (crc32(key) % 64 partition dirs, key-sorted files),
+    reloaded, and probed with nq=4 three-key queries. The probe reads only
+    the matching bucket dirs + key row-groups (plan guard at fixture
+    scale in test_operators), never the map column. Deterministic corpus:
+    doc id's keys are (id*17 + j*1877) % vocab for j<16 — distinct within
+    a doc, uniform across it — so every query key has ~n·nnz/vocab
+    matching docs and the result is exactly nq×k rows. Warehouse
+    reclaimed after the 40-row result materializes."""
+    import shutil
+    import tempfile
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_sparse_inverted, read_sparse_inverted, sparse_inverted_search,
+        write_sparse_inverted)
+    keys = F.transform(F.sequence(F.lit(0), F.lit(nnz - 1)),
+                       lambda j: ((F.col("id") * 17 + j * 1877) % vocab)
+                       .cast("int"))
+    vals = F.transform(F.sequence(F.lit(0), F.lit(nnz - 1)),
+                       lambda j: ((F.col("id") + j) % 10 + 1).cast("double"))
+    base = spark.range(n).select(
+        F.col("id").alias("pk"), F.map_from_arrays(keys, vals).alias("svec"))
+    model = build_sparse_inverted(base, "svec", "pk", n_buckets=64)
+    path = tempfile.mkdtemp(prefix="vts_sparse1m_") + "/idx"
+    write_sparse_inverted(model, path)
+    reloaded = read_sparse_inverted(spark, path)
+    qmaps = [{(q * 7919 + i * 1877) % vocab: float(i + 1) for i in range(3)}
+             for q in range(4)]
+    hits = sparse_inverted_search(reloaded, qmaps, k=10)
+    out = spark.createDataFrame(hits.collect(), hits.schema)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")
@@ -1019,9 +1055,30 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def v_sparse_inv(spark, sf_dir):
+    """V6 through the SPARSE_INVERTED_INDEX physical tier
+    (schema_matrix_2_6.yaml:63,80): the same query as v_sparse_dot served
+    from exploded postings — here the ingest-time tf table, which IS the
+    postings layout (doc_id, term→key, tf→weight) — with the query's keys
+    pushed down as a literal In() into the postings scan and a
+    partial-agg dot per (query_id, doc_id). Exact identity with the
+    brute-force map scan, so it shares v_sparse_dot's oracle."""
+    from vectordb_testbricks_spark.operators.search import (
+        sparse_search_postings_many)
+    tf, _ = _bm25_tables(spark, sf_dir)
+    postings = tf.select("doc_id", F.col("term").alias("key"),
+                         F.col("tf").cast("double").alias("weight"))
+    hits = sparse_search_postings_many(postings, [_SPARSE_QUERY_MAP],
+                                       "doc_id", k=10)
+    return hits.select("query_id", "doc_id",
+                       F.round("score", 4).alias("score"),
+                       F.col("rank").cast("bigint").alias("rank"))
+
+
 def v_sparse_modes(spark, sf_dir):
     """V6 consolidated: full sparse-IP search, the drop_ratio_search=0.4
-    variant, and the nq=2 batch as one driver query."""
+    variant, the nq=2 batch, and the SPARSE_INVERTED_INDEX postings tier
+    as one driver query."""
     plain = (v_sparse_dot(spark, sf_dir)
              .select(F.lit("drop0").alias("cfg"), "query_id", "doc_id",
                      "score", "rank"))
@@ -1031,7 +1088,10 @@ def v_sparse_modes(spark, sf_dir):
     multi = (v_sparse_multi(spark, sf_dir)
              .select(F.lit("multi2").alias("cfg"),
                      "query_id", "doc_id", "score", "rank"))
-    return plain.unionByName(drop).unionByName(multi)
+    inv = (v_sparse_inv(spark, sf_dir)
+           .select(F.lit("inv").alias("cfg"),
+                   "query_id", "doc_id", "score", "rank"))
+    return plain.unionByName(drop).unionByName(multi).unionByName(inv)
 
 
 SQL_V_SPARSE_MODES = f"""
@@ -1043,6 +1103,9 @@ FROM ({SQL_V_SPARSE_DROP})
 UNION ALL
 SELECT 'multi2' AS cfg, query_id, doc_id, score, rank
 FROM ({SQL_V_SPARSE_MULTI})
+UNION ALL
+SELECT 'inv' AS cfg, query_id, doc_id, score, rank
+FROM ({SQL_V_SPARSE})
 """
 
 

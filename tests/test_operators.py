@@ -291,6 +291,134 @@ def test_drop_query_terms_semantics():
     assert sorted(drop_query_terms(t, 0.34)) == ["y", "z"]
 
 
+def _sparse_corpus(spark, n=2000, vocab=60, seed=11):
+    import random
+    rnd = random.Random(seed)
+    rows = [(i, {f"t{rnd.randrange(vocab)}": round(rnd.uniform(-1, 3), 2)
+                 for _ in range(rnd.randrange(1, 9))}) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, svec map<string,double>")
+
+
+_SPARSE_TEST_QS = [{"t1": 2.0, "t7": 1.5, "t33": 1.0},
+                   {"t2": 0.5, "t9": -1.0, "t11": 3.0}]
+
+
+def test_sparse_postings_search_equals_brute_force(spark):
+    """SPARSE_INVERTED_INDEX identity (schema_matrix_2_6.yaml:63,80): the
+    postings path is a physical layout, not an approximation — same hits,
+    same scores, same ranks as the map-scan brute force, including
+    negative weights and the score>0 cut."""
+    from vectordb_testbricks_spark.operators.search import (
+        sparse_postings, sparse_search_many, sparse_search_postings_many)
+    base = _sparse_corpus(spark)
+    bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10)
+    inv = sparse_search_postings_many(
+        sparse_postings(base, "svec", "id"), _SPARSE_TEST_QS, "id", k=10)
+    cols = ["query_id", "id", "score", "rank"]
+    assert sorted(map(tuple, bf.select(cols).collect())) == \
+           sorted(map(tuple, inv.select(cols).collect()))
+
+
+def test_sparse_inverted_persisted_identity_and_drop_ratio(spark, tmp_path):
+    """Persisted round-trip (write → read → search) stays exact, and
+    drop_ratio_search prunes the same query dims as the brute-force path
+    (shared drop_query_terms)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_sparse_inverted, read_sparse_inverted, sparse_inverted_search,
+        write_sparse_inverted)
+    from vectordb_testbricks_spark.operators.search import sparse_search_many
+    base = _sparse_corpus(spark)
+    model = build_sparse_inverted(base, "svec", "id", n_buckets=16)
+    path = str(tmp_path / "sparseinv")
+    write_sparse_inverted(model, path)
+    reloaded = read_sparse_inverted(spark, path)
+    cols = ["query_id", "id", "score", "rank"]
+    for ratio in (0.0, 0.4):
+        bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10,
+                                drop_ratio_search=ratio)
+        pv = sparse_inverted_search(reloaded, _SPARSE_TEST_QS, k=10,
+                                    drop_ratio_search=ratio)
+        assert sorted(map(tuple, bf.select(cols).collect())) == \
+               sorted(map(tuple, pv.select(cols).collect())), ratio
+
+
+def test_sparse_inverted_int_keys_bucket_parity(spark, tmp_path):
+    """SPARSE_FLOAT_VECTOR is map<int,float> in the schema registry; the
+    driver-side crc32 bucket must agree with the write-side expression for
+    integer keys too, or partition pruning would silently drop postings."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_sparse_inverted, read_sparse_inverted, sparse_inverted_search,
+        write_sparse_inverted)
+    from vectordb_testbricks_spark.operators.search import sparse_search_many
+    import random
+    rnd = random.Random(5)
+    rows = [(i, {rnd.randrange(200): round(rnd.uniform(0.1, 2.0), 2)
+                 for _ in range(rnd.randrange(1, 6))}) for i in range(800)]
+    base = spark.createDataFrame(rows, "id long, svec map<int,double>")
+    qs = [{3: 1.0, 77: 2.0, 150: 0.5}]
+    model = build_sparse_inverted(base, "svec", "id", n_buckets=8)
+    path = str(tmp_path / "sparseint")
+    write_sparse_inverted(model, path)
+    pv = sparse_inverted_search(read_sparse_inverted(spark, path), qs, k=10)
+    bf = sparse_search_many(base, qs, "svec", "id", k=10)
+    cols = ["query_id", "id", "score", "rank"]
+    assert sorted(map(tuple, bf.select(cols).collect())) == \
+           sorted(map(tuple, pv.select(cols).collect()))
+
+
+def test_sparse_inverted_scan_prunes_buckets_and_pushes_keys(spark,
+                                                             tmp_path):
+    """The scale claim, plan-asserted: the persisted postings scan carries
+    the query keys as a pushed In() filter AND prunes bucket partition
+    dirs; the map column never appears in any scan (no full-corpus map
+    traversal per query batch — the r06 'weak at 100×' item)."""
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_sparse_inverted, read_sparse_inverted, sparse_inverted_search,
+        write_sparse_inverted)
+    base = _sparse_corpus(spark)
+    model = build_sparse_inverted(base, "svec", "id", n_buckets=16)
+    path = str(tmp_path / "sparseplan")
+    write_sparse_inverted(model, path)
+    hits = sparse_inverted_search(read_sparse_inverted(spark, path),
+                                  _SPARSE_TEST_QS, k=10)
+    assert hits.count() == 20
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, plan
+    assert any("PushedFilters" in s and "In(key" in s for s in scans), plan
+    assert any("PartitionFilters" in s
+               and "_bucket" in s.split("PartitionFilters")[1][:200]
+               for s in scans), plan
+    assert "svec" not in plan, plan
+
+
+def test_sparse_index_spec_dispatch(spark):
+    """SPARSE_INVERTED_INDEX through the declared-IndexSpec surface
+    (build_from_index_spec + AnnIndex.search over (query_id, qmap) rows)
+    returns the brute-force hits; non-IP metrics are rejected loudly."""
+    import pytest as _pytest
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_from_index_spec)
+    from vectordb_testbricks_spark.operators.search import sparse_search_many
+    from vectordb_testbricks_spark.schema import IndexSpec
+    base = _sparse_corpus(spark)
+    idx = build_from_index_spec(
+        base, "id", IndexSpec("svec", "SPARSE_INVERTED_INDEX",
+                              metric_type="IP", params={"n_buckets": 8}))
+    qdf = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(_SPARSE_TEST_QS)],
+        "query_id int, qmap map<string,double>")
+    got = idx.search(qdf, k=10)
+    bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10)
+    cols = ["query_id", "id", "score", "rank"]
+    assert sorted(map(tuple, bf.select(cols).collect())) == \
+           sorted(map(tuple, got.select(cols).collect()))
+    with _pytest.raises(ValueError, match="SPARSE_INVERTED_INDEX"):
+        build_from_index_spec(base, "id",
+                              IndexSpec("svec", "SPARSE_INVERTED_INDEX",
+                                        metric_type="L2"))
+
+
 def test_pattern_grams_literal_runs():
     from vectordb_testbricks_spark.operators.ngram_index import pattern_grams
     assert pattern_grams("%stream%", 3) == sorted(
@@ -850,6 +978,40 @@ def test_sessionize_scale_entry_wiring_small_n(spark):
     r = E.st_sessionize_1m(spark, "/root/testdata/sf0.001",
                            n=20000).collect()[0]
     assert (r.sessions, r.events, r.min_ev, r.max_ev) == (887, 17740, 20, 20)
+
+
+def test_sparse_scale_entry_wiring_small_n(spark):
+    """v_sparse_1m at a tiny n: the bench-only scale entry's wiring
+    (deterministic map corpus → build/write/read sparse inverted index →
+    nq=4 probe) must produce exactly k hits per query with the postings
+    path's exact scores — a broken entry would otherwise only surface
+    mid-bench, after the gate suite passed."""
+    import __spark_entry__ as E
+    from vectordb_testbricks_spark.operators.search import sparse_search_many
+    hits = E.v_sparse_1m(spark, "/root/testdata/sf0.001",
+                         n=3000, vocab=600, nnz=8).collect()
+    assert len(hits) == 4 * 10  # 4 queries x k=10
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3]
+    assert all(len(v) == 10 for v in by_q.values())
+    # cross-check one query against the brute-force map scan on the same
+    # deterministic corpus (the oracle identity at wiring scale)
+    keys = F.transform(F.sequence(F.lit(0), F.lit(7)),
+                       lambda j: ((F.col("id") * 17 + j * 1877) % 600)
+                       .cast("int"))
+    vals = F.transform(F.sequence(F.lit(0), F.lit(7)),
+                       lambda j: ((F.col("id") + j) % 10 + 1).cast("double"))
+    base = spark.range(3000).select(
+        F.col("id").alias("pk"), F.map_from_arrays(keys, vals).alias("svec"))
+    qmap = {(0 * 7919 + i * 1877) % 600: float(i + 1) for i in range(3)}
+    bf = sparse_search_many(base, [qmap], "svec", "pk", k=10)
+    want = sorted((r["pk"], round(r["score"], 4), r["rank"])
+                  for r in bf.collect())
+    got = sorted((r["pk"], round(r["score"], 4), r["rank"])
+                 for r in by_q[0])
+    assert got == want
 
 
 def test_bm25_scale_entry_wiring_small_n(spark):

@@ -265,6 +265,84 @@ def ivf_balance(spark, path: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc()))
 
 
+@dataclass
+class SparseInvModel:
+    """SPARSE_INVERTED_INDEX (reference index vocabulary,
+    schema_matrix_2_6.yaml:63,80 — metric IP/BM25 over
+    SPARSE_FLOAT_VECTOR): the map column exploded into bucketed postings
+    ``(id, key, weight, _bucket)``. Exact, not approximate — the physical
+    layout changes what a query READS (matching buckets/row-groups), never
+    what it returns; full-postings == brute-force is an identity asserted
+    in tests like the IVF full-probe identity."""
+    postings: DataFrame
+    key_col: str
+    id_col: str
+    weight_col: str
+    n_buckets: int
+
+
+SPARSE_BUCKET_COL = "_bucket"
+
+
+def build_sparse_inverted(base: DataFrame, map_col: str, id_col: str,
+                          n_buckets: int = 64) -> SparseInvModel:
+    """Explode a SPARSE_FLOAT_VECTOR column into bucketed postings. The
+    bucket is crc32(key) % n_buckets — computable driver-side
+    (search.sparse_bucket_py), so a query prunes partition dirs from its
+    literal keys before any IO."""
+    from vectordb_testbricks_spark.operators.search import (
+        sparse_bucket_expr, sparse_postings)
+    posts = sparse_postings(base, map_col, id_col).withColumn(
+        SPARSE_BUCKET_COL, sparse_bucket_expr("key", n_buckets))
+    return SparseInvModel(postings=posts, key_col="key", id_col=id_col,
+                          weight_col="weight", n_buckets=n_buckets)
+
+
+def write_sparse_inverted(model: SparseInvModel, path: str) -> None:
+    """Persist the postings partitioned by bucket dir, sorted by key
+    within each file: a query prunes dirs via its literal buckets, then
+    parquet key min/max stats prune row groups inside the survivors.
+    Clustered write (repartition on the bucket first) for the same
+    small-files reason as write_ivf; n_buckets rides along in a 1-row
+    meta sidecar so reads are self-contained."""
+    (model.postings.repartition(F.col(SPARSE_BUCKET_COL))
+     .sortWithinPartitions(model.key_col, model.id_col)
+     .write.mode("overwrite")
+     .partitionBy(SPARSE_BUCKET_COL).parquet(path))
+    sess = model.postings.sparkSession
+    sess.createDataFrame(
+        [(model.n_buckets, model.key_col, model.id_col, model.weight_col)],
+        "n_buckets int, key_col string, id_col string, weight_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "_meta")
+
+
+def read_sparse_inverted(spark, path: str) -> SparseInvModel:
+    """Reload a persisted sparse inverted index written by
+    :func:`write_sparse_inverted`."""
+    meta = spark.read.parquet(path.rstrip("/") + "_meta").collect()[0]
+    return SparseInvModel(postings=spark.read.parquet(path),
+                          key_col=meta["key_col"], id_col=meta["id_col"],
+                          weight_col=meta["weight_col"],
+                          n_buckets=int(meta["n_buckets"]))
+
+
+def sparse_inverted_search(model: SparseInvModel, query_maps: list[dict],
+                           k: int = 10,
+                           drop_ratio_search: float = 0.0) -> DataFrame:
+    """Serve sparse IP top-k through the postings layout (bucket dirs +
+    key In() pushdown + partial-agg dot) — the scale path for V6; the
+    brute-force map scan in search.sparse_search_many stays the declared
+    semantics and the oracle."""
+    from vectordb_testbricks_spark.operators.search import (
+        sparse_search_postings_many)
+    return sparse_search_postings_many(
+        model.postings, query_maps, model.id_col, k=k,
+        drop_ratio_search=drop_ratio_search, key_col=model.key_col,
+        weight_col=model.weight_col, bucket_col=SPARSE_BUCKET_COL,
+        n_buckets=model.n_buckets)
+
+
 def build_lsh(base: DataFrame, vec_col: str, id_col: str,
               bits: int = 12) -> DataFrame:
     """LSH-bucketed ANN table: rows keyed by the sign bucket of their
@@ -659,6 +737,14 @@ class AnnIndex:
                                         self.id_col, k=k,
                                         rerank_k=p.get("rerank_k"),
                                         metric=self.metric)
+        if self.kind == "sparse_inv":
+            # sparse queries are (query_id, qmap) rows, not dense qvecs;
+            # nq is small by contract (reference nq <= 100)
+            rows = queries.orderBy("query_id").collect()
+            maps = [dict(r["qmap"]) for r in rows]
+            return sparse_inverted_search(
+                self.model, maps, k=k,
+                drop_ratio_search=p.get("drop_ratio_search", 0.0))
         raise ValueError(f"unknown index kind {self.kind!r}")
 
 
@@ -727,6 +813,17 @@ def build_from_index_spec(base: DataFrame, id_col: str, index,
         return AnnIndex("bin_ivf", model, base, vec_col, id_col, metric,
                         {"nprobe": max(1, n_lists // 8),
                          "rerank_k": int(params.get("refine_k", 0)) or None})
+    if t == "SPARSE_INVERTED_INDEX":
+        if metric not in ("IP", "BM25"):
+            raise ValueError(
+                f"SPARSE_INVERTED_INDEX serves IP (or BM25 via function "
+                f"fields); got metric_type={metric!r}.")
+        model = build_sparse_inverted(
+            base, vec_col, id_col,
+            n_buckets=int(params.get("n_buckets", 64)))
+        return AnnIndex("sparse_inv", model, base, vec_col, id_col, "IP",
+                        {"drop_ratio_search":
+                         float(params.get("drop_ratio_search", 0.0))})
     if t in ("HNSW", "DISKANN"):
         m = int(params.get("M", 32))
         ef = int(params.get("ef", params.get(
