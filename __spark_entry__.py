@@ -1764,7 +1764,34 @@ def wl_pressure(spark, sf_dir):
         FieldSpec("o_custkey", "INT64", nullable=True),
         FieldSpec("o_totalprice", "DOUBLE", nullable=True)]))
     mgr.insert("press", orders)
-    return pressure_summary(mgr, "press", "o_orderkey", rounds=2, nb=500)
+    summary = pressure_summary(mgr, "press", "o_orderkey", rounds=2, nb=500)
+    # V10 fold ('async_*' rows): the real concurrent machinery
+    # (run_async_searches — per-thread job groups over the shared
+    # scheduler pool, reference 2.6/async_search.py:225-356) driven with
+    # a deterministic outcome mix: 4 bounded reads of the collection
+    # (successes, 5 rows each) + 1 task that raises at plan time
+    # (failure). No timeout budget → the timeout count is structurally 0,
+    # which keeps the taxonomy row oracle-pinnable (wall-clock-dependent
+    # timeouts can't be).
+    from vectordb_testbricks_spark.workload import run_async_searches
+
+    def _read_task():
+        return mgr.read("press").orderBy("o_orderkey").limit(5)
+
+    def _bad_task():
+        from vectordb_testbricks_spark.exprlang import compile_expr
+        df = mgr.read("press")
+        return df.filter(compile_expr("no_such_col == 1", df))
+
+    rep = run_async_searches(
+        spark, [_read_task] * 4 + [_bad_task], max_workers=3)
+    async_rows_total = sum(o[3] for o in rep.outcomes if o[1] == "success")
+    async_df = spark.createDataFrame(
+        [("async_failure", rep.failures, 0, rep.failures),
+         ("async_success", rep.successes, async_rows_total, 0),
+         ("async_timeout", rep.timeouts, 0, rep.timeouts)],
+        "op string, requests long, rows_affected long, failed long")
+    return summary.unionByName(async_df).orderBy("op")
 
 
 SQL_WL_PRESSURE = """
@@ -1782,7 +1809,12 @@ FROM (
   UNION ALL SELECT 'delete', 2, 500, 0 FROM c
   UNION ALL SELECT 'failed_query', 1, 0, 1 FROM c
   UNION ALL SELECT 'insert', 2, 1000, 0 FROM c
-  UNION ALL SELECT 'upsert', 2, 2 * u, 0 FROM c)
+  UNION ALL SELECT 'upsert', 2, 2 * u, 0 FROM c
+  -- V10 async taxonomy: 4 successes x 5 rows, 1 plan-time failure,
+  -- structurally no timeouts (no deadline configured)
+  UNION ALL SELECT 'async_failure', 1, 0, 1 FROM c
+  UNION ALL SELECT 'async_success', 4, 20, 0 FROM c
+  UNION ALL SELECT 'async_timeout', 0, 0, 0 FROM c)
 ORDER BY op
 """
 
@@ -1868,13 +1900,43 @@ def val_checksum_report(spark, sf_dir):
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     c8_drift = len(c8["missing"]) + len(c8["added"]) + len(c8["changed"])
+    # C9 fold ('c9_serviceable' row): the real retry-until-serviceable
+    # gate (workload.wait_for_serviceable — reference gates.py:240-249
+    # timeout/interval knobs, _pressure.py:21-29 startup retry loop)
+    # driven deterministically: a probe that fails twice before
+    # succeeding, so the loop provably retries and the attempt count is
+    # oracle-pinnable (3). Emitted val = attempts when serviceable, -1 on
+    # a timeout that should never happen.
+    from vectordb_testbricks_spark.manager import CollectionManager as _CM
+    from vectordb_testbricks_spark.schema import (FieldSpec as _FS,
+                                                  SchemaSpec as _SS)
+    from vectordb_testbricks_spark.workload import wait_for_serviceable
+    wh9 = tempfile.mkdtemp(prefix="vts_c9_wh_")
+    try:
+        m9 = _CM(spark, wh9)
+        m9.create_collection(_SS("c9_coll", [
+            _FS("pk", "INT64", primary=True)]))
+        attempts = {"n": 0}
+
+        def _probe():
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise RuntimeError("transient: not serviceable yet")
+            m9.read("c9_coll").limit(1).count()
+
+        ok9 = wait_for_serviceable(m9, "c9_coll", timeout_sec=30.0,
+                                   interval_sec=0.01, probe=_probe)
+        c9_val = attempts["n"] if ok9 else -1
+    finally:
+        shutil.rmtree(wh9, ignore_errors=True)
     rep = spark.createDataFrame(
         [("c1_count", int(c1["got"])),
          ("c2_deleted_present", len(c2d["present_but_deleted"])),
          ("c2_present_missing", len(c2p["missing"])),
          ("c4_upsert_mismatched", len(c4["mismatched_pks"])),
          ("c5_hits", int(c5["hits"])),
-         ("c8_index_drift", c8_drift)],
+         ("c8_index_drift", c8_drift),
+         ("c9_serviceable", c9_val)],
         "check string, val bigint")
     c3 = chk.select(
         F.explode(F.map_from_arrays(
@@ -1895,6 +1957,7 @@ UNION ALL SELECT 'c2_present_missing', 0
 UNION ALL SELECT 'c4_upsert_mismatched', 0
 UNION ALL SELECT 'c5_hits', 1
 UNION ALL SELECT 'c8_index_drift', 0
+UNION ALL SELECT 'c9_serviceable', 3
 ORDER BY "check"
 """
 
