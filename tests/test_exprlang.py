@@ -206,7 +206,7 @@ def test_text_match_prefers_token_sidecar(spark):
 def test_phrase_match_gated_and_semantics(spark):
     """PHRASE_MATCH (gated, slop=0): analyzed query terms must occur
     consecutively in order; case and punctuation fold through the same
-    analyzer; slop > 0 raises (out of prototype scope)."""
+    analyzer; negative slop raises."""
     from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
 
     df = spark.createDataFrame(
@@ -223,9 +223,63 @@ def test_phrase_match_gated_and_semantics(spark):
     single = compile_expr('PHRASE_MATCH(text, "quick")', df,
                           enable_text_match=True)
     assert sorted(r.id for r in df.filter(single).collect()) == [1, 2, 3, 4, 5]
-    with pytest.raises(ExprCompileError, match="slop=0"):
-        compile_expr('PHRASE_MATCH(text, "quick brown", 2)', df,
+    with pytest.raises(ExprCompileError, match="slop"):
+        compile_expr('PHRASE_MATCH(text, "quick brown", -1)', df,
                      enable_text_match=True)
+
+
+def _ref_sloppy_inorder(tokens: list[str], terms: list[str],
+                        slop: int) -> bool:
+    """Independent reference for the in-order bounded-gap semantics:
+    exhaustive search over ordered position tuples with span ≤ m-1+slop."""
+    m = len(terms)
+    pos = [[i + 1 for i, t in enumerate(tokens) if t == term]
+           for term in terms]
+
+    def dfs(j, prev, first):
+        if j == m:
+            return True
+        return any(dfs(j + 1, p, first) for p in pos[j]
+                   if p > prev and p - first <= m - 1 + slop)
+
+    return any(dfs(1, p1, p1) for p1 in pos[0])
+
+
+def test_phrase_match_sloppy_in_order_bounded_gap(spark):
+    """PHRASE_MATCH slop>0 (gated prototype): in-order matches within the
+    gap budget — up to ``slop`` extra tokens between the phrase terms —
+    verified against an exhaustive driver-side reference over a seeded
+    corpus. Documented divergence from full Lucene: out-of-order
+    arrangements ('brown quick' at slop 2) do NOT match; in-order matches
+    are a strict subset, never a false positive."""
+    import random
+    from vectordb_testbricks_spark.functions.text import py_tokenize
+    rnd = random.Random(23)
+    vocab = ["quick", "brown", "fox", "dog", "the", "over"]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(9))))
+            for i in range(300)]
+    # pinned edge docs: exact adjacency, one/two-token gaps, reversed,
+    # repeated-term phrase fodder, too-short
+    rows += [(300, "quick brown"), (301, "quick the brown"),
+             (302, "quick the the brown"), (303, "brown quick"),
+             (304, "quick quick brown"), (305, ""), (306, "quick")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cases = [("quick brown", 1), ("quick brown", 2), ("quick fox dog", 2),
+             ("quick quick", 1), ("the quick brown fox", 3)]
+    for phrase, slop in cases:
+        pred = compile_expr(f'PHRASE_MATCH(text, "{phrase}", {slop})', df,
+                            enable_text_match=True)
+        got = sorted(r.id for r in df.filter(pred).collect())
+        terms = py_tokenize(phrase)
+        want = sorted(i for i, txt in rows
+                      if _ref_sloppy_inorder(py_tokenize(txt), terms, slop))
+        assert got == want, (phrase, slop)
+    # slop=1 admits one gap: 300, 301 match; 302 (two gaps) does not;
+    # 303 reversed never matches in-order
+    p1 = compile_expr('PHRASE_MATCH(text, "quick brown", 1)', df,
+                      enable_text_match=True)
+    pinned = {r.id for r in df.filter(p1).collect()} & set(range(300, 307))
+    assert pinned == {300, 301, 304}
 
 
 def test_text_match_uses_field_analyzer(spark):

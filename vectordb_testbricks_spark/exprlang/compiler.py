@@ -249,13 +249,21 @@ class _Compiler:
         """Milvus 3.0 ``PHRASE_MATCH(field, 'phrase'[, slop])`` prototype
         (gated with TEXT_MATCH — roadmap surface, feature-inventory doc
         §3 "phrase match slop"): true when the analyzed query terms occur
-        consecutively, in order, in the analyzed field. Only slop=0
-        (exact adjacency) is implemented — the well-defined core; sloppy
-        matching's Lucene edit-distance semantics are out of prototype
-        scope and raise rather than approximate silently. Pure-Column
-        plan: one ``exists`` over candidate start offsets with an
-        unrolled per-term adjacency check (terms are literals, so the
-        conjunction is straight-line codegen)."""
+        in order in the analyzed field within the slop budget.
+
+        slop=0 is exact adjacency (one ``exists`` over candidate start
+        offsets with an unrolled per-term check — terms are literals, so
+        the conjunction is straight-line codegen). slop>0 implements the
+        IN-ORDER bounded-gap semantics: positions p1 < p2 < ... < pm with
+        term_j at p_j and total span pm − p1 ≤ (m−1) + slop — i.e. up to
+        ``slop`` extra tokens distributed between the phrase terms,
+        as nested ``exists`` over per-term position arrays (pure Column,
+        no UDF). Lucene's full sloppy-phrase additionally permits
+        OUT-OF-ORDER arrangements when the move budget allows (e.g.
+        "b a"~2 matches "a b"); that edit-distance semantics is out of
+        prototype scope and documented here rather than approximated
+        silently — in-order matches are a strict subset, never a false
+        positive under Lucene's rule."""
         if not self.enable_text_match:
             raise ExprCompileError(
                 "PHRASE_MATCH is a gated 3.0-roadmap prototype; compile "
@@ -264,9 +272,10 @@ class _Compiler:
             analyzer_kwargs, py_tokenize, tokenize)
         field_node, query_node = args[0], args[1]
         slop = _lit_value(args[2]) if len(args) > 2 else 0
-        if slop != 0:
+        if not isinstance(slop, int) or slop < 0:
             raise ExprCompileError(
-                "phrase_match prototype implements slop=0 only")
+                f"phrase_match slop must be a non-negative int literal, "
+                f"got {slop!r}")
         if not isinstance(field_node, ast.Path) or field_node.accessors:
             raise ExprCompileError("PHRASE_MATCH needs a plain field name")
         kw = analyzer_kwargs(self.analyzers.get(field_node.name))
@@ -277,6 +286,8 @@ class _Compiler:
         toks = (F.col(sidecar) if sidecar in self.schema
                 else tokenize(self.operand(field_node).col, **kw))
         m = len(terms)
+        if slop > 0:
+            return self._phrase_match_sloppy(toks, terms, slop)
 
         def window_matches(i):
             cond = None
@@ -293,6 +304,45 @@ class _Compiler:
         # clamp, indexes stay >= 1 and out-of-range probes return NULL.
         starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - m, F.lit(0)))
         return (F.size(toks) >= m) & F.exists(starts, window_matches)
+
+    @staticmethod
+    def _phrase_match_sloppy(toks: Column, terms: list[str],
+                             slop: int) -> Column:
+        """In-order bounded-gap sloppy phrase as nested ``exists`` over
+        per-term position arrays. For literal terms the nesting unrolls
+        to straight-line codegen; each level prunes by both order
+        (p_{j+1} > p_j) and the remaining span budget, so the search
+        space stays tiny even on pathological token streams. A single
+        term degenerates to containment (slop is irrelevant)."""
+        m = len(terms)
+
+        # 1-based positions of each phrase term in the token stream.
+        # NB: closure helper, not a defaulted lambda param — F.filter
+        # treats a two-arg lambda as (element, index) and would bind the
+        # index column over the default.
+        def _positions(term):
+            return F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+                lambda p: F.try_element_at(toks, p) == term)
+
+        pos = [_positions(t) for t in terms]
+        if m == 1:
+            return F.size(pos[0]) > 0
+
+        def chain(j, prev, first):
+            # positions for term j must follow prev and keep the total
+            # span (p_last - p_first) within (m-1) + slop
+            if j == m - 1:
+                return F.exists(
+                    pos[j], lambda p: (p > prev)
+                    & (p - first <= F.lit(m - 1 + slop)))
+            return F.exists(
+                pos[j], lambda p: (p > prev)
+                & (p - first <= F.lit(j + slop))   # prefix span bound
+                & chain(j + 1, p, first))
+
+        return (F.size(toks) >= m) & F.exists(
+            pos[0], lambda p1: chain(1, p1, p1))
 
     def text_match(self, field_node, query_node) -> Column:
         """Milvus 3.0 ``TEXT_MATCH(field, 'terms')`` prototype (gated —
