@@ -1939,6 +1939,25 @@ def val_checksum_report(spark, sf_dir):
         ok9 = wait_for_serviceable(m9, "c9_coll", timeout_sec=30.0,
                                    interval_sec=0.01, probe=_probe)
         c9_val = attempts["n"] if ok9 else -1
+        # V9 fold ('v9_*' rows): search-across-all-collections (reference
+        # search_all_collections.py:161-186) over the same warehouse —
+        # two seeded 20-row vector collections plus the vector-less
+        # c9_coll above (exercising the has-vector-column skip branch).
+        # k=5 against 20 rows → exactly 5 hits per searched collection,
+        # so both the searched-collection count and the total hit count
+        # are oracle-pinnable.
+        from vectordb_testbricks_spark.workload import search_all_collections
+        vrows = gen_rows(spark, 0, 20, seed=7, dim=8) \
+            .select("pk", "embedding")
+        for nm in ("v9_a", "v9_b"):
+            m9.create_collection(_SS(nm, [
+                _FS("pk", "INT64", primary=True),
+                _FS("embedding", "FLOAT_VECTOR", dim=8)]))
+            m9.insert(nm, vrows)
+        qv9 = [float(x) for x in vrows.filter(F.col("pk") == 3)
+               .select("embedding").collect()[0][0]]
+        per_coll = search_all_collections(m9, [qv9], "embedding", k=5)
+        v9_hits = sum(df.count() for df in per_coll.values())
     finally:
         shutil.rmtree(wh9, ignore_errors=True)
     rep = spark.createDataFrame(
@@ -1948,7 +1967,9 @@ def val_checksum_report(spark, sf_dir):
          ("c4_upsert_mismatched", len(c4["mismatched_pks"])),
          ("c5_hits", int(c5["hits"])),
          ("c8_index_drift", c8_drift),
-         ("c9_serviceable", c9_val)],
+         ("c9_serviceable", c9_val),
+         ("v9_collections_searched", len(per_coll)),
+         ("v9_total_hits", v9_hits)],
         "check string, val bigint")
     c3 = chk.select(
         F.explode(F.map_from_arrays(
@@ -1970,6 +1991,8 @@ UNION ALL SELECT 'c4_upsert_mismatched', 0
 UNION ALL SELECT 'c5_hits', 1
 UNION ALL SELECT 'c8_index_drift', 0
 UNION ALL SELECT 'c9_serviceable', 3
+UNION ALL SELECT 'v9_collections_searched', 2
+UNION ALL SELECT 'v9_total_hits', 10
 ORDER BY "check"
 """
 

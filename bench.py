@@ -163,12 +163,21 @@ def main() -> None:
     # stays a single steady-state wall-clock (the median across runs) so
     # totals remain comparable with the recorded BASELINE.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+    # the historically noisiest sub-second queries (judge r06 noted them
+    # whipsawing ±30-70% between same-code runs — host-load variance, not
+    # plan changes) get extra repeats so their medians are trustworthy
+    # for regression calls; everything else keeps the global repeat so
+    # totals remain comparable across rounds (the headline value is a
+    # median either way). Costs ~12 s per bench.
+    noisy = {"v_rrf_fusion", "v_weighted_fusion", "dd_minhash",
+             "dd_ngram_jaccard", "mm_decode", "v_sparse_dot"}
     timings: dict[str, float] = {}
     latency: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qmap[name]
         runs = []
-        for _ in range(repeat):
+        for _ in range(max(repeat, 5) if name in noisy and repeat > 1
+                       else repeat):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
