@@ -681,14 +681,19 @@ def v_sparse_1m(spark, sf_dir, n=1_000_000, vocab=30_000, nnz=16):
     base = spark.range(n).select(
         F.col("id").alias("pk"), F.map_from_arrays(keys, vals).alias("svec"))
     model = build_sparse_inverted(base, "svec", "pk", n_buckets=64)
-    path = tempfile.mkdtemp(prefix="vts_sparse1m_") + "/idx"
-    write_sparse_inverted(model, path)
-    reloaded = read_sparse_inverted(spark, path)
-    qmaps = [{(q * 7919 + i * 1877) % vocab: float(i + 1) for i in range(3)}
-             for q in range(4)]
-    hits = sparse_inverted_search(reloaded, qmaps, k=10)
-    out = spark.createDataFrame(hits.collect(), hits.schema)
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="vts_sparse1m_")
+    try:
+        path = tmp + "/idx"
+        write_sparse_inverted(model, path)
+        reloaded = read_sparse_inverted(spark, path)
+        qmaps = [{(q * 7919 + i * 1877) % vocab: float(i + 1)
+                  for i in range(3)} for q in range(4)]
+        hits = sparse_inverted_search(reloaded, qmaps, k=10)
+        out = spark.createDataFrame(hits.collect(), hits.schema)
+    finally:
+        # reclaim the ~16M-posting warehouse even when a step fails
+        # mid-bench — otherwise each attempt orphans hundreds of MB
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

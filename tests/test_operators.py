@@ -303,6 +303,18 @@ _SPARSE_TEST_QS = [{"t1": 2.0, "t7": 1.5, "t33": 1.0},
                    {"t2": 0.5, "t9": -1.0, "t11": 3.0}]
 
 
+def _sparse_hits(df):
+    """Comparable hit tuples with the score rounded to 6 decimals: the
+    postings path sums a doc's matched weights in shuffle-partial merge
+    order (split across bucket partitions) while the map scan folds them
+    sequentially in key order, so the two sums agree only up to IEEE
+    association — exact float equality would be a latent cross-version
+    flake."""
+    return sorted((r["query_id"], r["id"], round(r["score"], 6), r["rank"])
+                  for r in df.select("query_id", "id", "score",
+                                     "rank").collect())
+
+
 def test_sparse_postings_search_equals_brute_force(spark):
     """SPARSE_INVERTED_INDEX identity (schema_matrix_2_6.yaml:63,80): the
     postings path is a physical layout, not an approximation — same hits,
@@ -314,9 +326,7 @@ def test_sparse_postings_search_equals_brute_force(spark):
     bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10)
     inv = sparse_search_postings_many(
         sparse_postings(base, "svec", "id"), _SPARSE_TEST_QS, "id", k=10)
-    cols = ["query_id", "id", "score", "rank"]
-    assert sorted(map(tuple, bf.select(cols).collect())) == \
-           sorted(map(tuple, inv.select(cols).collect()))
+    assert _sparse_hits(bf) == _sparse_hits(inv)
 
 
 def test_sparse_inverted_persisted_identity_and_drop_ratio(spark, tmp_path):
@@ -332,14 +342,12 @@ def test_sparse_inverted_persisted_identity_and_drop_ratio(spark, tmp_path):
     path = str(tmp_path / "sparseinv")
     write_sparse_inverted(model, path)
     reloaded = read_sparse_inverted(spark, path)
-    cols = ["query_id", "id", "score", "rank"]
     for ratio in (0.0, 0.4):
         bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10,
                                 drop_ratio_search=ratio)
         pv = sparse_inverted_search(reloaded, _SPARSE_TEST_QS, k=10,
                                     drop_ratio_search=ratio)
-        assert sorted(map(tuple, bf.select(cols).collect())) == \
-               sorted(map(tuple, pv.select(cols).collect())), ratio
+        assert _sparse_hits(bf) == _sparse_hits(pv), ratio
 
 
 def test_sparse_inverted_int_keys_bucket_parity(spark, tmp_path):
@@ -361,9 +369,7 @@ def test_sparse_inverted_int_keys_bucket_parity(spark, tmp_path):
     write_sparse_inverted(model, path)
     pv = sparse_inverted_search(read_sparse_inverted(spark, path), qs, k=10)
     bf = sparse_search_many(base, qs, "svec", "id", k=10)
-    cols = ["query_id", "id", "score", "rank"]
-    assert sorted(map(tuple, bf.select(cols).collect())) == \
-           sorted(map(tuple, pv.select(cols).collect()))
+    assert _sparse_hits(bf) == _sparse_hits(pv)
 
 
 def test_sparse_inverted_scan_prunes_buckets_and_pushes_keys(spark,
@@ -410,9 +416,16 @@ def test_sparse_index_spec_dispatch(spark):
         "query_id int, qmap map<string,double>")
     got = idx.search(qdf, k=10)
     bf = sparse_search_many(base, _SPARSE_TEST_QS, "svec", "id", k=10)
-    cols = ["query_id", "id", "score", "rank"]
-    assert sorted(map(tuple, bf.select(cols).collect())) == \
-           sorted(map(tuple, got.select(cols).collect()))
+    assert _sparse_hits(bf) == _sparse_hits(got)
+    # non-positional query ids (a slice of a larger batch) must come back
+    # under the CALLER's ids, not renumbered 0..nq-1 (review r07 #1)
+    qdf2 = spark.createDataFrame(
+        [(5, _SPARSE_TEST_QS[0]), (9, _SPARSE_TEST_QS[1])],
+        "query_id int, qmap map<string,double>")
+    got2 = idx.search(qdf2, k=10)
+    remap = {0: 5, 1: 9}
+    assert sorted((remap[q], i, s, r)
+                  for q, i, s, r in _sparse_hits(bf)) == _sparse_hits(got2)
     with _pytest.raises(ValueError, match="SPARSE_INVERTED_INDEX"):
         build_from_index_spec(base, "id",
                               IndexSpec("svec", "SPARSE_INVERTED_INDEX",

@@ -634,6 +634,40 @@ def test_first_insert_crash_window_tf_without_doclen(mgr, spark):
     row = {r.term: r for r in stats.collect()}
     assert row["alpha"].df_t == 2 and row["gamma"].df_t == 1
     assert row["alpha"].n_docs == 3
+    # the repair BACKFILLED doclen/ with the derived batch-1 rows, so the
+    # sidecar is complete (1,2 derived + 3 appended) — a LATER crash
+    # window that trusts doclen/ must not see a sidecar silently missing
+    # batch 1 (review r07 #2)
+    assert spark.read.parquet(os.path.join(base, "doclen")).count() == 3
+    with open(mgr._stats_pending_path(base), "w") as fh:
+        fh.write("crash again")
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].n_docs == 3
+    assert abs(row["alpha"].avgdl - 4.0 / 3.0) < 1e-12
+    os.remove(mgr._stats_pending_path(base))
+
+
+def test_first_insert_crash_window_fileless_tf_dir(mgr, spark):
+    """kill -9 during the very first tf append can leave tf/ existing
+    with only the committer's _temporary/ inside (zero part files):
+    os.path.exists is true but spark.read.parquet would raise. Searches
+    must take the empty-schema path and the next insert must heal
+    (review r07 #3)."""
+    import os
+    _mk_fts(mgr)
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    os.makedirs(os.path.join(base, "tf", "_temporary"), exist_ok=True)
+    with open(mgr._stats_pending_path(base), "w") as fh:
+        fh.write("crash")
+    tf, stats = mgr.function_tables("fts_coll")
+    assert tf.count() == 0 and stats.count() == 0
+    assert mgr.bm25_search("fts_coll", "alpha", k=5).count() == 0
+    mgr.insert("fts_coll", _docs(spark, [(1, "alpha")]))
+    assert not os.path.exists(mgr._stats_pending_path(base))
+    _, stats = mgr.function_tables("fts_coll")
+    row = {r.term: r for r in stats.collect()}
+    assert row["alpha"].df_t == 1 and row["alpha"].n_docs == 1
 
 
 def test_first_insert_crash_window_base_dir_only(mgr, spark):

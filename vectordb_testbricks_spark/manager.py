@@ -475,9 +475,9 @@ class CollectionManager:
         if not os.path.exists(pending):
             return
         tf_dir = os.path.join(base, "tf")
-        if os.path.exists(tf_dir):
+        if self._parquet_nonempty(tf_dir):
             tf = self.spark.read.parquet(tf_dir)
-            doclen = self._doclen_or_derived(base, tf)
+            doclen = self._doclen_or_derived(base, tf, backfill=True)
             terms_d, glob_d = self._fn_stats_deltas(tf, doclen)
             # overwrite into fresh dirs then swap — never leave the log
             # truncated if THIS repair crashes too
@@ -490,7 +490,8 @@ class CollectionManager:
                 os.replace(tmp, final)
         os.remove(pending)
 
-    def _doclen_or_derived(self, base: str, tf: DataFrame) -> DataFrame:
+    def _doclen_or_derived(self, base: str, tf: DataFrame,
+                           backfill: bool = False) -> DataFrame:
         """The doclen sidecar, or — when a crash between the tf and doclen
         appends of the FIRST insert left ``tf/`` present with ``doclen/``
         missing (os.makedirs now precedes the appends, so the base dir
@@ -498,12 +499,37 @@ class CollectionManager:
         column. The derivation misses zero-token docs (they have no tf
         rows), which only perturbs the n_docs/avgdl scoring constants for
         that partial batch; the next rewrite recomputes everything from
-        the data (review r07 advice #2)."""
+        the data (review r07 advice #2).
+
+        ``backfill=True`` (the repair path, which runs under the writer
+        lock) additionally commits the derived rows into ``doclen/`` via
+        write-then-rename, so subsequent appends don't leave the sidecar
+        permanently missing its first batch — otherwise a LATER crash
+        window would trust a doclen that silently lacks batch 1."""
         dl_dir = os.path.join(base, "doclen")
-        if os.path.exists(dl_dir):
+        if self._parquet_nonempty(dl_dir):
             return self.spark.read.parquet(dl_dir)
         pk_col = [c for c in tf.columns if c not in ("term", "tf", "dl")][0]
-        return tf.select(pk_col, "dl").dropDuplicates([pk_col])
+        derived = tf.select(pk_col, "dl").dropDuplicates([pk_col])
+        if backfill:
+            tmp = dl_dir + ".repair"
+            derived.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(dl_dir, ignore_errors=True)
+            os.replace(tmp, dl_dir)
+            return self.spark.read.parquet(dl_dir)
+        return derived
+
+    @staticmethod
+    def _parquet_nonempty(dirpath: str) -> bool:
+        """True iff ``dirpath`` holds at least one committed parquet part
+        file. A kill mid-append can leave the directory existing with
+        only ``_temporary/`` inside; os.path.exists alone would then
+        route readers into spark.read.parquet on a fileless dir, which
+        raises AnalysisException instead of degrading to the empty /
+        derived path (review r07 #3)."""
+        return os.path.isdir(dirpath) and any(
+            f.startswith("part-") and not f.endswith(".crc")
+            for f in os.listdir(dirpath))
 
     @staticmethod
     def _append_tracking_files(df: DataFrame, dirpath: str) -> list[str]:
@@ -579,7 +605,7 @@ class CollectionManager:
         real = self.resolve(name)
         base = self._fn_data_dir(real, fn.name)
         pk = spec.pk.name
-        if not os.path.exists(os.path.join(base, "tf")):
+        if not self._parquet_nonempty(os.path.join(base, "tf")):
             from pyspark.sql import types as T
             pk_t = spec.pk.spark_type()
             tf = self.spark.createDataFrame([], T.StructType([
@@ -594,7 +620,8 @@ class CollectionManager:
             return tf, stats
         tf = self.spark.read.parquet(os.path.join(base, "tf"))
         if (os.path.exists(self._stats_pending_path(base))
-                or not os.path.exists(os.path.join(base, "stats_terms"))):
+                or not self._parquet_nonempty(
+                    os.path.join(base, "stats_terms"))):
             # a crash left the delta log possibly missing a batch's
             # partials (PENDING marker) — derive exact stats from the
             # sidecars themselves until a write heals the log. Slower

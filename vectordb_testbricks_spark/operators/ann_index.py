@@ -739,12 +739,22 @@ class AnnIndex:
                                         metric=self.metric)
         if self.kind == "sparse_inv":
             # sparse queries are (query_id, qmap) rows, not dense qvecs;
-            # nq is small by contract (reference nq <= 100)
+            # nq is small by contract (reference nq <= 100). The postings
+            # path numbers queries positionally, so map its ids back to
+            # the caller's — every other kind preserves them through the
+            # queries DataFrame (review r07 #1).
             rows = queries.orderBy("query_id").collect()
             maps = [dict(r["qmap"]) for r in rows]
-            return sparse_inverted_search(
+            hits = sparse_inverted_search(
                 self.model, maps, k=k,
                 drop_ratio_search=p.get("drop_ratio_search", 0.0))
+            qids = [r["query_id"] for r in rows]
+            if qids != list(range(len(qids))):
+                hits = hits.withColumn(
+                    "query_id",
+                    F.element_at(F.array(*[F.lit(int(q)) for q in qids]),
+                                 F.col("query_id") + 1))
+            return hits
         raise ValueError(f"unknown index kind {self.kind!r}")
 
 

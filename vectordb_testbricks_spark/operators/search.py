@@ -157,8 +157,7 @@ def sparse_search_many(base: DataFrame, query_maps: list[dict], map_col: str,
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
         base = base.filter(pred)
-    key_sql = "string" if any(
-        isinstance(next(iter(m), None), str) for m in query_maps) else "bigint"
+    key_sql = _sparse_key_sql(query_maps)
     qdf = base.sparkSession.createDataFrame(
         [(i, {k_: float(v) for k_, v in m.items()})
          for i, m in enumerate(query_maps)],
@@ -169,6 +168,16 @@ def sparse_search_many(base: DataFrame, query_maps: list[dict], map_col: str,
                       .alias("score"))
               .filter(F.col("score") > 0))
     return _ranked(scored, id_col, asc=False, k=k)
+
+
+def _sparse_key_sql(query_maps: list[dict]) -> str:
+    """Spark SQL key type for a batch of sparse query maps: ``string``
+    when any map's first key is a str, else ``bigint`` — the two key
+    domains the schema registry declares for SPARSE_FLOAT_VECTOR. Shared
+    by the brute-force and postings paths so their query relations can
+    never desynchronize (their exact identity is oracle-asserted)."""
+    return ("string" if any(isinstance(next(iter(m), None), str)
+                            for m in query_maps) else "bigint")
 
 
 def sparse_postings(base: DataFrame, map_col: str, id_col: str,
@@ -227,8 +236,7 @@ def sparse_search_postings_many(
     """
     query_maps = [drop_query_terms(m, drop_ratio_search) for m in query_maps]
     spark = postings.sparkSession
-    key_sql = "string" if any(
-        isinstance(next(iter(m), None), str) for m in query_maps) else "bigint"
+    key_sql = _sparse_key_sql(query_maps)
     qrows = [(i, k_, float(w)) for i, m in enumerate(query_maps)
              for k_, w in m.items()]
     qdf = spark.createDataFrame(
