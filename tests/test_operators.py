@@ -329,6 +329,42 @@ def test_sparse_postings_search_equals_brute_force(spark):
     assert _sparse_hits(bf) == _sparse_hits(inv)
 
 
+def test_sparse_postings_identity_randomized(spark):
+    """Seeded randomized identity sweep for the postings tier. Weights
+    are multiples of 0.25 — binary fractions whose double sums are EXACT
+    in any association order — so brute force and postings must agree to
+    the last bit (no tolerance needed) across corpora with empty maps,
+    negative weights, exact cancellations (both paths apply the same
+    score > 0 cut to a true 0.0), query keys absent from every doc, and
+    queries pruned by drop_ratio_search."""
+    import random
+    from vectordb_testbricks_spark.operators.search import (
+        sparse_postings, sparse_search_many, sparse_search_postings_many)
+    for seed in (11, 29):
+        rnd = random.Random(seed)
+        rows = []
+        for i in range(300):
+            nnz = rnd.randrange(0, 7)        # 0 → empty map: no postings
+            rows.append((i, {f"k{rnd.randrange(40)}":
+                             rnd.randrange(-8, 9) * 0.25
+                             for _ in range(nnz)}))
+        base = spark.createDataFrame(rows, "id long, svec map<string,double>")
+        # key space k0..k44: k40..k44 appear in queries but in no doc
+        qs = [{f"k{rnd.randrange(45)}": rnd.randrange(-8, 9) * 0.25
+               for _ in range(rnd.randrange(1, 5))} for _ in range(3)]
+        posts = sparse_postings(base, "svec", "id")
+        for ratio in (0.0, 0.5):
+            bf = sparse_search_many(base, qs, "svec", "id", k=12,
+                                    drop_ratio_search=ratio)
+            inv = sparse_search_postings_many(posts, qs, "id", k=12,
+                                              drop_ratio_search=ratio)
+            assert sorted(map(tuple, bf.select("query_id", "id", "score",
+                                               "rank").collect())) == \
+                   sorted(map(tuple, inv.select("query_id", "id", "score",
+                                                "rank").collect())), \
+                (seed, ratio)
+
+
 def test_sparse_inverted_persisted_identity_and_drop_ratio(spark, tmp_path):
     """Persisted round-trip (write → read → search) stays exact, and
     drop_ratio_search prunes the same query dims as the brute-force path
