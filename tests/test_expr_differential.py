@@ -195,10 +195,10 @@ def _expr(rnd: random.Random, depth: int = 0) -> str:
     return f"not ({a})"
 
 
-def _signatures_spark(df, exprs):
+def _signatures_spark(df, exprs, **ck):
     aggs = []
     for i, e in enumerate(exprs):
-        pred = compile_expr(e, df)
+        pred = compile_expr(e, df, **ck)
         aggs.append(F.coalesce(F.sum(F.when(pred, 1)), F.lit(0))
                     .alias(f"c{i}"))
         aggs.append(F.coalesce(F.sum(F.when(pred, F.col("id"))), F.lit(0))
@@ -224,10 +224,10 @@ def _signatures_duck(con, exprs):
     return [(row[2 * i], row[2 * i + 1]) for i in range(len(exprs))]
 
 
-def _check(df, con, exprs):
+def _check(df, con, exprs, **ck):
     for i in range(0, len(exprs), CHUNK):
         chunk = exprs[i:i + CHUNK]
-        got = _signatures_spark(df, chunk)
+        got = _signatures_spark(df, chunk, **ck)
         want = _signatures_duck(con, chunk)
         for e, g, w in zip(chunk, got, want):
             assert g == w, f"differential mismatch for {e!r}: " \
@@ -255,3 +255,63 @@ def test_random_expressions_match_duckdb(dft):
     # the generator must exercise real selectivity spread, not constants
     sigs = _signatures_spark(df, exprs[:CHUNK])
     assert len({c for c, _ in sigs}) > 10
+
+
+# -------------------------------------------- 3.0 operator prototypes
+
+# Regex patterns stick to the Java-regex ∩ RE2 shared subset (literals,
+# char classes, anchors, \d, bounded quantifiers, alternation) — the two
+# engines' dialects diverge on backrefs/lookaround, which Milvus's RE2
+# engine would not accept anyway.
+V3_CURATED = [
+    'name =~ "item-1[0-9]-y"',
+    'name !~ "^item-2"',
+    'name =~ r"item-\\d\\d_x"',          # raw string: \d reaches the
+    'name !~ r"(item-3|item-12)-y$"',    # engines unescaped
+    'dyn_word =~ "w[0-5]$"',             # dynamic value; NULL when absent
+    'not (dyn_word =~ "w[0-5]$")',       # ...and its 3VL negation
+    "(id & 7) == 3",
+    "id & 1 == 1",                       # & binds tighter than == (grammar)
+    "(id ^ 21) < 700",
+    "(id | 16) >= 48",
+    "id & 3 ^ 2 | 8 == 10",              # full precedence chain & > ^ > |
+    "(i32 & 12) != 0",                   # NULLs flow three-valued through
+    "not ((i32 & 12) != 0)",             # the bit op on both engines
+    '(id & 1) == 0 and name =~ "y$"',
+]
+
+
+def _v3_leaf(rnd: random.Random) -> str:
+    k = rnd.randrange(6)
+    if k == 0:
+        return f'name =~ "item-{rnd.randrange(37)}[-_]"'
+    if k == 1:
+        return f'name !~ "^item-{rnd.randrange(37)}-"'
+    if k == 2:
+        return 'name =~ r"-\\d+[-_]"'
+    if k == 3:
+        return f"(id & {rnd.randrange(1, 16)}) == {rnd.randrange(8)}"
+    if k == 4:
+        return f"(id ^ {rnd.randrange(64)}) < {rnd.randrange(100, 1500)}"
+    return f"(i32 | {rnd.randrange(32)}) >= {rnd.randrange(100)}"
+
+
+def _v3_expr(rnd: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rnd.random() < 0.4:
+        return _v3_leaf(rnd)
+    a = _v3_expr(rnd, depth + 1)
+    b = _leaf(rnd) if rnd.random() < 0.5 else _v3_expr(rnd, depth + 1)
+    return f"({a}) {rnd.choice(['and', 'or'])} ({b})"
+
+
+def test_v3_operator_prototypes_match_duckdb(dft):
+    """Gated 3.0 prototypes (=~/!~ regex, bitwise &/^/|, raw strings)
+    differentially verified: Spark rlike/bitwise Columns vs DuckDB
+    regexp_matches/&/xor()/| from the same parsed AST."""
+    df, con = dft
+    rnd = random.Random(23)
+    exprs = V3_CURATED + [_v3_expr(rnd) for _ in range(60)]
+    _check(df, con, exprs, enable_v3_exprs=True)
+    sigs = _signatures_spark(df, V3_CURATED, enable_v3_exprs=True)
+    nontrivial = sum(1 for c, _ in sigs if 0 < c < N_ROWS)
+    assert nontrivial >= len(V3_CURATED) - 2

@@ -305,3 +305,52 @@ def test_text_match_uses_field_analyzer(spark):
                              enable_text_match=True,
                              analyzers={"text": stop})
     assert df.filter(only_stop).count() == 0
+
+
+def test_v3_parser_surface():
+    """3.0 operator prototypes parse unconditionally (the gate is at
+    compile time, like TEXT_MATCH): =~/!~ with escaped or raw string
+    patterns, bitwise precedence & > ^ > | with all three binding
+    tighter than relops, and raw strings keeping backslashes verbatim."""
+    from vectordb_testbricks_spark.exprlang.parser import (
+        BitOp, Cmp, Lit, Path, Regex, parse)
+    assert parse('name =~ "a.c"') == Regex(Path("name"), "a.c")
+    assert parse('name !~ "x$"') == Regex(Path("name"), "x$", negated=True)
+    # raw string: \d is NOT unescaped (the escaped form "\\d" means the
+    # same thing; "\d" would collapse to a bare 'd')
+    assert parse('name =~ r"\\d+"') == Regex(Path("name"), "\\d+")
+    assert parse("name like r'10%_x'") == parse('name like "10%_x"')
+    # & > ^ > |, all tighter than ==
+    assert parse("a & 3 == 1") == Cmp("==", BitOp("&", Path("a"), Lit(3)),
+                                      Lit(1))
+    assert parse("a & 1 ^ 2 | 4 == 7") == Cmp(
+        "==",
+        BitOp("|", BitOp("^", BitOp("&", Path("a"), Lit(1)), Lit(2)),
+              Lit(4)),
+        Lit(7))
+    # && / || still lex as boolean connectives, not two bit ops
+    assert parse("a == 1 && b == 2") == parse("a == 1 and b == 2")
+    assert parse("a == 1 || b == 2") == parse("a == 1 or b == 2")
+
+
+def test_v3_operators_gated_and_semantics(spark):
+    """=~ / !~ / bitwise compile only with enable_v3_exprs=True and then
+    evaluate with unanchored-regex and three-valued-NULL semantics."""
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+
+    df = spark.createDataFrame(
+        [(1, "alpha-12"), (2, "beta-7"), (3, None), (4, "alpha-9x")],
+        "id long, name string")
+    with pytest.raises(ExprCompileError, match="gated"):
+        compile_expr('name =~ "alpha"', df)
+    with pytest.raises(ExprCompileError, match="gated"):
+        compile_expr("(id & 1) == 1", df)
+    m = compile_expr(r'name =~ r"alpha-\d+$"', df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(m).collect()) == [1]
+    nm = compile_expr('name !~ "alpha"', df, enable_v3_exprs=True)
+    # 3VL: the NULL name is dropped by !~ too (same discipline as !=)
+    assert sorted(r.id for r in df.filter(nm).collect()) == [2]
+    odd = compile_expr("id & 1 == 1", df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(odd).collect()) == [1, 3]
+    x = compile_expr("(id ^ 1) == 0", df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(x).collect()) == [1]

@@ -68,11 +68,13 @@ def _cast_for(value) -> str | None:
 class _Compiler:
     def __init__(self, df: DataFrame, json_columns: set[str] | None = None,
                  enable_text_match: bool = False,
-                 analyzers: dict | None = None):
+                 analyzers: dict | None = None,
+                 enable_v3_exprs: bool = False):
         self.df = df
         self.schema = {f.name: f.dataType for f in df.schema.fields}
         self.json_columns = set(json_columns or ())
         self.enable_text_match = enable_text_match
+        self.enable_v3_exprs = enable_v3_exprs
         # field name -> reference-shape analyzer_params, for the gated
         # match predicates: query and field MUST analyze identically
         self.analyzers = analyzers or {}
@@ -93,7 +95,24 @@ class _Compiler:
                                 "col", T.IntegerType())
             raise ExprCompileError(
                 f"function {node.func!r} is a predicate, not an operand")
+        if isinstance(node, ast.BitOp):
+            return self.bitop(node)
         raise ExprCompileError(f"cannot compile operand {node!r}")
+
+    def bitop(self, node: ast.BitOp) -> _Operand:
+        """3.0-roadmap bitwise ``&``/``^``/``|`` (gated — feature-inventory
+        doc §3 'bitwise operators'; no reference implementation exists).
+        Integer-only, JVM-side Column ops; precedence & > ^ > | with all
+        three binding tighter than relops (parser grammar note)."""
+        if not self.enable_v3_exprs:
+            raise ExprCompileError(
+                "bitwise operators are a gated 3.0-roadmap prototype; "
+                "compile with enable_v3_exprs=True to use them")
+        lc = self.operand(node.left).col
+        rc = self.operand(node.right).col
+        col = {"&": lc.bitwiseAND, "^": lc.bitwiseXOR,
+               "|": lc.bitwiseOR}[node.op](rc)
+        return _Operand(col, "col", T.LongType())
 
     def path(self, node: ast.Path) -> _Operand:
         if node.name not in self.schema:
@@ -176,11 +195,28 @@ class _Compiler:
         if isinstance(node, ast.Like):
             op = self.operand(node.operand)
             return op.col.like(milvus_like_pattern(node.pattern))
+        if isinstance(node, ast.Regex):
+            return self.regex(node)
         if isinstance(node, ast.Call):
             return self.call(node)
         if isinstance(node, ast.Lit) and isinstance(node.value, bool):
             return F.lit(node.value)
         raise ExprCompileError(f"cannot compile predicate {node!r}")
+
+    def regex(self, node: ast.Regex) -> Column:
+        """3.0-roadmap ``=~`` / ``!~`` regex filters (gated —
+        feature-inventory doc §3 'regex filter operators'; no reference
+        implementation exists). Unanchored find semantics (rlike), the
+        convention both Spark RLIKE and DuckDB regexp_matches share;
+        ``!~`` is three-valued NOT of ``=~`` (NULL stays NULL, so both
+        forms drop NULL rows in a filter — same discipline as !=)."""
+        if not self.enable_v3_exprs:
+            raise ExprCompileError(
+                f"{'!~' if node.negated else '=~'} is a gated 3.0-roadmap "
+                "prototype; compile with enable_v3_exprs=True to use it")
+        op = self.operand(node.operand)
+        pred = op.col.rlike(node.pattern)
+        return ~pred if node.negated else pred
 
     def cmp(self, node: ast.Cmp) -> Column:
         left, right = self.operand(node.left), self.operand(node.right)
@@ -467,7 +503,8 @@ def _json_array_type(elem_hint) -> str:
 def compile_expr(expr: str, df: DataFrame,
                  json_columns: set[str] | None = None,
                  enable_text_match: bool = False,
-                 analyzers: dict | None = None) -> Column:
+                 analyzers: dict | None = None,
+                 enable_v3_exprs: bool = False) -> Column:
     """Compile a Milvus filter-expression string to a boolean Column for `df`.
 
     Empty/None expression compiles to ``lit(True)`` (full scan,
@@ -475,10 +512,14 @@ def compile_expr(expr: str, df: DataFrame,
     gated TEXT_MATCH / PHRASE_MATCH 3.0-roadmap prototypes;
     ``analyzers`` maps field name -> analyzer_params so those predicates
     analyze the query with the match field's analyzer.
+    ``enable_v3_exprs`` unlocks the gated 3.0 operator prototypes
+    (``=~``/``!~`` regex, bitwise ``&``/``^``/``|``); raw strings
+    ``r"..."`` are purely lexical (no 2.6 expression can contain one)
+    and parse unconditionally.
     """
     node = parse(expr)
     return _Compiler(df, json_columns, enable_text_match,
-                     analyzers).predicate(node)
+                     analyzers, enable_v3_exprs).predicate(node)
 
 
 __all__ = ["compile_expr", "parse", "ExprCompileError", "ExprSyntaxError"]

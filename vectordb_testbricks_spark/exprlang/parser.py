@@ -10,13 +10,24 @@ Grammar (verbatim forms observed in the reference — SURVEY.md §2.2):
     or_expr   := and_expr (("or" | "||") and_expr)*
     and_expr  := unary (("and" | "&&") unary)*
     unary     := ("not" | "!") unary | comparison
-    comparison:= operand (cmp_tail)?
-    cmp_tail  := (relop operand)+            # chained => conjunction (P2)
+    comparison:= bit_or (cmp_tail)?
+    cmp_tail  := (relop bit_or)+             # chained => conjunction (P2)
                | "like" STRING               # P6
+               | ("=~" | "!~") STRING        # 3.0 regex (gated at compile)
                | ["not"] "in" list_or_operand# P4/P5
+    bit_or    := bit_xor ("|" bit_xor)*      # 3.0 bitwise (gated); binds
+    bit_xor   := bit_and ("^" bit_and)*      #   tighter than relops
+    bit_and   := operand ("&" operand)*      #   (Go-style, not C's trap)
     operand   := literal | path_or_call | "(" expr ")"
     path_or_call := IDENT ("(" args ")")? ("[" (STRING|INT) "]")*
-    literal   := INT | FLOAT | STRING | BOOL | list
+    literal   := INT | FLOAT | STRING | RAWSTRING | BOOL | list
+
+3.0-roadmap surface (reference feature-inventory doc §3 "regex filter
+operators =~ !~", "raw string literal r\"...\"", "bitwise operators & | ^"):
+parsed unconditionally — none of these forms is valid 2.6 syntax, so the
+grammar extension cannot change any 2.6 expression's meaning — and the
+version gate lives in the compiler (enable_v3_exprs), mirroring how
+TEXT_MATCH/PHRASE_MATCH parse as plain calls but compile gated.
 """
 
 from __future__ import annotations
@@ -76,6 +87,22 @@ class Like:
 
 
 @dataclass(frozen=True)
+class Regex:
+    """3.0 ``field =~ "pat"`` / ``field !~ "pat"`` (unanchored match)."""
+    operand: object
+    pattern: str
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class BitOp:
+    """3.0 bitwise ``&``/``^``/``|`` over integer operands."""
+    op: str  # "&" "^" "|"
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
 class And:
     left: object
     right: object
@@ -104,8 +131,9 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<float>(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
+  | (?P<rawstring>[rR]"[^"]*"|[rR]'[^']*')
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<op>==|!=|>=|<=|&&|\|\||[><!()\[\],+\-])
+  | (?P<op>==|!=|>=|<=|&&|\|\||=~|!~|[><!()\[\],+\-&|^])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -203,7 +231,7 @@ class _Parser:
         return self.parse_comparison()
 
     def parse_comparison(self):
-        left = self.parse_operand()
+        left = self.parse_bit_or()
         t = self.peek()
         # chained relops: a <= x <= b  => (a <= x) and (x <= b)
         if t.kind == "op" and t.text in _RELOPS:
@@ -211,17 +239,20 @@ class _Parser:
             prev = left
             while self.peek().kind == "op" and self.peek().text in _RELOPS:
                 op = self.next().text
-                right = self.parse_operand()
+                right = self.parse_bit_or()
                 parts.append(Cmp(op, prev, right))
                 prev = right
             node = parts[0]
             for p in parts[1:]:
                 node = And(node, p)
             return node
+        if t.kind == "op" and t.text in ("=~", "!~"):
+            self.next()
+            return Regex(left, self.expect_stringish(),
+                         negated=t.text == "!~")
         if t.kind == "kw" and t.text == "like":
             self.next()
-            pat = self.expect("string")
-            return Like(left, _unescape(pat.text))
+            return Like(left, self.expect_stringish())
         if t.kind == "kw" and t.text == "not":
             # "x not in [...]"
             nxt = self.tokens[self.i + 1]
@@ -234,6 +265,38 @@ class _Parser:
             self.next()
             return In(left, self.parse_operand())
         return left
+
+    def parse_bit_or(self):
+        node = self.parse_bit_xor()
+        while self.peek().kind == "op" and self.peek().text == "|":
+            self.next()
+            node = BitOp("|", node, self.parse_bit_xor())
+        return node
+
+    def parse_bit_xor(self):
+        node = self.parse_bit_and()
+        while self.peek().kind == "op" and self.peek().text == "^":
+            self.next()
+            node = BitOp("^", node, self.parse_bit_and())
+        return node
+
+    def parse_bit_and(self):
+        node = self.parse_operand()
+        while self.peek().kind == "op" and self.peek().text == "&":
+            self.next()
+            node = BitOp("&", node, self.parse_operand())
+        return node
+
+    def expect_stringish(self) -> str:
+        """A quoted pattern/value: escaped STRING or 3.0 RAWSTRING (body
+        taken verbatim — what r'...' exists for: regex patterns)."""
+        t = self.next()
+        if t.kind == "string":
+            return _unescape(t.text)
+        if t.kind == "rawstring":
+            return t.text[2:-1]
+        raise ExprSyntaxError(
+            f"expected string at {t.pos}, got {t.text!r} in {self.src!r}")
 
     def parse_operand(self):
         t = self.peek()
@@ -251,6 +314,9 @@ class _Parser:
         if t.kind == "string":
             self.next()
             return Lit(_unescape(t.text))
+        if t.kind == "rawstring":
+            self.next()
+            return Lit(t.text[2:-1])
         if t.kind == "kw" and t.text in ("true", "false"):
             self.next()
             return Lit(t.text == "true")

@@ -12,9 +12,12 @@ in / not-in, Milvus LIKE, ARRAY_CONTAINS / _ANY / _ALL, array_length,
 array element access, starts_with, bool equality, empty filter) plus the
 dynamic-field path (an undeclared name resolves to the ``_dynamic``
 map<string,string> with literal-driven TRY_CAST — mirror of
-compiler._dynamic_path). JSON paths, geo, and the gated TEXT_MATCH keep
-their curated oracles — their SQL encodings are engine-shaped enough
-that a generic emitter would just re-implement the curated strings.
+compiler._dynamic_path) plus the gated 3.0 operator prototypes
+(``=~``/``!~`` → regexp_matches, bitwise ``&``/``^``/``|`` →
+``&``/xor()/``|`` — DuckDB's ``^`` is POWER). Geo and the gated
+TEXT_MATCH keep their curated oracles — their SQL encodings are
+engine-shaped enough that a generic emitter would just re-implement the
+curated strings.
 
 Semantics parity notes (each mirrors a compiler.py decision):
   * Milvus LIKE knows only ``%``; ``_``/``\\`` are literals. The emitted
@@ -138,6 +141,12 @@ class _Emitter:
         if isinstance(node, ast.Call) and node.func in self.calls:
             # value-typed calls (array_length) as comparison operands
             return self.calls[node.func](node.args)
+        if isinstance(node, ast.BitOp):
+            l, r = self.operand(node.left), self.operand(node.right)
+            # DuckDB's `^` is POWER; its bitwise xor is the xor() function
+            if node.op == "^":
+                return f"xor({l}, {r})"
+            return f"({l} {node.op} {r})"
         raise SqlGenError(f"unsupported operand {node!r}")
 
     def _dyn_cast(self, sql: str, other_lit) -> str:
@@ -185,6 +194,14 @@ class _Emitter:
         if isinstance(node, ast.Like):
             pat = _lit(milvus_like_pattern(node.pattern))
             return f"({self.operand(node.operand)} LIKE {pat} ESCAPE '\\')"
+        if isinstance(node, ast.Regex):
+            # unanchored find — same convention as Spark RLIKE. Dialect
+            # caveat: Spark is java.util.regex, DuckDB is RE2; the
+            # differential corpus sticks to their shared subset
+            # (literals, classes, anchors, quantifiers, alternation).
+            m = f"regexp_matches({self.operand(node.operand)}, " \
+                f"{_lit(node.pattern)})"
+            return f"(NOT {m})" if node.negated else f"({m})"
         if isinstance(node, ast.Call):
             fn = self.calls.get(node.func)
             if fn is None:
