@@ -815,8 +815,54 @@ SQL_V_KNN_METRICS = "\nUNION ALL\n".join([
 
 
 def v_knn_prefilter(spark, sf_dir):
-    """V2: scalar pre-filter applied before ANN ranking."""
-    return _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]")
+    """V2: scalar pre-filter applied before ANN ranking ('prefilter'
+    mode), plus the 3.0-roadmap ``search_mode=pk`` surface ('by_pk'
+    mode, feature-inventory doc §2 'Search by primary key'): the request
+    names pks (5, 9) and no vector — search.search_by_pk looks the
+    vectors up from the stored rows (pruned PK-IN point read) and serves
+    the standard COSINE top-k with query_id = the PK."""
+    from vectordb_testbricks_spark.operators.search import search_by_pk
+    pre = _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]") \
+        .select(F.lit("prefilter").alias("mode"), "*")
+    emb = _t(spark, sf_dir, "embeddings")
+    bp = (search_by_pk(emb, [5, 9], "embedding", "vec_id",
+                       metric="COSINE", k=10)
+          .select(F.lit("by_pk").alias("mode"), "query_id", "vec_id",
+                  F.round("score", 4).alias("score"),
+                  F.col("rank").cast("bigint").alias("rank")))
+    return pre.unionByName(bp)
+
+
+SQL_V_KNN_PREFILTER_MODES = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_SQL_COS} AS score
+  FROM embeddings e CROSS JOIN q WHERE e.label IN (1, 3, 5, 7)),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored),
+qpk AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (5, 9)),
+scored_pk AS (
+  SELECT qpk.query_id, e.vec_id,
+         {_SQL_COS.replace("q.qv", "qpk.qv")} AS score
+  FROM embeddings e CROSS JOIN qpk),
+ranked_pk AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored_pk)
+SELECT 'prefilter' AS mode, query_id, vec_id,
+       ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+UNION ALL
+SELECT 'by_pk' AS mode, query_id, vec_id,
+       ROUND(score, 4) AS score, rank
+FROM ranked_pk WHERE rank <= 10
+"""
 
 
 def v_knn_fields(spark, sf_dir):
@@ -3376,9 +3422,7 @@ def oracle_sql() -> dict[str, str]:
         "q_count_buckets": SQL_Q_BUCKETS,
         "q_dynamic_field": SQL_Q_DYNAMIC,
         "v_knn_metrics": SQL_V_KNN_METRICS,
-        "v_knn_prefilter": _SQL_KNN_TMPL.format(
-            score=_SQL_COS, where="WHERE e.label IN (1, 3, 5, 7)", ord="DESC",
-            scoreout=_SQL_SCORE_F, lbl="", lbl_e=""),
+        "v_knn_prefilter": SQL_V_KNN_PREFILTER_MODES,
         "v_grouping_search": SQL_V_GROUPING_MODES,
         "v_sparse_dot": SQL_V_SPARSE_MODES,
         "v_bm25": SQL_V_BM25_MODES,

@@ -1082,3 +1082,24 @@ def test_bm25_scale_entry_wiring_small_n(spark):
         assert all(ranked[i]["score"] >= ranked[i + 1]["score"]
                    for i in range(len(ranked) - 1))
         assert all(r["score"] > 0 for r in rows)
+
+
+def test_search_by_pk(spark):
+    """3.0 search_mode=pk (feature-inventory doc §2): the query vector is
+    looked up from the stored row — each queried pk ranks itself top-1
+    at self-similarity, query_id carries the PK itself, and absent pks
+    contribute no hit list."""
+    import random
+    from vectordb_testbricks_spark.operators.search import search_by_pk
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    base = spark.createDataFrame(rows, "id long, vec array<double>")
+    hits = search_by_pk(base, [7, 31, 999], "vec", "id",
+                        metric="COSINE", k=5)
+    got = {(r["query_id"], r["rank"]): (r["id"], r["score"])
+           for r in hits.collect()}
+    assert {q for q, _ in got} == {7, 31}      # 999 absent -> no list
+    for q in (7, 31):
+        sid, score = got[(q, 1)]
+        assert sid == q and abs(score - 1.0) < 1e-9
+    assert len(got) == 10

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vectordb_testbricks_spark.exprlang import compile_expr
-from vectordb_testbricks_spark.functions.vector import score_expr, sparse_dot_map
+from vectordb_testbricks_spark.functions.vector import (
+    score_expr, sparse_dot_map, to_double_array)
 
 
 def queries_df(spark, vectors: list[list[float]]) -> DataFrame:
@@ -114,6 +115,27 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
         return (best.withColumn("group_rank", F.dense_rank().over(rw))
                 .filter(F.col("group_rank") <= k).drop("_gs"))
     return _ranked(scored, id_col, asc, k)
+
+
+def search_by_pk(base: DataFrame, pks: list, vec_col: str, id_col: str,
+                 metric: str = "COSINE", k: int = 10,
+                 flt: str | Column | None = None, **kw) -> DataFrame:
+    """3.0-roadmap ``search_mode=pk`` ('Search by primary key',
+    feature-inventory doc §2): the request carries no query vector — the
+    engine looks it up from the stored row by PK and serves the standard
+    top-k. ``query_id`` is the PK itself.
+
+    The lookup is a pruned point read (the ``isin`` literal reaches the
+    parquet scan exactly like a Q4 PK-IN query) and the query relation
+    stays a broadcast — nq = len(pks), small by contract. The queried
+    row itself ranks at self-similarity (top-1 for COSINE/IP), identical
+    to a brute-force search given its own vector; the engine leaves the
+    entity in the result set."""
+    q = (base.filter(F.col(id_col).isin(list(pks)))
+         .select(F.col(id_col).alias("query_id"),
+                 to_double_array(F.col(vec_col)).alias("qvec")))
+    return knn_search(base, q, vec_col, id_col, metric=metric, k=k,
+                      flt=flt, **kw)
 
 
 def drop_query_terms(query_map: dict, drop_ratio_search: float) -> dict:
