@@ -181,3 +181,35 @@ def test_embedding_list_search_with_filters(el_df, el_rows, qdf):
     # element_idx is the index within the FILTERED array (posexplode
     # runs after F.filter) — positions re-number, documented semantics
     assert got == want
+
+
+def test_embedding_list_range_search(el_df, el_rows, qdf):
+    """Element-level range search (roadmap §1): the radius/range_filter
+    band prunes element scores before ranking; entity scope keeps an
+    entity only if some element lands inside the band."""
+    from vectordb_testbricks_spark.operators.struct_array import (
+        embedding_list_search)
+    lo, hi = 0.1, 0.6     # similarity band: radius < s <= range_filter
+    el = embedding_list_search(el_df, qdf, "embs", "id",
+                               metric="COSINE", k=1000, scope="element",
+                               radius=lo, range_filter=hi)
+    got = sorted((r.id, r.element_idx, round(r.score, 9))
+                 for r in el.collect())
+    want = sorted((i, j, round(s, 9)) for i, vecs in el_rows
+                  for j, s in ((j, _cos(v, _Q))
+                               for j, v in enumerate(vecs))
+                  if lo < s <= hi)
+    assert got == want and got        # band is non-empty by construction
+    ent = embedding_list_search(el_df, qdf, "embs", "id",
+                                metric="COSINE", k=1000, scope="entity",
+                                radius=lo, range_filter=hi)
+    ent_ids = sorted(r.id for r in ent.collect())
+    assert ent_ids == sorted({i for i, _, _ in want})
+    # distance metric flips the band direction: range_filter <= s < radius
+    dl = embedding_list_search(el_df, qdf, "embs", "id",
+                               metric="L2", k=1000, scope="element",
+                               radius=2.0, range_filter=0.5)
+    gd = sorted((r.id, r.element_idx) for r in dl.collect())
+    wd = sorted((i, j) for i, vecs in el_rows
+                for j, v in enumerate(vecs) if 0.5 <= _l2(v, _Q) < 2.0)
+    assert gd == wd

@@ -83,7 +83,9 @@ def embedding_list_search(base: DataFrame, queries: DataFrame,
                           metric: str = "COSINE", k: int = 10,
                           scope: str = "entity",
                           flt: Column | None = None,
-                          element_pred=None) -> DataFrame:
+                          element_pred=None,
+                          radius: float | None = None,
+                          range_filter: float | None = None) -> DataFrame:
     """Embedding-list search (roadmap §1 "embedding-list search +
     element-level filter", ``search_scope=entity|element``).
 
@@ -103,7 +105,16 @@ def embedding_list_search(base: DataFrame, queries: DataFrame,
     ``flt`` prunes entities before scoring (the V2 discipline);
     ``element_pred`` prunes ELEMENTS (a Column-lambda over the
     embedding array) before scoring — the element-level filter composed
-    with search."""
+    with search.
+
+    ``radius`` / ``range_filter`` add element-level RANGE search
+    (roadmap §1 "element-level range search") with Milvus's parameter
+    convention: radius is the outer (worse) score bound, range_filter
+    the optional inner (better) one — similarity metrics keep
+    ``radius < score <= range_filter``, distance metrics keep
+    ``range_filter <= score < radius``. The band applies to ELEMENT
+    scores before ranking/aggregation, so at entity scope an entity
+    survives only through elements inside the band."""
     if scope not in ("entity", "element"):
         raise ValueError(f"scope must be entity|element, got {scope!r}")
     if flt is not None:
@@ -118,6 +129,12 @@ def embedding_list_search(base: DataFrame, queries: DataFrame,
                             F.col("qvec"))
     scored = exploded.select("query_id", id_col, "element_idx",
                              score.alias("score"))
+    if radius is not None:
+        scored = scored.filter(F.col("score") < radius if asc
+                               else F.col("score") > radius)
+    if range_filter is not None:
+        scored = scored.filter(F.col("score") >= range_filter if asc
+                               else F.col("score") <= range_filter)
     if scope == "element":
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").asc() if asc else F.col("score").desc(),
