@@ -687,3 +687,137 @@ def test_first_insert_crash_window_base_dir_only(mgr, spark):
     _, stats = mgr.function_tables("fts_coll")
     row = {r.term: r for r in stats.collect()}
     assert row["alpha"].df_t == 1 and row["alpha"].n_docs == 1
+
+
+# --------------------------------------- 3.0 prototypes (inventory §4/§5)
+
+def _mk_arr_coll(mgr, name="arr_coll"):
+    spec = SchemaSpec(name, [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("tags", "ARRAY", element_type="VARCHAR", max_capacity=16),
+        FieldSpec("nums", "ARRAY", element_type="INT64", max_capacity=16),
+    ])
+    mgr.create_collection(spec)
+    return spec
+
+
+def test_truncate_collection_keeps_schema_and_stays_writable(mgr, spark):
+    """TruncateCollection (§4): rows go, schema/aliases/partitions/TTL
+    stay, and the collection accepts new writes afterwards."""
+    spec = SchemaSpec("t_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+    ], partitions=["p0", "p1"])
+    mgr.create_collection(spec)
+    df = spark.createDataFrame([(i, i * 10) for i in range(8)],
+                               "id long, v long")
+    mgr.insert("t_coll", df, partition_name="p0")
+    mgr.alter_alias("t_alias", "t_coll")
+    assert mgr.read("t_coll").count() == 8
+    mgr.truncate_collection("t_alias")          # resolves the alias too
+    assert mgr.read("t_coll").count() == 0
+    assert mgr.describe_collection("t_coll").pk.name == "id"
+    assert mgr.list_partitions("t_coll") == ["p0", "p1"]
+    mgr.insert("t_coll", df.limit(3), partition_name="p1")
+    assert mgr.read("t_coll").count() == 3
+    assert mgr.read("t_coll", partition_names=["p1"]).count() == 3
+
+
+def test_truncate_collection_with_bm25_function(mgr, spark):
+    """Truncating a function-field collection rebuilds the sidecars
+    empty; search degrades to zero hits and a later insert rebuilds."""
+    _mk_fts(mgr)
+    mgr.insert("fts_coll", _docs(spark, [(1, "alpha beta"), (2, "alpha")]))
+    assert mgr.bm25_search("fts_coll", "alpha", k=5).count() == 2
+    mgr.truncate_collection("fts_coll")
+    assert mgr.read("fts_coll").count() == 0
+    assert mgr.bm25_search("fts_coll", "alpha", k=5).count() == 0
+    mgr.insert("fts_coll", _docs(spark, [(3, "alpha gamma")]))
+    assert mgr.bm25_search("fts_coll", "alpha", k=5).count() == 1
+
+
+def test_collection_snapshot_pins_version_across_rewrites(mgr, spark):
+    """Collection Snapshot (§5): a snapshot id keeps reading the pinned
+    state across arbitrarily many later rewrites (which normally sweep
+    old versions); drop_snapshot releases the pin to the next sweep."""
+    spec = SchemaSpec("s_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+    ])
+    mgr.create_collection(spec)
+    df = spark.createDataFrame([(i, i) for i in range(5)], "id long, v long")
+    mgr.insert("s_coll", df)
+    sid = mgr.create_snapshot("s_coll")
+    assert mgr.list_snapshots("s_coll") == [sid]
+    # three rewrites: normal retention keeps only current+previous, so
+    # without the pin the snapshot version would be swept
+    mgr.delete("s_coll", "id >= 3")
+    mgr.upsert("s_coll", spark.createDataFrame([(0, 99)], "id long, v long"))
+    mgr.delete("s_coll", "id == 1")
+    live = {(r.id, r.v) for r in mgr.read("s_coll").collect()}
+    assert live == {(0, 99), (2, 2)}
+    snap = {(r.id, r.v) for r in
+            mgr.read("s_coll", snapshot_id=sid).collect()}
+    assert snap == {(i, i) for i in range(5)}
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        mgr.read("s_coll", snapshot_id="snap-nope")
+    mgr.drop_snapshot("s_coll", sid)
+    mgr.delete("s_coll", "id == 0")              # rewrite -> sweep
+    assert mgr.list_snapshots("s_coll") == []
+    with pytest.raises(KeyError):
+        mgr.read("s_coll", snapshot_id=sid)
+
+
+def test_import_2pc_visibility(mgr, spark):
+    """Import 2PC (§5): staged data is invisible until commit; abort
+    leaves no trace; commit goes through the insert path (sidecars,
+    routing) and an unknown ticket raises."""
+    spec = SchemaSpec("i_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+    ], partitions=["p0", "p1"])
+    mgr.create_collection(spec)
+    df1 = spark.createDataFrame([(1, 1), (2, 2)], "id long, v long")
+    t1 = mgr.prepare_import("i_coll", df1, partition_name="p1")
+    assert mgr.read("i_coll").count() == 0      # invisible until commit
+    mgr.commit_import("i_coll", t1)
+    assert mgr.read("i_coll").count() == 2
+    assert mgr.read("i_coll", partition_names=["p1"]).count() == 2
+    with pytest.raises(KeyError, match="unknown import ticket"):
+        mgr.commit_import("i_coll", t1)          # tickets are one-shot
+    t2 = mgr.prepare_import("i_coll",
+                            spark.createDataFrame([(3, 3)],
+                                                  "id long, v long"))
+    mgr.abort_import("i_coll", t2)
+    assert mgr.read("i_coll").count() == 2
+    with pytest.raises(KeyError):
+        mgr.commit_import("i_coll", t2)
+
+
+def test_array_partial_update_append_and_remove(mgr, spark):
+    """ARRAY_APPEND / ARRAY_REMOVE partial update (§4): append
+    concatenates, remove drops every occurrence of the listed values
+    while PRESERVING duplicates of others; NULL deltas and absent PKs
+    are no-ops."""
+    _mk_arr_coll(mgr)
+    base = spark.createDataFrame(
+        [(1, ["a", "b", "a"], [1, 2, 2, 3]),
+         (2, ["x"], [7]),
+         (3, [], [0])],
+        "id long, tags array<string>, nums array<bigint>")
+    mgr.insert("arr_coll", base)
+    upd = spark.createDataFrame(
+        [(1, ["c"], [2]),            # append c; remove every 2
+         (2, None, [7]),             # NULL tags delta -> untouched
+         (9, ["zz"], [1])],          # absent PK -> ignored
+        "id long, tags array<string>, nums array<bigint>")
+    mgr.array_update("arr_coll", upd, {"tags": "append", "nums": "remove"})
+    got = {r.id: (list(r.tags), list(r.nums))
+           for r in mgr.read("arr_coll").collect()}
+    assert got == {
+        1: (["a", "b", "a", "c"], [1, 3]),   # both 2s removed, dup 'a' kept
+        2: (["x"], []),
+        3: ([], [0]),
+    }
+    with pytest.raises(ValueError, match="append|remove"):
+        mgr.array_update("arr_coll", upd, {"tags": "concat"})

@@ -169,12 +169,18 @@ class CollectionManager:
         return bool(spec.partitions) or spec.partition_key is not None
 
     def list_partitions(self, name: str) -> list[str]:
-        data = self._data_dir(self.resolve(name))
-        if not os.path.exists(data):
-            return []
-        return sorted(
-            d.split("=", 1)[1] for d in os.listdir(data)
-            if d.startswith(f"{PARTITION_COL}="))
+        """Declared partitions (schema) ∪ observed partition dirs (the
+        hash buckets a partition-key collection materialized). Declared
+        ones are listed even when empty — including right after create
+        or truncate, which keep the declaration but hold no data."""
+        real = self.resolve(name)
+        declared = set(self.describe_collection(real).partitions or [])
+        data = self._data_dir(real)
+        observed = set()
+        if os.path.exists(data):
+            observed = {d.split("=", 1)[1] for d in os.listdir(data)
+                        if d.startswith(f"{PARTITION_COL}=")}
+        return sorted(declared | observed)
 
     def has_partition(self, name: str, partition: str) -> bool:
         return partition in self.list_partitions(name)
@@ -378,9 +384,10 @@ class CollectionManager:
         os.replace(tmp, os.path.join(d, "CURRENT"))
         # retention: keep current + the immediately-previous version (so
         # DataFrame handles taken before this rewrite stay readable until
-        # the NEXT rewrite), sweep everything older — including orphans
-        # left by a crash between write and manifest flip
-        keep = {version, previous}
+        # the NEXT rewrite) + every snapshot-pinned version, sweep
+        # everything older — including orphans left by a crash between
+        # write and manifest flip
+        keep = {version, previous} | set(self._read_snapshots(real).values())
         for entry in os.listdir(d):
             if entry.startswith("data") and entry not in keep:
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
@@ -635,9 +642,13 @@ class CollectionManager:
             glob_log = self.spark.read.parquet(
                 os.path.join(base, "stats_global"))
         df_t = terms_log.groupBy("term").agg(F.sum("df_t").alias("df_t"))
+        # try_divide: a truncated (or fully-deleted) collection compacts
+        # the log to n_docs = 0, and ANSI mode would otherwise throw on
+        # the division; with no docs there are no tf rows to score, so a
+        # NULL avgdl is never consumed
         totals = glob_log.agg(
             F.sum("n_docs").alias("n_docs"),
-            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"))
+            F.try_divide(F.sum("sum_dl"), F.sum("n_docs")).alias("avgdl"))
         return tf, df_t.crossJoin(F.broadcast(totals))
 
     def bm25_search(self, name: str, query_texts: str | list[str],
@@ -675,18 +686,28 @@ class CollectionManager:
     # -------------------------------------------------------------- read
     def read(self, name: str,
              partition_names: list[str] | None = None,
-             now: "datetime.datetime | None" = None) -> DataFrame:
+             now: "datetime.datetime | None" = None,
+             snapshot_id: str | None = None) -> DataFrame:
         """Scan a collection (T3: optionally partition-scoped — the predicate
         on the partition column prunes at file-listing time).
 
         ``now`` is the TTL clock seam: the reference instant the TTL cutoff
         is computed from (defaults to ``current_timestamp()``). Injectable so
         expiry is testable deterministically instead of racing JVM startup
-        against a small ``ttl_seconds``."""
+        against a small ``ttl_seconds``. ``snapshot_id`` reads the pinned
+        version a :meth:`create_snapshot` recorded instead of CURRENT."""
         real = self.resolve(name)
-        data = self._data_dir(real)
+        data = (self._snapshot_data_dir(real, snapshot_id)
+                if snapshot_id is not None else self._data_dir(real))
         spec = self.describe_collection(real)
-        if not os.path.exists(data):
+        # a truncated collection's version dir holds only _SUCCESS — no
+        # partition subdirs, no part files — and spark.read.parquet on
+        # it raises. (The partition subdirs themselves start with "_"
+        # because the column is named _partition, so probe for them and
+        # for part files explicitly, not for "non-hidden entries".)
+        if not os.path.exists(data) or not any(
+                e.startswith((f"{PARTITION_COL}=", "part-"))
+                for e in os.listdir(data)):
             st = spec.to_struct_type().add(PARTITION_COL, "string")
             if spec.ttl_seconds:
                 # the TTL filter below references the stamp column; the
@@ -706,6 +727,133 @@ class CollectionManager:
                 secs=F.lit(float(spec.ttl_seconds)))
             df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
         return df
+
+    # ------------------------------- 3.0-roadmap prototypes (§4/§5):
+    # TruncateCollection, Collection Snapshot, Import 2PC, array partial
+    # update. No reference implementation exists (feature-inventory doc
+    # sections 4-5); these realize the declared semantics on the
+    # manager's existing versioned-dir + CURRENT-manifest commit.
+
+    def truncate_collection(self, name: str) -> None:
+        """3.0 ``TruncateCollection`` (feature-inventory §4): drop every
+        row, keep the schema, aliases, partition declaration, and TTL.
+        One atomic CURRENT flip to an empty version — readers either see
+        the full prior state or none, never a partial sweep; BM25
+        sidecars rebuild empty through the same path every rewrite
+        uses."""
+        real = self.resolve(name)
+        with self._write_lock(real):
+            self._overwrite(real, self.read(real).limit(0))
+
+    def _snapshots_file(self, real: str) -> str:
+        return os.path.join(self._dir(real), "SNAPSHOTS.json")
+
+    def _read_snapshots(self, real: str) -> dict[str, str]:
+        import json
+        path = self._snapshots_file(real)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _write_snapshots(self, real: str, snaps: dict[str, str]) -> None:
+        import json
+        tmp = self._snapshots_file(real) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snaps, fh)
+        os.replace(tmp, self._snapshots_file(real))
+
+    def _snapshot_data_dir(self, real: str, snapshot_id: str) -> str:
+        snaps = self._read_snapshots(real)
+        if snapshot_id not in snaps:
+            raise KeyError(f"unknown snapshot {snapshot_id!r} for "
+                           f"{real!r} (have {sorted(snaps)})")
+        return os.path.join(self._dir(real), snaps[snapshot_id])
+
+    def create_snapshot(self, name: str) -> str:
+        """3.0 Collection Snapshot (feature-inventory §5): pin the
+        CURRENT data version under a snapshot id. Zero data copied — a
+        snapshot is a manifest entry that exempts its version dir from
+        the rewrite retention sweep, the natural shape on a
+        versioned-dir warehouse (object-store snapshots work the same
+        way). Read it back with ``read(name, snapshot_id=...)``."""
+        import uuid
+        real = self.resolve(name)
+        with self._write_lock(real):
+            snaps = self._read_snapshots(real)
+            sid = f"snap-{uuid.uuid4().hex[:10]}"
+            snaps[sid] = os.path.basename(self._data_dir(real))
+            self._write_snapshots(real, snaps)
+        return sid
+
+    def list_snapshots(self, name: str) -> list[str]:
+        return sorted(self._read_snapshots(self.resolve(name)))
+
+    def drop_snapshot(self, name: str, snapshot_id: str) -> None:
+        """Unpin; the version dir is reclaimed by the next rewrite's
+        retention sweep (not immediately — a reader may hold a plan)."""
+        real = self.resolve(name)
+        with self._write_lock(real):
+            snaps = self._read_snapshots(real)
+            snaps.pop(snapshot_id, None)
+            self._write_snapshots(real, snaps)
+
+    def prepare_import(self, name: str, df: DataFrame,
+                       partition_name: str | None = None) -> str:
+        """3.0 Import 2PC, phase one (feature-inventory §5
+        "CommitImport/AbortImport/auto_commit"): stage the batch —
+        routed and fully written — into an ``import.<ticket>`` dir that
+        no reader resolves (visibility goes through the CURRENT
+        manifest). The heavy write happens HERE; commit is the cheap
+        visibility flip. ``insert()`` remains the auto_commit path."""
+        import json
+        import uuid
+        real = self.resolve(name)
+        spec = self.describe_collection(real)
+        routed = self._route(spec, df, partition_name)
+        ticket = f"imp-{uuid.uuid4().hex[:10]}"
+        staged = os.path.join(self._dir(real), f"import.{ticket}")
+        routed.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_TICKET.json"), "w") as fh:
+            json.dump({"partition_name": partition_name}, fh)
+        return ticket
+
+    def commit_import(self, name: str, ticket: str) -> None:
+        """Phase two: make the staged batch visible through the normal
+        insert path (append + BM25 sidecar deltas + TTL stamp), then
+        reclaim the staging dir. Raises on an unknown/aborted ticket."""
+        import json
+        real = self.resolve(name)
+        staged = os.path.join(self._dir(real), f"import.{ticket}")
+        if not os.path.isdir(staged):
+            raise KeyError(f"unknown import ticket {ticket!r}")
+        with open(os.path.join(staged, "_TICKET.json")) as fh:
+            meta = json.load(fh)
+        df = self.spark.read.parquet(staged).drop(PARTITION_COL)
+        self.insert(real, df, partition_name=meta.get("partition_name"))
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def abort_import(self, name: str, ticket: str) -> None:
+        """Discard a staged import; nothing ever became visible."""
+        staged = os.path.join(self._dir(self.resolve(name)),
+                              f"import.{ticket}")
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def array_update(self, name: str, df: DataFrame,
+                     ops: dict[str, str]) -> None:
+        """3.0 ``ARRAY_APPEND`` / ``ARRAY_REMOVE`` partial update
+        (feature-inventory §4): merge array deltas into matching rows by
+        PK — see :func:`operators.dml.array_partial_update` for the
+        exact element semantics. Rows keep their partitions; absent PKs
+        are ignored (update family, not upsert)."""
+        from vectordb_testbricks_spark.operators.dml import (
+            array_partial_update)
+        real = self.resolve(name)
+        with self._write_lock(real):
+            spec = self.describe_collection(real)
+            base = self.read(real)
+            self._overwrite(real, array_partial_update(
+                base, df, spec.pk.name, ops))
 
     # ---------------------------------------------------- S5 lifecycle ops
     def flush(self, name: str) -> None:

@@ -75,6 +75,42 @@ def partial_upsert(base: DataFrame, updates: DataFrame,
     return updated.unionByName(filled)
 
 
+def array_partial_update(base: DataFrame, updates: DataFrame,
+                         pk: list[str] | str,
+                         ops: dict[str, str]) -> DataFrame:
+    """3.0-roadmap ``ARRAY_APPEND`` / ``ARRAY_REMOVE`` partial update
+    (feature-inventory doc §4 "partial update operation family"): merge
+    the update batch's array deltas into MATCHING rows by PK —
+    ``ops[col] = "append"`` concatenates the incoming elements onto the
+    stored array, ``"remove"`` drops every occurrence of each listed
+    value (duplicates of other values are preserved — a higher-order
+    ``filter`` with ``array_contains``, NOT array_except, whose
+    set-semantics would also dedup survivors). PKs absent from the base
+    are ignored (this is the update family, not upsert); a NULL delta
+    array leaves the stored value untouched.
+
+    Plan shape: one broadcast LEFT join on the PK (update batches are
+    the small side by contract), per-column expressions row-local."""
+    pk = [pk] if isinstance(pk, str) else list(pk)
+    bad = set(ops) - {c for c in updates.columns if c not in pk}
+    if bad or any(v not in ("append", "remove") for v in ops.values()):
+        raise ValueError(f"ops must map update columns to append|remove, "
+                         f"got {ops!r} (unknown: {sorted(bad)})")
+    u = F.broadcast(
+        updates.select(*pk, *[F.col(c).alias(f"_u_{c}") for c in ops]))
+    joined = base.join(u, pk, "left")
+    out = []
+    for c in base.columns:
+        if c in ops:
+            b, d = F.col(c), F.col(f"_u_{c}")
+            merged = (F.concat(b, d) if ops[c] == "append"
+                      else F.filter(b, lambda x: ~F.array_contains(d, x)))
+            out.append(F.when(d.isNull(), b).otherwise(merged).alias(c))
+        else:
+            out.append(F.col(c))
+    return joined.select(*out)
+
+
 def delete_by_filter(base: DataFrame, flt: str | Column) -> DataFrame:
     """S4: delete rows matching the filter expression; NULL predicate rows
     are kept (a NULL match does not delete)."""
