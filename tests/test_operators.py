@@ -1103,3 +1103,37 @@ def test_search_by_pk(spark):
         sid, score = got[(q, 1)]
         assert sid == q and abs(score - 1.0) < 1e-9
     assert len(got) == 10
+
+
+def test_knn_search_multi_field_group_by(spark):
+    """3.0 roadmap §2 'multi-field group_by': grouping on the (cat, sub)
+    combination returns group_size best hits per combined group, groups
+    ranked by their best hit with the (cat, sub) tuple as tie-break."""
+    import math
+    import random
+    from vectordb_testbricks_spark.operators.search import knn_search
+    rnd = random.Random(11)
+    qv = [1.0, 0.2, -0.3, 0.5]
+    rows = [(i, i % 3, i % 2, [rnd.uniform(-1, 1) for _ in range(4)])
+            for i in range(60)]
+    base = spark.createDataFrame(
+        rows, "id long, cat int, sub int, vec array<double>")
+    q = spark.createDataFrame([(0, qv)],
+                              "query_id int, qvec array<double>")
+    hits = knn_search(base, q, "vec", "id", metric="COSINE", k=4,
+                      group_by=["cat", "sub"], group_size=2).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+    groups: dict = {}
+    for i, c, s, v in rows:
+        groups.setdefault((c, s), []).append((cos(v, qv), i))
+    for g in groups.values():
+        g.sort(key=lambda t: (-t[0], t[1]))
+    top_groups = sorted(groups.items(),
+                        key=lambda kv: (-kv[1][0][0], kv[0]))[:4]
+    want = {i for _, members in top_groups for _, i in members[:2]}
+    assert {r.id for r in hits} == want
+    assert len({(r.cat, r.sub) for r in hits}) == 4 and len(hits) == 8

@@ -78,7 +78,8 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
                metric: str = "L2", k: int = 10,
                flt: str | Column | None = None,
                output_fields: list[str] | None = None,
-               group_by: str | None = None, group_size: int = 1) -> DataFrame:
+               group_by: str | list[str] | None = None,
+               group_size: int = 1) -> DataFrame:
     """V1/V2/V5: ANN top-k per query vector, optional pre-filter + grouping.
 
     ``queries`` must have (query_id, qvec). Returns
@@ -86,20 +87,24 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
 
     Grouping search (group_by != None): top ``group_size`` hits per
     (query, group), then the best-``k`` *groups* per query, matching Milvus
-    ``group_by_field`` (issues.py:79-88).
+    ``group_by_field`` (issues.py:79-88). A LIST of field names groups by
+    the multi-field combination — the 3.0-roadmap "multi-field group_by"
+    (feature-inventory doc §2); the plan shape is identical, the window
+    partition key just widens.
     """
+    gb = ([group_by] if isinstance(group_by, str)
+          else list(group_by) if group_by else [])
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
         base = base.filter(pred)  # pre-filter before ranking (V2)
     score, asc = score_expr(metric, F.col(vec_col), F.col("qvec"))
-    keep = [id_col, *(output_fields or []), *([group_by] if group_by else [])]
-    keep = list(dict.fromkeys(keep))
+    keep = list(dict.fromkeys([id_col, *(output_fields or []), *gb]))
     scored = (base.crossJoin(F.broadcast(queries))
               .select("query_id", *keep, score.alias("score")))
-    if group_by:
+    if gb:
         # best `group_size` hits per (query, group) — the group key spreads
         # the window shuffle evenly, no skew concentration
-        per_group = Window.partitionBy("query_id", group_by).orderBy(
+        per_group = Window.partitionBy("query_id", *gb).orderBy(
             F.col("score").asc() if asc else F.col("score").desc(),
             F.col(id_col).asc())
         best = (scored.withColumn("rank", F.row_number().over(per_group))
@@ -108,10 +113,10 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
         # group_by_field returns `limit` groups × group_size hits)
         gs = F.min("score") if asc else F.max("score")
         best = best.withColumn(
-            "_gs", gs.over(Window.partitionBy("query_id", group_by)))
+            "_gs", gs.over(Window.partitionBy("query_id", *gb)))
         rw = Window.partitionBy("query_id").orderBy(
             F.col("_gs").asc() if asc else F.col("_gs").desc(),
-            F.col(group_by).asc())
+            *[F.col(g).asc() for g in gb])
         return (best.withColumn("group_rank", F.dense_rank().over(rw))
                 .filter(F.col("group_rank") <= k).drop("_gs"))
     return _ranked(scored, id_col, asc, k)
