@@ -821,3 +821,48 @@ def test_array_partial_update_append_and_remove(mgr, spark):
     }
     with pytest.raises(ValueError, match="append|remove"):
         mgr.array_update("arr_coll", upd, {"tags": "concat"})
+
+
+def test_text_embedding_function_field(mgr, spark):
+    """TEXT_EMBEDDING function field (§6): the SPARSE_FLOAT_VECTOR
+    output column is computed at insert by the hashing featurizer, the
+    Column path and the driver twin agree, raw-text search scores
+    token-count cosine (identical text = 1.0), and upsert recomputes
+    from the new text."""
+    from vectordb_testbricks_spark.functions.text import (
+        py_hashed_sparse_embedding)
+    spec = SchemaSpec("emb_coll", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=256, enable_analyzer=True),
+        FieldSpec("vec", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("emb", "TEXT_EMBEDDING", "text", "vec",
+                               params={"n_buckets": 64})])
+    mgr.create_collection(spec)
+    texts = [(1, "alpha beta alpha"), (2, "gamma delta"), (3, "")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string") \
+        .withColumn("vec", F.lit(None).cast("map<int,float>"))
+    mgr.insert("emb_coll", docs)
+    rows = {r.doc_id: dict(r.vec) for r in mgr.read("emb_coll").collect()}
+    for did, txt in texts:
+        want = py_hashed_sparse_embedding(txt, 64)
+        assert set(rows[did]) == set(want), did
+        for kk, v in want.items():
+            assert abs(rows[did][kk] - v) < 1e-6, (did, kk)
+    hits = mgr.text_embedding_search("emb_coll", "alpha beta alpha",
+                                     k=2).collect()
+    assert hits[0]["doc_id"] == 1 and abs(hits[0]["score"] - 1.0) < 1e-6
+    upd = spark.createDataFrame([(2, "alpha beta alpha")],
+                                "doc_id long, text string") \
+        .withColumn("vec", F.lit(None).cast("map<int,float>"))
+    mgr.upsert("emb_coll", upd)
+    hits = mgr.text_embedding_search("emb_coll", "alpha beta alpha",
+                                     k=3).collect()
+    assert {r["doc_id"] for r in hits
+            if abs(r["score"] - 1.0) < 1e-6} == {1, 2}
+    with pytest.raises(SchemaError, match="SPARSE_FLOAT_VECTOR"):
+        SchemaSpec("bad", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("t", "VARCHAR"),
+            FieldSpec("v", "FLOAT_VECTOR", dim=4),
+        ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t",
+                                   "v")]).validate()

@@ -108,6 +108,66 @@ def py_tokenize(text: str, *, lowercase: bool = True,
             if t != "" and t not in stop_words]
 
 
+def hashed_sparse_embedding(toks: Column, n_buckets: int = 1024) -> Column:
+    """TEXT_EMBEDDING function-field built-in provider (3.0-roadmap §6
+    "Function / Model Provider"): the hashing-trick featurizer — each
+    token hashes (crc32 % n_buckets) into a bucket, counts are
+    L2-normalized, and the result is a SPARSE_FLOAT_VECTOR
+    ``map<int,float>``. Deterministic and dependency-free; an external
+    model provider would slot in as an Arrow-batched pandas UDF behind
+    the same FunctionSpec seam.
+
+    Expression shape chosen for the no-CSE lambda rule: ``toks`` is
+    consumed exactly ONCE, by an ``aggregate`` that folds the token list
+    into a count map in a single pass — so even when the caller hands an
+    inline ``tokenize()`` expression (CollapseProject inlines projected
+    columns into lambdas, so a withColumn barrier would not help), the
+    regex split runs once per row, never per element. The later
+    normalization re-references only the count map (cheap integer/map
+    work, bounded by distinct-tokens², still row-local scan-stage).
+    Dot product of two embeddings is exactly their token-count cosine
+    (both unit-norm). Driver twin: :func:`py_hashed_sparse_embedding`."""
+    empty_counts = F.map_from_arrays(F.array().cast("array<int>"),
+                                     F.array().cast("array<double>"))
+    counts = F.aggregate(
+        toks, empty_counts,
+        lambda m, t: F.map_concat(
+            F.map_filter(m, lambda k, _: k != F.pmod(
+                F.crc32(t.cast("binary")), F.lit(n_buckets)).cast("int")),
+            F.create_map(
+                F.pmod(F.crc32(t.cast("binary")),
+                       F.lit(n_buckets)).cast("int"),
+                F.coalesce(F.element_at(m, F.pmod(
+                    F.crc32(t.cast("binary")),
+                    F.lit(n_buckets)).cast("int")), F.lit(0.0)) + 1)))
+    entries = F.map_entries(counts)
+    norm = F.sqrt(F.aggregate(entries, F.lit(0.0),
+                              lambda a, e: a + e["value"] * e["value"]))
+    normed = F.transform(entries, lambda e: F.struct(
+        e["key"].alias("key"), (e["value"] / norm).alias("value")))
+    empty = F.map_from_arrays(F.array().cast("array<int>"),
+                              F.array().cast("array<float>"))
+    return F.when(F.size(toks) == 0, empty).otherwise(
+        F.map_from_entries(normed).cast("map<int,float>"))
+
+
+def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
+                               lowercase: bool = True,
+                               stop_words: tuple[str, ...] = ()) -> dict:
+    """Driver-side twin of :func:`hashed_sparse_embedding` for query
+    featurization: same tokenizer twin (py_tokenize), same zlib.crc32
+    bucket hash (== Spark's crc32 over utf-8), same L2 norm — a query
+    embedded here scores exact cosine against stored embeddings."""
+    import math
+    import zlib
+    counts: dict[int, float] = {}
+    for t in py_tokenize(text, lowercase=lowercase, stop_words=stop_words):
+        b = zlib.crc32(t.encode("utf-8")) % n_buckets
+        counts[b] = counts.get(b, 0.0) + 1.0
+    norm = math.sqrt(sum(v * v for v in counts.values()))
+    return {k: v / norm for k, v in counts.items()} if norm else {}
+
+
 def md5_long(c: Column) -> Column:
     """Portable 60-bit non-negative integer hash of a string column."""
     return hex_to_long(F.md5(c))

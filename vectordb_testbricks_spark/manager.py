@@ -217,7 +217,8 @@ class CollectionManager:
     def _insert_locked(self, name: str, df: DataFrame,
                        partition_name: str | None = None) -> None:
         spec = self.describe_collection(name)
-        routed = self._route(spec, df, partition_name)
+        routed = self._route(spec, self._apply_field_functions(spec, df),
+                             partition_name)
         if spec.ttl_seconds:
             routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
         hash_routed = (spec.partition_key is not None
@@ -312,7 +313,8 @@ class CollectionManager:
         with self._write_lock(self.resolve(name)):
             spec = self.describe_collection(name)
             base = self.read(name)
-            incoming = self._route(spec, df, partition_name)
+            incoming = self._route(
+                spec, self._apply_field_functions(spec, df), partition_name)
             if spec.ttl_seconds:
                 incoming = incoming.withColumn(
                     INGEST_TS_COL, F.current_timestamp())
@@ -411,6 +413,36 @@ class CollectionManager:
     @staticmethod
     def _bm25_functions(spec: SchemaSpec) -> list[FunctionSpec]:
         return [fn for fn in spec.functions if fn.function_type == "BM25"]
+
+    @staticmethod
+    def _embedding_functions(spec: SchemaSpec) -> list[FunctionSpec]:
+        return [fn for fn in spec.functions
+                if fn.function_type == "TEXT_EMBEDDING"]
+
+    def _apply_field_functions(self, spec: SchemaSpec,
+                               df: DataFrame) -> DataFrame:
+        """Fill TEXT_EMBEDDING function output columns for an incoming
+        batch (3.0-roadmap §6 "Function / Model Provider"): the declared
+        SPARSE_FLOAT_VECTOR output field is computed from the input text
+        at write time — server-computed like BM25, but the result lives
+        IN the row (it is a per-row value, not corpus-level state, so no
+        sidecar is needed and rewrites carry it for free). Runs on
+        insert / upsert / prepare_import; partial updates that touch the
+        input text re-derive through upsert semantics."""
+        from vectordb_testbricks_spark.functions.text import (
+            analyzer_kwargs, hashed_sparse_embedding, tokenize)
+        for fn in self._embedding_functions(spec):
+            n = int((fn.params or {}).get("n_buckets", 1024))
+            kw = analyzer_kwargs(self._fn_analyzer(spec, fn))
+            # the featurizer consumes the token expression exactly once
+            # (single-pass aggregate), so inlining tokenize here is safe
+            # under the no-CSE lambda rule — no withColumn barrier needed
+            # (CollapseProject would inline it anyway)
+            df = df.withColumn(
+                fn.output_field,
+                hashed_sparse_embedding(
+                    tokenize(F.col(fn.input_field), **kw), n))
+        return df
 
     def _resolve_function(self, spec: SchemaSpec,
                           fn_name: str | None) -> FunctionSpec:
@@ -728,6 +760,37 @@ class CollectionManager:
             df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
         return df
 
+    def text_embedding_search(self, name: str,
+                              query_texts: str | list[str], k: int = 10,
+                              flt: str | None = None,
+                              fn_name: str | None = None,
+                              drop_ratio_search: float = 0.0) -> DataFrame:
+        """Search a TEXT_EMBEDDING function field (3.0-roadmap §6) by
+        raw query text: the query is featurized driver-side with the
+        SAME analyzer + crc32 bucket hash + L2 norm the write path used
+        (py_hashed_sparse_embedding ≡ hashed_sparse_embedding), then
+        served through the standard V6 sparse dot — the score IS the
+        token-count cosine. Identical text scores exactly 1.0."""
+        from vectordb_testbricks_spark.functions.text import (
+            analyzer_kwargs, py_hashed_sparse_embedding)
+        from vectordb_testbricks_spark.operators.search import (
+            sparse_search_many)
+        spec = self.describe_collection(name)
+        fns = self._embedding_functions(spec)
+        fn = next((f for f in fns if fn_name in (None, f.name)), None)
+        if fn is None:
+            raise SchemaError(
+                f"{name}: no TEXT_EMBEDDING function"
+                + (f" named {fn_name!r}" if fn_name else ""))
+        n = int((fn.params or {}).get("n_buckets", 1024))
+        kw = analyzer_kwargs(self._fn_analyzer(spec, fn))
+        texts = [query_texts] if isinstance(query_texts, str) \
+            else list(query_texts)
+        qmaps = [py_hashed_sparse_embedding(t, n, **kw) for t in texts]
+        return sparse_search_many(
+            self.read(name), qmaps, fn.output_field, spec.pk.name, k=k,
+            flt=flt, drop_ratio_search=drop_ratio_search)
+
     # ------------------------------- 3.0-roadmap prototypes (§4/§5):
     # TruncateCollection, Collection Snapshot, Import 2PC, array partial
     # update. No reference implementation exists (feature-inventory doc
@@ -810,7 +873,8 @@ class CollectionManager:
         import uuid
         real = self.resolve(name)
         spec = self.describe_collection(real)
-        routed = self._route(spec, df, partition_name)
+        routed = self._route(spec, self._apply_field_functions(spec, df),
+                             partition_name)
         ticket = f"imp-{uuid.uuid4().hex[:10]}"
         staged = os.path.join(self._dir(real), f"import.{ticket}")
         routed.write.mode("overwrite").parquet(staged)

@@ -124,11 +124,16 @@ class IndexSpec:
 
 @dataclass
 class FunctionSpec:
-    """Server-computed field function — BM25 text→sparse (schema.py:37-43)."""
+    """Server-computed field function — BM25 text→sparse (schema.py:37-43),
+    plus the 3.0-roadmap TEXT_EMBEDDING family (feature-inventory doc §6
+    "Function / Model Provider"): text → SPARSE_FLOAT_VECTOR via the
+    built-in deterministic hashing featurizer; ``params`` carries
+    provider knobs (n_buckets)."""
     name: str
-    function_type: str  # "BM25"
+    function_type: str  # "BM25" | "TEXT_EMBEDDING"
     input_field: str
     output_field: str
+    params: dict | None = None
 
 
 @dataclass
@@ -232,9 +237,16 @@ class SchemaSpec:
                     or fn.output_field not in fields_by_name:
                 raise SchemaError(
                     f"{self.name}: function {fn.name} references unknown fields")
-            if fn.function_type != "BM25":
+            if fn.function_type not in ("BM25", "TEXT_EMBEDDING"):
                 raise SchemaError(
                     f"{self.name}: unknown function type {fn.function_type}")
+            out_dtype = next(f.dtype for f in self.fields
+                             if f.name == fn.output_field)
+            if (fn.function_type == "TEXT_EMBEDDING"
+                    and out_dtype != "SPARSE_FLOAT_VECTOR"):
+                raise SchemaError(
+                    f"{self.name}: TEXT_EMBEDDING output field "
+                    f"{fn.output_field!r} must be SPARSE_FLOAT_VECTOR")
         return self
 
     # -- Spark mapping ------------------------------------------------------
