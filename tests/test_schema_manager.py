@@ -866,3 +866,96 @@ def test_text_embedding_function_field(mgr, spark):
             FieldSpec("v", "FLOAT_VECTOR", dim=4),
         ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t",
                                    "v")]).validate()
+
+
+def test_alter_schema_add_and_drop_field(mgr, spark):
+    """AlterCollectionSchema (§4): add_field materializes NULLs and the
+    schema gains the field; drop_field removes column + declaration;
+    load-bearing fields (PK, function, indexed) refuse to drop."""
+    spec = SchemaSpec("ev_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+        FieldSpec("e", "FLOAT_VECTOR", dim=4),
+    ], indexes=[IndexSpec("e", "FLAT", "COSINE")])
+    mgr.create_collection(spec)
+    mgr.insert("ev_coll", spark.createDataFrame(
+        [(1, 10, [1.0, 0.0, 0.0, 0.0]), (2, 20, [0.0, 1.0, 0.0, 0.0])],
+        "id long, v long, e array<float>"))
+    mgr.add_field("ev_coll", FieldSpec("note", "VARCHAR", max_length=32,
+                                       nullable=True))
+    assert "note" in [f.name for f in
+                      mgr.describe_collection("ev_coll").fields]
+    rows = mgr.read("ev_coll").collect()
+    assert all(r.note is None for r in rows) and len(rows) == 2
+    # new inserts carry the field; old rows stay NULL
+    mgr.insert("ev_coll", spark.createDataFrame(
+        [(3, 30, [0.0] * 4, "hi")],
+        "id long, v long, e array<float>, note string"))
+    got = {r.id: r.note for r in mgr.read("ev_coll").collect()}
+    assert got == {1: None, 2: None, 3: "hi"}
+    with pytest.raises(SchemaError, match="already exists"):
+        mgr.add_field("ev_coll", FieldSpec("note", "VARCHAR"))
+    mgr.drop_field("ev_coll", "note")
+    assert "note" not in mgr.read("ev_coll").columns
+    assert "note" not in [f.name for f in
+                          mgr.describe_collection("ev_coll").fields]
+    with pytest.raises(SchemaError, match="PK"):
+        mgr.drop_field("ev_coll", "id")
+    with pytest.raises(SchemaError, match="index"):
+        mgr.drop_field("ev_coll", "e")
+    with pytest.raises(SchemaError, match="no field"):
+        mgr.drop_field("ev_coll", "ghost")
+    _mk_fts(mgr, name="ev_fts")
+    with pytest.raises(SchemaError, match="function"):
+        mgr.drop_field("ev_fts", "text")
+
+
+def test_external_collection_readonly_and_refresh(mgr, spark, tmp_path):
+    """External Collection (§5): reads resolve a PINNED file listing
+    (new source files stay invisible until refresh_external), every
+    write refuses, and a snapshot of a regular collection works as the
+    external source."""
+    src = str(tmp_path / "ext_src")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spec = SchemaSpec("x_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("s", "VARCHAR", max_length=8),
+    ])
+    mgr.create_external_collection(spec, src)
+    assert mgr.is_external("x_coll")
+    assert mgr.read("x_coll").count() == 2
+    # a new file lands in the source: invisible until manual refresh
+    spark.createDataFrame([(3, "c")], "id long, s string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    assert mgr.read("x_coll").count() == 2
+    mgr.refresh_external("x_coll")
+    assert mgr.read("x_coll").count() == 3
+    for op in (lambda: mgr.insert("x_coll", spark.createDataFrame(
+                   [(9, "z")], "id long, s string")),
+               lambda: mgr.delete("x_coll", "id == 1"),
+               lambda: mgr.truncate_collection("x_coll"),
+               lambda: mgr.create_snapshot("x_coll")):
+        with pytest.raises(SchemaError, match="read-only"):
+            op()
+    # snapshot of a regular collection as the external source (§5)
+    base = SchemaSpec("src_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+    ])
+    mgr.create_collection(base)
+    mgr.insert("src_coll", spark.createDataFrame(
+        [(i, i) for i in range(4)], "id long, v long"))
+    sid = mgr.create_snapshot("src_coll")
+    snap_dir = mgr._snapshot_data_dir("src_coll", sid)
+    mgr.create_external_collection(SchemaSpec("x_snap", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64"),
+    ]), snap_dir)
+    mgr.delete("src_coll", "id >= 2")      # the source moves on
+    assert mgr.read("src_coll").count() == 2
+    ext = mgr.read("x_snap")
+    assert ext.count() == 4                # the external view does not
+    # hive partition column survives the pinned-file read (basePath)
+    assert set(ext.select(PARTITION_COL).distinct().toPandas()
+               [PARTITION_COL]) == {"_default"}

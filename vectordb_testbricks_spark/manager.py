@@ -195,6 +195,14 @@ class CollectionManager:
         makes the assumption mechanical instead of documentation-only for
         same-host concurrent writers (threads or processes). On object
         storage the equivalent is the catalog/metastore commit lock."""
+        if self.is_external(real):
+            # External Collections are read-only (feature-inventory §5
+            # "禁止写操作"); every mutating path funnels through this
+            # lock, so one guard covers insert/upsert/delete/truncate/
+            # snapshots/imports/alter alike
+            raise SchemaError(
+                f"{real!r} is an external collection (read-only); "
+                f"use refresh_external to pick up new source files")
         path = os.path.join(self._dir(real), ".write_lock")
         with open(path, "w") as fh:
             try:
@@ -729,9 +737,18 @@ class CollectionManager:
         against a small ``ttl_seconds``. ``snapshot_id`` reads the pinned
         version a :meth:`create_snapshot` recorded instead of CURRENT."""
         real = self.resolve(name)
+        spec = self.describe_collection(real)
+        if self.is_external(real):
+            # pinned-listing scan; externals carry no ingest stamps, so
+            # TTL does not apply, and they have no local versions to
+            # snapshot
+            if snapshot_id is not None:
+                raise SchemaError(
+                    f"{real!r} is external: snapshots live with the "
+                    f"SOURCE collection")
+            return self._read_external(real, spec, partition_names)
         data = (self._snapshot_data_dir(real, snapshot_id)
                 if snapshot_id is not None else self._data_dir(real))
-        spec = self.describe_collection(real)
         # a truncated collection's version dir holds only _SUCCESS — no
         # partition subdirs, no part files — and spark.read.parquet on
         # it raises. (The partition subdirs themselves start with "_"
@@ -759,6 +776,137 @@ class CollectionManager:
                 secs=F.lit(float(spec.ttl_seconds)))
             df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
         return df
+
+    def _external_file(self, real: str) -> str:
+        return os.path.join(self._dir(real), "EXTERNAL.json")
+
+    def is_external(self, name: str) -> bool:
+        return os.path.exists(self._external_file(self.resolve(name)))
+
+    @staticmethod
+    def _list_parquet_files(uri: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(uri):
+            out.extend(os.path.join(root, f) for f in files
+                       if f.startswith("part-"))
+        return sorted(out)
+
+    def create_external_collection(self, spec: SchemaSpec,
+                                   source_uri: str) -> None:
+        """3.0 External Collection (feature-inventory §5: create /
+        禁止写操作 / manual refresh / data mapping / load-query):
+        a schema-registered, READ-ONLY collection whose data lives at an
+        external parquet location. Creation pins the source's file
+        listing in EXTERNAL.json — reads resolve that pinned set (with
+        ``basePath`` so hive-partitioned sources keep their partition
+        columns), so an external writer landing new files cannot tear a
+        running reader; :meth:`refresh_external` re-pins on demand (the
+        manual refresh-policy). Every mutating operation refuses at the
+        writer-lock chokepoint. A snapshot dir from another collection
+        is a valid source — the roadmap's "snapshot as External Table
+        data source" — e.g. ``mgr._dir(other) + '/' + version`` via
+        :meth:`create_snapshot`."""
+        import json as _json
+        spec.validate()
+        if self.has_collection(spec.name):
+            raise SchemaError(f"collection {spec.name!r} already exists")
+        os.makedirs(self._dir(spec.name))
+        with open(self._schema_file(spec.name), "w") as fh:
+            fh.write(_spec_to_json(spec))
+        with open(self._external_file(spec.name), "w") as fh:
+            _json.dump({"source_uri": source_uri,
+                        "files": self._list_parquet_files(source_uri)}, fh)
+
+    def refresh_external(self, name: str) -> int:
+        """Re-pin the external source's file listing (manual refresh);
+        returns the number of files now visible."""
+        import json as _json
+        real = self.resolve(name)
+        if not self.is_external(real):
+            raise SchemaError(f"{real!r} is not an external collection")
+        with open(self._external_file(real)) as fh:
+            meta = _json.load(fh)
+        meta["files"] = self._list_parquet_files(meta["source_uri"])
+        tmp = self._external_file(real) + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, self._external_file(real))
+        return len(meta["files"])
+
+    def _read_external(self, real: str, spec: SchemaSpec,
+                       partition_names: list[str] | None) -> DataFrame:
+        import json as _json
+        with open(self._external_file(real)) as fh:
+            meta = _json.load(fh)
+        if not meta["files"]:
+            return self.spark.createDataFrame(
+                [], spec.to_struct_type().add(PARTITION_COL, "string"))
+        df = (self.spark.read.option("basePath", meta["source_uri"])
+              .parquet(*meta["files"]))
+        if PARTITION_COL not in df.columns:
+            df = df.withColumn(PARTITION_COL, F.lit("_default"))
+        if partition_names:
+            df = df.filter(F.col(PARTITION_COL).isin(partition_names))
+        return df
+
+    def add_field(self, name: str, field: FieldSpec) -> None:
+        """3.0 AlterCollectionSchema, add-field side (feature-inventory
+        §4 "schema evolution"; StructArray "动态加字段" is the same
+        lifecycle): one rewrite materializes the new column as NULL in
+        every stored row, THEN the schema manifest flips — in that
+        order, so a crash between the two leaves a benign window (data
+        carries an extra column the schema doesn't declare yet) instead
+        of a poisoned one (schema declares a column reads can't
+        find)."""
+        real = self.resolve(name)
+        with self._write_lock(real):
+            spec = self.describe_collection(real)
+            if field.primary or field.is_partition_key:
+                raise SchemaError(
+                    f"{real}: cannot add a PK/partition-key field")
+            if field.name in {f.name for f in spec.fields}:
+                raise SchemaError(
+                    f"{real}: field {field.name!r} already exists")
+            new_spec = dataclasses.replace(
+                spec, fields=spec.fields + [field]).validate()
+            self._overwrite(real, self.read(real).withColumn(
+                field.name, F.lit(None).cast(field.spark_type())))
+            with open(self._schema_file(real), "w") as fh:
+                fh.write(_spec_to_json(new_spec))
+
+    def drop_field(self, name: str, field_name: str) -> None:
+        """3.0 AlterCollectionSchema, drop-field side (feature-inventory
+        §4): the schema manifest flips FIRST, then one rewrite drops the
+        column from the data — the crash window again leaves only an
+        undeclared extra column, never a declared-but-missing one. The
+        PK, partition key, and function input/output fields are
+        load-bearing and refuse to drop."""
+        real = self.resolve(name)
+        with self._write_lock(real):
+            spec = self.describe_collection(real)
+            fld = next((f for f in spec.fields if f.name == field_name),
+                       None)
+            if fld is None:
+                raise SchemaError(f"{real}: no field {field_name!r}")
+            if fld.primary or fld.is_partition_key:
+                raise SchemaError(
+                    f"{real}: cannot drop PK/partition-key {field_name!r}")
+            used = {x for fn in spec.functions
+                    for x in (fn.input_field, fn.output_field)}
+            if field_name in used:
+                raise SchemaError(
+                    f"{real}: {field_name!r} is a function field; drop "
+                    f"the function first")
+            if any(ix.field == field_name for ix in spec.indexes):
+                raise SchemaError(
+                    f"{real}: {field_name!r} has a declared index; drop "
+                    f"the index first")
+            new_spec = dataclasses.replace(
+                spec, fields=[f for f in spec.fields
+                              if f.name != field_name]).validate()
+            with open(self._schema_file(real), "w") as fh:
+                fh.write(_spec_to_json(new_spec))
+            self._overwrite(real, self.read(real).drop(field_name))
 
     def text_embedding_search(self, name: str,
                               query_texts: str | list[str], k: int = 10,
