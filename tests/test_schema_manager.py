@@ -959,3 +959,58 @@ def test_external_collection_readonly_and_refresh(mgr, spark, tmp_path):
     # hive partition column survives the pinned-file read (basePath)
     assert set(ext.select(PARTITION_COL).distinct().toPandas()
                [PARTITION_COL]) == {"_default"}
+
+
+def test_entity_level_ttl(mgr, spark):
+    """Entity-level TTL (§4): a row's ttl_field value overrides the
+    collection default; NULL falls back to the default; with no default,
+    NULL never expires. Asserted via the read() clock seam."""
+    from datetime import datetime, timedelta, timezone
+    mgr.create_collection(SchemaSpec("ettl", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("ttl_s", "INT64", nullable=True),
+    ], ttl_seconds=500, ttl_field="ttl_s"))
+    mgr.insert("ettl", spark.createDataFrame(
+        [(1, 100), (2, 100_000), (3, None)], "id long, ttl_s long"))
+    assert mgr.read("ettl").count() == 3        # real clock: all alive
+    t200 = datetime.now(timezone.utc) + timedelta(seconds=200)
+    t900 = datetime.now(timezone.utc) + timedelta(seconds=900)
+    # +200s: row 1 (ttl 100) expired; row 3 uses the 500 default
+    assert {r.id for r in mgr.read("ettl", now=t200).collect()} == {2, 3}
+    # +900s: row 3's default (500) expired too; row 2 still alive
+    assert {r.id for r in mgr.read("ettl", now=t900).collect()} == {2}
+    # no collection default: NULL ttl_field never expires
+    mgr.create_collection(SchemaSpec("ettl2", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("ttl_s", "INT64", nullable=True),
+    ], ttl_field="ttl_s"))
+    mgr.insert("ettl2", spark.createDataFrame(
+        [(1, 100), (2, None)], "id long, ttl_s long"))
+    far = datetime.now(timezone.utc) + timedelta(days=365)
+    assert {r.id for r in mgr.read("ettl2", now=far).collect()} == {2}
+    with pytest.raises(SchemaError, match="integer field"):
+        SchemaSpec("bad", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("s", "VARCHAR"),
+        ], ttl_field="s").validate()
+
+
+def test_nullable_vector_roundtrip(mgr, spark):
+    """Nullable vector (§4): a FLOAT_VECTOR field declared nullable
+    stores and reads NULL rows; searches simply never rank them (the
+    score of a NULL vector is NULL, dropped by the hit filter)."""
+    from vectordb_testbricks_spark.operators.search import knn_search
+    mgr.create_collection(SchemaSpec("nv", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("e", "FLOAT_VECTOR", dim=4, nullable=True),
+    ]))
+    mgr.insert("nv", spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 1.0, 0.0, 0.0])],
+        "id long, e array<float>"))
+    df = mgr.read("nv")
+    assert df.filter(F.col("e").isNull()).count() == 1
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id int, qvec array<double>")
+    hits = knn_search(df, q, "e", "id", metric="COSINE", k=10).collect()
+    assert [r.id for r in hits][0] == 1
+    assert all(r.id != 2 for r in hits)

@@ -227,7 +227,7 @@ class CollectionManager:
         spec = self.describe_collection(name)
         routed = self._route(spec, self._apply_field_functions(spec, df),
                              partition_name)
-        if spec.ttl_seconds:
+        if spec.ttl_seconds or spec.ttl_field:
             routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
         hash_routed = (spec.partition_key is not None
                        and partition_name is None)
@@ -323,7 +323,7 @@ class CollectionManager:
             base = self.read(name)
             incoming = self._route(
                 spec, self._apply_field_functions(spec, df), partition_name)
-            if spec.ttl_seconds:
+            if spec.ttl_seconds or spec.ttl_field:
                 incoming = incoming.withColumn(
                     INGEST_TS_COL, F.current_timestamp())
             self._overwrite(name, _upsert(base, incoming, spec.pk.name))
@@ -346,7 +346,7 @@ class CollectionManager:
                 PARTITION_COL,
                 F.coalesce(F.col(PARTITION_COL),
                            self._route_col(spec, partition_name)))
-            if spec.ttl_seconds:
+            if spec.ttl_seconds or spec.ttl_field:
                 merged = merged.withColumn(
                     INGEST_TS_COL,
                     F.coalesce(F.col(INGEST_TS_COL), F.current_timestamp()))
@@ -707,7 +707,7 @@ class CollectionManager:
         pk = spec.pk.name
         docs = self.read(name)
         tf, stats = self.function_tables(name, fn.name)
-        if spec.ttl_seconds:
+        if spec.ttl_seconds or spec.ttl_field:
             # the sidecar is append-only between rewrites, so rows expired
             # by the TTL read filter may still carry tf entries — prune
             # candidates to the currently-visible pk set (stats stay
@@ -758,7 +758,7 @@ class CollectionManager:
                 e.startswith((f"{PARTITION_COL}=", "part-"))
                 for e in os.listdir(data)):
             st = spec.to_struct_type().add(PARTITION_COL, "string")
-            if spec.ttl_seconds:
+            if spec.ttl_seconds or spec.ttl_field:
                 # the TTL filter below references the stamp column; the
                 # empty frame must carry it or a never-written TTL
                 # collection crashes every read
@@ -767,14 +767,20 @@ class CollectionManager:
         df = self.spark.read.parquet(data)
         if partition_names:
             df = df.filter(F.col(PARTITION_COL).isin(partition_names))
-        if spec.ttl_seconds:
-            # TTL read filter (reference collection property ttl.seconds):
-            # only rows ingested within the last ttl_seconds survive
+        if spec.ttl_seconds or spec.ttl_field:
+            # TTL read filter (reference collection property ttl.seconds,
+            # plus the 3.0-roadmap entity-level override §4): a row's
+            # effective TTL is its ttl_field value when set, else the
+            # collection default; NULL effective TTL never expires
             ref = (F.lit(now).cast("timestamp") if now is not None
                    else F.current_timestamp())
-            cutoff = ref - F.make_interval(
-                secs=F.lit(float(spec.ttl_seconds)))
-            df = df.filter(F.col(INGEST_TS_COL) >= cutoff)
+            default = (F.lit(float(spec.ttl_seconds)) if spec.ttl_seconds
+                       else F.lit(None).cast("double"))
+            ttl = (F.coalesce(F.col(spec.ttl_field).cast("double"), default)
+                   if spec.ttl_field else default)
+            alive = F.col(INGEST_TS_COL) >= ref - F.make_interval(secs=ttl)
+            df = df.filter(
+                F.when(ttl.isNull(), F.lit(True)).otherwise(alive))
         return df
 
     def _external_file(self, real: str) -> str:

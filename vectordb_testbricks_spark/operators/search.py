@@ -100,7 +100,11 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     score, asc = score_expr(metric, F.col(vec_col), F.col("qvec"))
     keep = list(dict.fromkeys([id_col, *(output_fields or []), *gb]))
     scored = (base.crossJoin(F.broadcast(queries))
-              .select("query_id", *keep, score.alias("score")))
+              .select("query_id", *keep, score.alias("score"))
+              # nullable vectors (3.0 roadmap §4) score NULL — never a
+              # hit; without the filter row_number would still rank them
+              # (NULLS LAST is an ordering, not an exclusion)
+              .filter(F.col("score").isNotNull()))
     if gb:
         # best `group_size` hits per (query, group) — the group key spreads
         # the window shuffle evenly, no skew concentration

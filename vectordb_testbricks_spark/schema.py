@@ -150,6 +150,11 @@ class SchemaSpec:
     # ttl_seconds after ingest; 0/None disables (Milvus convention).
     # Spark mapping: ingest-timestamp stamp + read-time filter.
     ttl_seconds: int | None = None
+    # entity-level TTL (3.0-roadmap, feature-inventory doc §4): names an
+    # integer field holding a PER-ROW ttl-seconds override; NULL in a
+    # row falls back to ttl_seconds (or never expires when that is also
+    # unset). Same ingest-stamp + read-filter mapping as ttl_seconds.
+    ttl_field: str | None = None
     # shards_num (reference 2.6/common.py:1054-1055): write-path hash
     # distribution of the PK across shards. Spark mapping: repartition by
     # hash(pk) into shards_num tasks before the write, so every insert
@@ -247,6 +252,14 @@ class SchemaSpec:
                 raise SchemaError(
                     f"{self.name}: TEXT_EMBEDDING output field "
                     f"{fn.output_field!r} must be SPARSE_FLOAT_VECTOR")
+        if self.ttl_field is not None:
+            fld = next((f for f in self.fields
+                        if f.name == self.ttl_field), None)
+            if fld is None or fld.dtype not in ("INT8", "INT16", "INT32",
+                                                "INT64"):
+                raise SchemaError(
+                    f"{self.name}: ttl_field {self.ttl_field!r} must name "
+                    f"an integer field")
         return self
 
     # -- Spark mapping ------------------------------------------------------
