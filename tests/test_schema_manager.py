@@ -1014,3 +1014,36 @@ def test_nullable_vector_roundtrip(mgr, spark):
     hits = knn_search(df, q, "e", "id", metric="COSINE", k=10).collect()
     assert [r.id for r in hits][0] == 1
     assert all(r.id != 2 for r in hits)
+
+
+def test_force_merge_compacts_files_and_stats(mgr, spark):
+    """Force Merge (§5): after N small append batches the data dir holds
+    N+ files and the BM25 stats log N delta rows per term; force_merge
+    compacts both without changing any answer."""
+    import glob
+    _mk_fts(mgr)
+    for i in range(4):
+        mgr.insert("fts_coll", _docs(spark, [(i, "alpha common")]))
+    data = mgr._data_dir("fts_coll")
+    files_before = len(glob.glob(os.path.join(data, "**", "part-*"),
+                                 recursive=True))
+    assert files_before >= 4
+    _, stats = mgr.function_tables("fts_coll")
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    terms_rows = spark.read.parquet(
+        os.path.join(base, "stats_terms")).filter("term = 'alpha'").count()
+    assert terms_rows == 4                      # one delta row per batch
+    before = {r.term: r.df_t for r in stats.collect()}
+    mgr.force_merge("fts_coll")
+    data = mgr._data_dir("fts_coll")
+    files_after = len(glob.glob(os.path.join(data, "**", "part-*"),
+                                recursive=True))
+    assert files_after < files_before
+    base = mgr._fn_data_dir("fts_coll", "fts")
+    assert spark.read.parquet(
+        os.path.join(base, "stats_terms")).filter(
+        "term = 'alpha'").count() == 1          # compacted
+    _, stats = mgr.function_tables("fts_coll")
+    assert {r.term: r.df_t for r in stats.collect()} == before
+    assert mgr.read("fts_coll").count() == 4
+    assert mgr.bm25_search("fts_coll", "alpha", k=10).count() == 4

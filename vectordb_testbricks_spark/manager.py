@@ -962,6 +962,27 @@ class CollectionManager:
         with self._write_lock(real):
             self._overwrite(real, self.read(real).limit(0))
 
+    def force_merge(self, name: str, files_per_partition: int = 1) -> None:
+        """3.0 Force Merge compaction mode (feature-inventory §5): one
+        explicit full rewrite — append-accumulated small files re-cluster
+        into the fresh version, the BM25 stats delta log compacts to one
+        row per term, and the previous version is retained then swept.
+        Multi-partition layouts compact through _overwrite's
+        routing-column clustering (one file per partition dir);
+        single-partition collections — where _overwrite deliberately
+        leaves the write parallel — are shaped here to
+        ``files_per_partition`` PK-hash buckets (an offline maintenance
+        op trades write parallelism for file count; size the knob to the
+        collection, 1 only for small ones)."""
+        real = self.resolve(name)
+        with self._write_lock(real):
+            spec = self.describe_collection(real)
+            state = self.read(real)
+            if not self._multi_partition(spec):
+                state = state.repartition(max(1, files_per_partition),
+                                          F.col(spec.pk.name))
+            self._overwrite(real, state)
+
     def _snapshots_file(self, real: str) -> str:
         return os.path.join(self._dir(real), "SNAPSHOTS.json")
 
