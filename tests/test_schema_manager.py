@@ -1047,3 +1047,77 @@ def test_force_merge_compacts_files_and_stats(mgr, spark):
     assert {r.term: r.df_t for r in stats.collect()} == before
     assert mgr.read("fts_coll").count() == 4
     assert mgr.bm25_search("fts_coll", "alpha", k=10).count() == 4
+
+
+def test_snapshot_isolated_from_later_inserts(mgr, spark):
+    """review r07b #1: inserts append into the CURRENT version dir, so a
+    snapshot pinning that dir must trigger copy-on-write on the next
+    insert — the pinned read must NOT include post-snapshot rows."""
+    mgr.create_collection(SchemaSpec("cow", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64")]))
+    mgr.insert("cow", spark.createDataFrame([(1, 1), (2, 2)],
+                                            "id long, v long"))
+    sid = mgr.create_snapshot("cow")
+    mgr.insert("cow", spark.createDataFrame([(3, 3)], "id long, v long"))
+    assert mgr.read("cow").count() == 3
+    assert {r.id for r in mgr.read("cow", snapshot_id=sid).collect()} \
+        == {1, 2}
+    # and again after the CoW version is itself snapshotted
+    sid2 = mgr.create_snapshot("cow")
+    mgr.insert("cow", spark.createDataFrame([(4, 4)], "id long, v long"))
+    assert {r.id for r in mgr.read("cow", snapshot_id=sid2).collect()} \
+        == {1, 2, 3}
+    assert mgr.read("cow").count() == 4
+
+
+def test_partial_update_recomputes_text_embedding(mgr, spark):
+    """review r07b #2: a partial update that changes a TEXT_EMBEDDING
+    input must re-derive the stored embedding; a fresh PK inserted via
+    partial update gets an embedding, not NULL."""
+    mgr.create_collection(SchemaSpec("pe", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=128, enable_analyzer=True),
+        FieldSpec("vec", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("emb", "TEXT_EMBEDDING", "text", "vec",
+                               params={"n_buckets": 64})]))
+    mgr.insert("pe", spark.createDataFrame(
+        [(1, "old words"), (2, "other stuff")], "doc_id long, text string")
+        .withColumn("vec", F.lit(None).cast("map<int,float>")))
+    mgr.partial_update("pe", spark.createDataFrame(
+        [(1, "fresh phrase"), (3, "brand new")], "doc_id long, text string"))
+    hits = mgr.text_embedding_search("pe", "fresh phrase", k=1).collect()
+    assert hits[0]["doc_id"] == 1 and abs(hits[0]["score"] - 1.0) < 1e-6
+    hits = mgr.text_embedding_search("pe", "brand new", k=1).collect()
+    assert hits[0]["doc_id"] == 3 and abs(hits[0]["score"] - 1.0) < 1e-6
+
+
+def test_array_partial_update_null_semantics(mgr, spark):
+    """review r07b #3: append onto a NULL stored array treats it as
+    empty (the delta must not vanish), and remove keeps NULL elements
+    it was never asked to drop."""
+    _mk_arr_coll(mgr, name="arr_null")
+    mgr.insert("arr_null", spark.createDataFrame(
+        [(1, None, [1, None, 2])],
+        "id long, tags array<string>, nums array<bigint>"))
+    mgr.array_update("arr_null", spark.createDataFrame(
+        [(1, ["x"], [2])],
+        "id long, tags array<string>, nums array<bigint>"),
+        {"tags": "append", "nums": "remove"})
+    r = mgr.read("arr_null").collect()[0]
+    assert list(r.tags) == ["x"]
+    assert list(r.nums) == [1, None]
+
+
+def test_prepare_import_refuses_external(mgr, spark, tmp_path):
+    """review r07b #5: staging bypasses the writer lock, so the
+    external read-only guard must fire at prepare time."""
+    src = str(tmp_path / "x_src")
+    spark.createDataFrame([(1, 1)], "id long, v long") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    mgr.create_external_collection(SchemaSpec("x_ro", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("v", "INT64")]), src)
+    with pytest.raises(SchemaError, match="read-only"):
+        mgr.prepare_import("x_ro", spark.createDataFrame(
+            [(2, 2)], "id long, v long"))

@@ -175,11 +175,12 @@ def test_embedding_list_search_with_filters(el_df, el_rows, qdf):
         kept = [(j0, v) for j0, v in enumerate(vecs) if v[0] > 0]
         if not kept:
             continue
-        scores = [(_cos(v, _Q), jk) for jk, (j0, v) in enumerate(kept)]
-        s, jk = max(scores, key=lambda t: (t[0], -t[1]))
-        want[i] = (jk, round(s, 9))
-    # element_idx is the index within the FILTERED array (posexplode
-    # runs after F.filter) — positions re-number, documented semantics
+        scores = [(_cos(v, _Q), j0) for j0, v in kept]
+        s, j0 = max(scores, key=lambda t: (t[0], -t[1]))
+        want[i] = (j0, round(s, 9))
+    # element_idx addresses the STORED array position even under an
+    # element filter (posexplode runs before the filter), so the hit
+    # path $[idx] stays resolvable against the row
     assert got == want
 
 

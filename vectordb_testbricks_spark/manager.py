@@ -174,6 +174,8 @@ class CollectionManager:
         ones are listed even when empty — including right after create
         or truncate, which keep the declaration but hold no data."""
         real = self.resolve(name)
+        if not self.has_collection(real):
+            return []          # existence-tolerant probe (has_partition)
         declared = set(self.describe_collection(real).partitions or [])
         data = self._data_dir(real)
         observed = set()
@@ -223,10 +225,22 @@ class CollectionManager:
             self._insert_locked(name, df, partition_name)
 
     def _insert_locked(self, name: str, df: DataFrame,
-                       partition_name: str | None = None) -> None:
+                       partition_name: str | None = None,
+                       pre_routed: bool = False) -> None:
         spec = self.describe_collection(name)
-        routed = self._route(spec, self._apply_field_functions(spec, df),
-                             partition_name)
+        real = self.resolve(name)
+        # copy-on-write for snapshots (review r07b #1): appends mutate
+        # the CURRENT version dir in place, so when a snapshot pins that
+        # dir the state must first move to a fresh version — otherwise
+        # the pinned read would silently include post-snapshot inserts
+        if os.path.basename(self._data_dir(real)) in set(
+                self._read_snapshots(real).values()):
+            self._overwrite(real, self.read(real))
+        # pre_routed: the batch already carries the routing column and
+        # computed function fields (commit_import's staged data) — don't
+        # featurize or route twice
+        routed = df if pre_routed else self._route(
+            spec, self._apply_field_functions(spec, df), partition_name)
         if spec.ttl_seconds or spec.ttl_field:
             routed = routed.withColumn(INGEST_TS_COL, F.current_timestamp())
         hash_routed = (spec.partition_key is not None
@@ -350,6 +364,14 @@ class CollectionManager:
                 merged = merged.withColumn(
                     INGEST_TS_COL,
                     F.coalesce(F.col(INGEST_TS_COL), F.current_timestamp()))
+            # function fields re-derive from the merged state: a partial
+            # update touching a TEXT_EMBEDDING input would otherwise
+            # leave the stored embedding computed from the OLD text (and
+            # fresh PKs inserted with a NULL one) — recomputation is
+            # deterministic and row-local, so unchanged rows get their
+            # identical value back (review r07b #2)
+            if self._embedding_functions(spec):
+                merged = self._apply_field_functions(spec, merged)
             self._overwrite(name, merged)
 
     def delete(self, name: str, flt: str) -> None:
@@ -791,10 +813,17 @@ class CollectionManager:
 
     @staticmethod
     def _list_parquet_files(uri: str) -> list[str]:
+        """Data files under an external source: Spark-style ``part-*``
+        AND plain ``*.parquet`` names (pyarrow / DuckDB COPY / pandas
+        write the latter), minus hidden/metadata entries — an external
+        layout this walk can't see should surface as an error at create
+        time, not as a collection that silently reads empty."""
         out = []
         for root, _dirs, files in os.walk(uri):
             out.extend(os.path.join(root, f) for f in files
-                       if f.startswith("part-"))
+                       if not f.startswith(("_", "."))
+                       and (f.startswith("part-")
+                            or f.endswith(".parquet")))
         return sorted(out)
 
     def create_external_collection(self, spec: SchemaSpec,
@@ -816,6 +845,9 @@ class CollectionManager:
         spec.validate()
         if self.has_collection(spec.name):
             raise SchemaError(f"collection {spec.name!r} already exists")
+        if not os.path.isdir(source_uri):
+            raise SchemaError(
+                f"external source {source_uri!r} does not exist")
         os.makedirs(self._dir(spec.name))
         with open(self._schema_file(spec.name), "w") as fh:
             fh.write(_spec_to_json(spec))
@@ -931,6 +963,10 @@ class CollectionManager:
             sparse_search_many)
         spec = self.describe_collection(name)
         fns = self._embedding_functions(spec)
+        if fn_name is None and len(fns) > 1:
+            raise SchemaError(
+                f"{name}: multiple TEXT_EMBEDDING functions "
+                f"({[f.name for f in fns]}); pass fn_name")
         fn = next((f for f in fns if fn_name in (None, f.name)), None)
         if fn is None:
             raise SchemaError(
@@ -1047,6 +1083,11 @@ class CollectionManager:
         import json
         import uuid
         real = self.resolve(name)
+        if self.is_external(real):
+            # the writer-lock guard can't cover this path (staging takes
+            # no lock), so refuse explicitly (review r07b #5)
+            raise SchemaError(
+                f"{real!r} is an external collection (read-only)")
         spec = self.describe_collection(real)
         routed = self._route(spec, self._apply_field_functions(spec, df),
                              partition_name)
@@ -1058,19 +1099,32 @@ class CollectionManager:
         return ticket
 
     def commit_import(self, name: str, ticket: str) -> None:
-        """Phase two: make the staged batch visible through the normal
-        insert path (append + BM25 sidecar deltas + TTL stamp), then
-        reclaim the staging dir. Raises on an unknown/aborted ticket."""
+        """Phase two: make the staged batch visible through the insert
+        append path — WITHOUT re-routing or re-featurizing (the staged
+        rows already carry the routing column and computed function
+        fields; pre_routed skips that work) — then reclaim the staging
+        dir. Tickets are consumed exactly once: the staging dir is
+        atomically renamed to ``.committing`` before the insert, so a
+        concurrent or retried commit of the same ticket raises unknown-
+        ticket instead of double-inserting; a crash mid-commit leaves
+        the ``.committing`` dir behind as evidence for manual recovery
+        rather than risking a silent duplicate (review r07b #4)."""
         import json
         real = self.resolve(name)
         staged = os.path.join(self._dir(real), f"import.{ticket}")
-        if not os.path.isdir(staged):
-            raise KeyError(f"unknown import ticket {ticket!r}")
-        with open(os.path.join(staged, "_TICKET.json")) as fh:
+        marker = staged + ".committing"
+        try:
+            os.rename(staged, marker)      # atomic claim of the ticket
+        except FileNotFoundError:
+            raise KeyError(f"unknown import ticket {ticket!r}") from None
+        with open(os.path.join(marker, "_TICKET.json")) as fh:
             meta = json.load(fh)
-        df = self.spark.read.parquet(staged).drop(PARTITION_COL)
-        self.insert(real, df, partition_name=meta.get("partition_name"))
-        shutil.rmtree(staged, ignore_errors=True)
+        df = self.spark.read.parquet(marker)
+        with self._write_lock(real):
+            self._insert_locked(real, df,
+                                partition_name=meta.get("partition_name"),
+                                pre_routed=True)
+        shutil.rmtree(marker, ignore_errors=True)
 
     def abort_import(self, name: str, ticket: str) -> None:
         """Discard a staged import; nothing ever became visible."""

@@ -82,12 +82,16 @@ def array_partial_update(base: DataFrame, updates: DataFrame,
     (feature-inventory doc §4 "partial update operation family"): merge
     the update batch's array deltas into MATCHING rows by PK —
     ``ops[col] = "append"`` concatenates the incoming elements onto the
-    stored array, ``"remove"`` drops every occurrence of each listed
-    value (duplicates of other values are preserved — a higher-order
-    ``filter`` with ``array_contains``, NOT array_except, whose
-    set-semantics would also dedup survivors). PKs absent from the base
-    are ignored (this is the update family, not upsert); a NULL delta
-    array leaves the stored value untouched.
+    stored array (a NULL STORED array counts as empty — the delta must
+    not silently vanish into ``concat(NULL, d) = NULL``), ``"remove"``
+    drops every occurrence of each listed value while preserving both
+    duplicates of other values AND NULL elements (a higher-order
+    ``filter`` over ``coalesce(array_contains(...), false)`` — NOT
+    array_except, whose set-semantics would dedup survivors, and not
+    bare three-valued ``array_contains``, which would silently delete
+    NULL elements). PKs absent from the base are ignored (this is the
+    update family, not upsert); a NULL DELTA array leaves the stored
+    value untouched.
 
     Plan shape: one broadcast LEFT join on the PK (update batches are
     the small side by contract), per-column expressions row-local."""
@@ -103,8 +107,11 @@ def array_partial_update(base: DataFrame, updates: DataFrame,
     for c in base.columns:
         if c in ops:
             b, d = F.col(c), F.col(f"_u_{c}")
-            merged = (F.concat(b, d) if ops[c] == "append"
-                      else F.filter(b, lambda x: ~F.array_contains(d, x)))
+            if ops[c] == "append":
+                merged = F.when(b.isNull(), d).otherwise(F.concat(b, d))
+            else:
+                merged = F.filter(b, lambda x: ~F.coalesce(
+                    F.array_contains(d, x), F.lit(False)))
             out.append(F.when(d.isNull(), b).otherwise(merged).alias(c))
         else:
             out.append(F.col(c))

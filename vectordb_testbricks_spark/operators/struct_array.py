@@ -119,12 +119,15 @@ def embedding_list_search(base: DataFrame, queries: DataFrame,
         raise ValueError(f"scope must be entity|element, got {scope!r}")
     if flt is not None:
         base = base.filter(flt)
-    col = F.col(list_col)
+    # posexplode BEFORE the element filter — same order as
+    # element_filter_hits — so element_idx always addresses the STORED
+    # array position ($[idx] stays resolvable against the row) instead
+    # of renumbering within the filtered subset
+    exploded = base.select(id_col, F.posexplode(F.col(list_col))
+                           .alias("element_idx", "_evec"))
     if element_pred is not None:
-        col = F.filter(col, element_pred)
-    exploded = (base.select(id_col, F.posexplode(col)
-                            .alias("element_idx", "_evec"))
-                .crossJoin(F.broadcast(queries)))
+        exploded = exploded.filter(element_pred(F.col("_evec")))
+    exploded = exploded.crossJoin(F.broadcast(queries))
     score, asc = score_expr(metric, to_double_array(F.col("_evec")),
                             F.col("qvec"))
     scored = exploded.select("query_id", id_col, "element_idx",
