@@ -214,3 +214,37 @@ def test_embedding_list_range_search(el_df, el_rows, qdf):
     wd = sorted((i, j) for i, vecs in el_rows
                 for j, v in enumerate(vecs) if 0.5 <= _l2(v, _Q) < 2.0)
     assert gd == wd
+
+
+def test_element_level_hybrid_search_composes_with_fusion(spark, el_df,
+                                                          el_rows, qdf):
+    """Element-level hybrid search (roadmap §1): an entity-scope
+    embedding-list branch returns the standard ranked hit shape
+    (query_id, id, score, rank), so it composes with rrf_fuse against
+    any other branch unchanged — here a second element branch over a
+    different query vector stands in for the text/BM25 modality."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    from vectordb_testbricks_spark.operators.struct_array import (
+        embedding_list_search)
+    q2 = spark.createDataFrame([(0, [-0.5, 0.4, 0.8, -0.2])],
+                               "query_id int, qvec array<double>")
+    b1 = embedding_list_search(el_df, qdf, "embs", "id",
+                               metric="COSINE", k=10, scope="entity")
+    b2 = embedding_list_search(el_df, q2, "embs", "id",
+                               metric="COSINE", k=10, scope="entity")
+    fused = rrf_fuse([b1, b2], "id", k=5).collect()
+    # python reference over the two branches' rank lists
+    def ranks(qv):
+        per = []
+        for i, vecs in el_rows:
+            per.append((max(_cos(v, qv) for v in vecs), i))
+        per.sort(key=lambda t: (-t[0], t[1]))
+        return {i: r + 1 for r, (_, i) in enumerate(per[:10])}
+    r1, r2 = ranks(_Q), ranks([-0.5, 0.4, 0.8, -0.2])
+    scores = {}
+    for i in set(r1) | set(r2):
+        scores[i] = sum(1.0 / (60 + rr[i]) for rr in (r1, r2) if i in rr)
+    want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:5]
+    got = [(r.id, round(r.score, 9)) for r in
+           sorted(fused, key=lambda r: r.rank)]
+    assert got == [(i, round(s, 9)) for i, s in want]
