@@ -354,3 +354,46 @@ def test_v3_operators_gated_and_semantics(spark):
     assert sorted(r.id for r in df.filter(odd).collect()) == [1, 3]
     x = compile_expr("(id ^ 1) == 0", df, enable_v3_exprs=True)
     assert sorted(r.id for r in df.filter(x).collect()) == [1]
+
+
+def test_star_element_access_gated_and_semantics(spark):
+    """3.0 [*] element access ($[...] 访问): a comparison over
+    path[*]... is existentially quantified over the array — lowered to a
+    scan-stage exists (no Generate in the plan); gated with the other v3
+    prototypes; literal side may appear on either side; struct subfield
+    and plain-array element walks both work."""
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+
+    df = spark.createDataFrame(
+        [(1, [{"tag": "a", "val": 50}, {"tag": "b", "val": 10}], [1, 2]),
+         (2, [{"tag": "b", "val": 99}], [7]),
+         (3, [], [0, 8]),
+         (4, None, None)],
+        "id long, items array<struct<tag string, val int>>, "
+        "nums array<bigint>")
+    with pytest.raises(ExprCompileError, match="gated"):
+        compile_expr('items[*]["val"] > 40', df)
+    p = compile_expr('items[*]["val"] > 40', df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(p).collect()) == [1, 2]
+    p = compile_expr('items[*]["tag"] == "a"', df, enable_v3_exprs=True)
+    assert [r.id for r in df.filter(p).collect()] == [1]
+    # plain array of scalars; literal on the left flips correctly
+    p = compile_expr("5 <= nums[*]", df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(p).collect()) == [2, 3]
+    # empty array -> no element satisfies; NULL array -> NULL (dropped)
+    p = compile_expr("nums[*] >= 0", df, enable_v3_exprs=True)
+    assert sorted(r.id for r in df.filter(p).collect()) == [1, 2, 3]
+    # plan stays un-exploded
+    plan = df.filter(compile_expr('items[*]["val"] > 40', df,
+                                  enable_v3_exprs=True)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    # compile-time rejections
+    for bad in ('items[*]["val"] > nums[*]',        # two quantifiers
+                'unknown_col[*] > 1'):              # undeclared
+        with pytest.raises(ExprCompileError):
+            compile_expr(bad, df, enable_v3_exprs=True)
+    # a [*] path outside a comparison is rejected with a clear message
+    with pytest.raises(ExprCompileError, match="quantifies"):
+        compile_expr('array_length(nums[*]) == 1', df,
+                     enable_v3_exprs=True)

@@ -22,6 +22,15 @@ from pyspark.sql import types as T
 from vectordb_testbricks_spark.exprlang import parser as ast
 from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError, parse
 
+_CMP_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
 
 def milvus_like_pattern(pattern: str) -> str:
     """Milvus LIKE → SQL LIKE pattern: Milvus knows only ``%`` as a
@@ -127,13 +136,23 @@ class _Compiler:
                 f"[{a}]" if isinstance(a, int) else f".{a}" for a in node.accessors)
             return _Operand(F.get_json_object(col, path), "json", None,
                             json_path_of=(col, path))
-        cur = col
-        cur_type = dtype
-        for a in node.accessors:
+        return self._walk_accessors(col, dtype, node.accessors, node.name)
+
+    def _walk_accessors(self, cur, cur_type, accessors,
+                        name: str) -> _Operand:
+        """Type-directed accessor walk shared by declared paths and the
+        ``[*]``-quantified element walk (``cur`` is the lambda variable
+        there)."""
+        for a in accessors:
+            if isinstance(a, ast.Star):
+                raise ExprCompileError(
+                    f"[*] on {name!r} quantifies a comparison — it is "
+                    f"only valid as `path[*]... <op> value` (and gated "
+                    f"behind enable_v3_exprs)")
             if isinstance(cur_type, T.ArrayType):
                 if not isinstance(a, int):
                     raise ExprCompileError(
-                        f"array column {node.name!r} needs integer index, got {a!r}")
+                        f"array column {name!r} needs integer index, got {a!r}")
                 # try_element_at, NOT getItem: under ANSI mode (Spark 4
                 # default) getItem THROWS on an out-of-bounds index, but
                 # Milvus semantics for arr[i] past the end is simply
@@ -154,7 +173,7 @@ class _Compiler:
                                 json_path_of=(cur, path))
             else:
                 raise ExprCompileError(
-                    f"cannot index into {cur_type.simpleString()} ({node.name!r})")
+                    f"cannot index into {cur_type.simpleString()} ({name!r})")
         return _Operand(cur, "col", cur_type)
 
     def _dynamic_path(self, node: ast.Path) -> _Operand:
@@ -219,6 +238,9 @@ class _Compiler:
         return ~pred if node.negated else pred
 
     def cmp(self, node: ast.Cmp) -> Column:
+        star = self._quantified_cmp(node)
+        if star is not None:
+            return star
         left, right = self.operand(node.left), self.operand(node.right)
         lc, rc = left.col, right.col
         # JSON-extracted strings compare typed against the literal side
@@ -230,15 +252,69 @@ class _Compiler:
             cast = _cast_for(_lit_value(node.left))
             if cast:
                 rc = rc.try_cast(cast)
-        ops = {
-            "==": lambda a, b: a == b,
-            "!=": lambda a, b: a != b,
-            ">": lambda a, b: a > b,
-            ">=": lambda a, b: a >= b,
-            "<": lambda a, b: a < b,
-            "<=": lambda a, b: a <= b,
-        }
-        return ops[node.op](lc, rc)
+        return _CMP_OPS[node.op](lc, rc)
+
+    @staticmethod
+    def _star_split(node):
+        """(accessors before [*], accessors after) for a star path, else
+        None. One quantifier per path."""
+        if not isinstance(node, ast.Path):
+            return None
+        stars = [i for i, a in enumerate(node.accessors)
+                 if isinstance(a, ast.Star)]
+        if not stars:
+            return None
+        if len(stars) > 1:
+            raise ExprCompileError("only one [*] per path is supported")
+        i = stars[0]
+        return node.accessors[:i], node.accessors[i + 1:]
+
+    def _quantified_cmp(self, node: ast.Cmp) -> Column | None:
+        """3.0-roadmap ``[*]`` element access (gated — feature-inventory
+        doc §1 "$[...] 访问", "element-level filter"): a comparison over
+        ``path[*]...`` holds when ANY element satisfies it —
+        ``items[*]["val"] > 40`` lowers to a scan-stage higher-order
+        ``exists`` (no explode, no join), the same plan shape as
+        operators.struct_array.element_exists. One quantified side per
+        comparison; the path must resolve to a declared array."""
+        ls, rs = self._star_split(node.left), self._star_split(node.right)
+        if ls is None and rs is None:
+            return None
+        if not self.enable_v3_exprs:
+            raise ExprCompileError(
+                "[*] element access is a gated 3.0-roadmap prototype; "
+                "compile with enable_v3_exprs=True to use it")
+        if ls is not None and rs is not None:
+            raise ExprCompileError(
+                "[*] on both sides of a comparison is unsupported")
+        flip = ls is None
+        path_node = node.right if flip else node.left
+        other_node = node.left if flip else node.right
+        pre, post = rs if flip else ls
+        if path_node.name not in self.schema:
+            raise ExprCompileError(
+                f"[*] requires a declared column, got {path_node.name!r}")
+        base = self._walk_accessors(F.col(path_node.name),
+                                    self.schema[path_node.name], pre,
+                                    path_node.name)
+        if not isinstance(base.dtype, T.ArrayType):
+            raise ExprCompileError(
+                f"[*] applies to array paths; {path_node.name!r} resolves "
+                f"to {base.dtype.simpleString() if base.dtype else 'json'}")
+        elem_t = base.dtype.elementType
+        other = self.operand(other_node)
+
+        def elem_pred(e):
+            elem = self._walk_accessors(e, elem_t, post, path_node.name)
+            ec, oc = elem.col, other.col
+            if elem.kind == "json" and isinstance(other_node, ast.Lit):
+                cast = _cast_for(_lit_value(other_node))
+                if cast:
+                    ec = ec.try_cast(cast)
+            lc, rc = (oc, ec) if flip else (ec, oc)
+            return _CMP_OPS[node.op](lc, rc)
+
+        return F.exists(base.col, elem_pred)
 
     def in_(self, node: ast.In) -> Column:
         op = self.operand(node.operand)

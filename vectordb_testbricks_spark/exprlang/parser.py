@@ -53,9 +53,17 @@ class ListLit:
 
 
 @dataclass(frozen=True)
+class Star:
+    """3.0 ``[*]`` element quantifier inside a path (feature-inventory
+    doc §1 "$[...] 访问"): ``items[*]["val"]`` addresses EVERY element's
+    ``val``; a comparison over such a path is existentially quantified
+    (gated at compile time with the other v3 prototypes)."""
+
+
+@dataclass(frozen=True)
 class Path:
     """Column reference with optional accessors: ``j["a"][0]`` ->
-    Path("j", ("a", 0))."""
+    Path("j", ("a", 0)); ``items[*]`` -> Path("items", (Star(),))."""
     name: str
     accessors: tuple = ()
 
@@ -133,7 +141,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<rawstring>[rR]"[^"]*"|[rR]'[^']*')
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<op>==|!=|>=|<=|&&|\|\||=~|!~|[><!()\[\],+\-&|^])
+  | (?P<op>==|!=|>=|<=|&&|\|\||=~|!~|[><!()\[\],+\-&|^*])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -377,6 +385,8 @@ class _Parser:
                 accessors.append(_unescape(t.text))
             elif t.kind == "int":
                 accessors.append(int(t.text))
+            elif t.kind == "op" and t.text == "*":
+                accessors.append(Star())
             else:
                 raise ExprSyntaxError(
                     f"bad accessor {t.text!r} at {t.pos} in {self.src!r}")

@@ -110,6 +110,9 @@ class _Emitter:
             f"[{a}]" if isinstance(a, int) else f".{a}" for a in accessors)
 
     def path(self, node: ast.Path) -> str:
+        if any(isinstance(a, ast.Star) for a in node.accessors):
+            raise SqlGenError(
+                "[*] element quantifier keeps curated/Python oracles")
         if self.is_dynamic(node):
             if node.accessors:
                 raise SqlGenError(
