@@ -1121,3 +1121,56 @@ def test_prepare_import_refuses_external(mgr, spark, tmp_path):
     with pytest.raises(SchemaError, match="read-only"):
         mgr.prepare_import("x_ro", spark.createDataFrame(
             [(2, 2)], "id long, v long"))
+
+
+def test_struct_array_schema_roundtrip_and_element_ops(mgr, spark):
+    """STRUCT_ARRAY schema dtype (§1): declared subfields map to
+    array<struct<...>> (embedding-list = a FLOAT_VECTOR subfield), the
+    spec JSON round-trips through the manager with nested FieldSpecs
+    intact, DML round-trips the data, and the element operators work
+    over the managed collection."""
+    from vectordb_testbricks_spark.operators.struct_array import (
+        element_exists, embedding_list_search)
+    spec = SchemaSpec("sa_coll", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("chunks", "STRUCT_ARRAY", subfields=[
+            FieldSpec("tag", "VARCHAR", max_length=16),
+            FieldSpec("emb", "FLOAT_VECTOR", dim=4),
+        ]),
+    ])
+    mgr.create_collection(spec)
+    back = mgr.describe_collection("sa_coll")
+    f = next(x for x in back.fields if x.name == "chunks")
+    assert [s.name for s in f.subfields] == ["tag", "emb"]
+    assert f.spark_type().simpleString() == \
+        "array<struct<tag:string,emb:array<float>>>"
+    rows = [(1, [("a", [1.0, 0.0, 0.0, 0.0]), ("b", [0.0, 1.0, 0.0, 0.0])]),
+            (2, [("b", [0.0, 0.0, 1.0, 0.0])])]
+    mgr.insert("sa_coll", spark.createDataFrame(
+        rows, back.to_struct_type()))
+    df = mgr.read("sa_coll")
+    assert sorted(r.id for r in df.filter(
+        element_exists("chunks", lambda e: e["tag"] == "a")).collect()) \
+        == [1]
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id int, qvec array<double>")
+    lists = df.select("id", F.col("chunks.emb").alias("embs"))
+    hits = embedding_list_search(lists, q, "embs", "id",
+                                 metric="COSINE", k=1, scope="entity") \
+        .collect()
+    assert hits[0].id == 1 and abs(hits[0].score - 1.0) < 1e-9
+    # validation: subfields required; one nesting level; vector dim
+    with pytest.raises(SchemaError, match="subfields"):
+        SchemaSpec("bad", [FieldSpec("id", "INT64", primary=True),
+                           FieldSpec("c", "STRUCT_ARRAY")]).validate()
+    with pytest.raises(SchemaError, match="nesting"):
+        SchemaSpec("bad", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("c", "STRUCT_ARRAY", subfields=[
+                FieldSpec("d", "STRUCT_ARRAY", subfields=[
+                    FieldSpec("x", "INT64")])])]).validate()
+    with pytest.raises(SchemaError, match="needs dim"):
+        SchemaSpec("bad", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("c", "STRUCT_ARRAY", subfields=[
+                FieldSpec("v", "FLOAT_VECTOR")])]).validate()

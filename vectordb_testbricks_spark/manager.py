@@ -41,9 +41,16 @@ def _spec_to_json(spec: SchemaSpec) -> str:
     return json.dumps(dataclasses.asdict(spec), indent=1, sort_keys=True)
 
 
+def _field_from_dict(f: dict) -> FieldSpec:
+    if f.get("subfields"):     # STRUCT_ARRAY carries nested FieldSpecs
+        f = {**f, "subfields": [_field_from_dict(s)
+                                for s in f["subfields"]]}
+    return FieldSpec(**f)
+
+
 def _spec_from_json(s: str) -> SchemaSpec:
     d = json.loads(s)
-    d["fields"] = [FieldSpec(**f) for f in d["fields"]]
+    d["fields"] = [_field_from_dict(f) for f in d["fields"]]
     d["indexes"] = [IndexSpec(**i) for i in d["indexes"]]
     d["functions"] = [FunctionSpec(**f) for f in d["functions"]]
     return SchemaSpec(**d)

@@ -95,6 +95,11 @@ class FieldSpec:
     max_capacity: int | None = None
     enable_analyzer: bool = False
     analyzer_params: dict | None = None
+    # 3.0-roadmap STRUCT_ARRAY (feature-inventory doc §1): an array of
+    # structs whose subfields are declared like top-level fields —
+    # scalars, ARRAYs, or vector dtypes (the "embedding list" case is a
+    # FLOAT_VECTOR subfield). One nesting level, matching the roadmap.
+    subfields: "list[FieldSpec] | None" = None
 
     @property
     def is_vector(self) -> bool:
@@ -109,6 +114,13 @@ class FieldSpec:
                     f"field {self.name}: ARRAY element_type "
                     f"{self.element_type!r} is not a scalar dtype")
             return T.ArrayType(SCALAR_DTYPES[self.element_type])
+        if self.dtype == "STRUCT_ARRAY":
+            if not self.subfields:
+                raise SchemaError(
+                    f"field {self.name}: STRUCT_ARRAY needs subfields")
+            return T.ArrayType(T.StructType([
+                T.StructField(sf.name, sf.spark_type(), sf.nullable)
+                for sf in self.subfields]))
         if self.dtype in SCALAR_DTYPES:
             return SCALAR_DTYPES[self.dtype]
         raise SchemaError(f"field {self.name}: unknown dtype {self.dtype!r}")
@@ -216,6 +228,29 @@ class SchemaSpec:
             if f.is_vector and f.dtype != "SPARSE_FLOAT_VECTOR" \
                     and f.dtype != "BINARY_VECTOR" and not f.dim:
                 raise SchemaError(f"{self.name}: vector field {f.name} needs dim")
+            if f.dtype == "STRUCT_ARRAY":
+                subs = f.subfields or []
+                if not subs:
+                    raise SchemaError(
+                        f"{self.name}: STRUCT_ARRAY {f.name} needs subfields")
+                if len({s.name for s in subs}) != len(subs):
+                    raise SchemaError(
+                        f"{self.name}: duplicate subfield names in {f.name}")
+                for s in subs:
+                    if s.dtype == "STRUCT_ARRAY":
+                        raise SchemaError(
+                            f"{self.name}: {f.name}.{s.name}: one nesting "
+                            f"level only (roadmap §1)")
+                    if s.primary or s.is_partition_key:
+                        raise SchemaError(
+                            f"{self.name}: subfield {f.name}.{s.name} "
+                            f"cannot be PK/partition key")
+                    if s.is_vector and s.dtype not in (
+                            "SPARSE_FLOAT_VECTOR", "BINARY_VECTOR") \
+                            and not s.dim:
+                        raise SchemaError(
+                            f"{self.name}: vector subfield "
+                            f"{f.name}.{s.name} needs dim")
             if f.dtype == "BINARY_VECTOR" and not f.dim:
                 raise SchemaError(f"{self.name}: binary vector {f.name} needs dim")
             if f.dtype == "ARRAY" and not f.element_type:
