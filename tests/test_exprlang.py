@@ -397,3 +397,32 @@ def test_star_element_access_gated_and_semantics(spark):
     with pytest.raises(ExprCompileError, match="quantifies"):
         compile_expr('array_length(nums[*]) == 1', df,
                      enable_v3_exprs=True)
+
+
+def test_star_rejected_in_json_and_chained_contexts(spark):
+    """review r07c: [*] must fail loudly where it has no lowering —
+    JSON-string paths, dynamic paths, and chained combined ranges —
+    instead of stringifying into a JSON path that silently matches
+    nothing; nested JSON under a struct folds ALL remaining accessors."""
+    from vectordb_testbricks_spark.exprlang.compiler import ExprCompileError
+    from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 3}}', [1, 9],
+          {"j": '{"a": {"b": 7}}'},
+          {"dyn_x": "5"})],
+        "id long, props string, nums array<bigint>, "
+        "meta struct<j string>, _dynamic map<string,string>")
+    for bad in ('props[*] == 1',          # JSON-string column
+                'undeclared[*] == 1'):    # dynamic path
+        with pytest.raises(ExprCompileError, match=r"\[\*\]"):
+            compile_expr(bad, df, enable_v3_exprs=True,
+                         json_columns={"props"})
+    with pytest.raises(ExprSyntaxError, match="combined ranges"):
+        compile_expr("0 < nums[*] < 5", df, enable_v3_exprs=True)
+    # nested JSON inside a struct: every remaining accessor reaches the
+    # JSON path (was: only the first, silently comparing the wrong value)
+    p = compile_expr('meta["j"]["a"]["b"] == 7', df)
+    assert df.filter(p).count() == 1
+    p = compile_expr('meta["j"]["a"]["b"] == 3', df)
+    assert df.filter(p).count() == 0

@@ -22,6 +22,21 @@ from pyspark.sql import types as T
 from vectordb_testbricks_spark.exprlang import parser as ast
 from vectordb_testbricks_spark.exprlang.parser import ExprSyntaxError, parse
 
+def _json_accessor_path(accessors, name: str) -> str:
+    """JSON-path string for accessors over a string/JSON value. [*] has
+    no JSON lowering (the quantifier applies to native arrays only) —
+    reject it here so a Star can never stringify into the path (it
+    would otherwise compile to '$.Star()' and silently match nothing,
+    bypassing the gate)."""
+    for a in accessors:
+        if isinstance(a, ast.Star):
+            raise ExprCompileError(
+                f"[*] inside a JSON path ({name!r}) is not supported — "
+                f"the quantifier applies to declared array columns")
+    return "$" + "".join(
+        f"[{a}]" if isinstance(a, int) else f".{a}" for a in accessors)
+
+
 _CMP_OPS = {
     "==": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
@@ -132,8 +147,7 @@ class _Compiler:
             return _Operand(col, "col", dtype)
         # JSON-string column (declared or duck-typed: string + accessors)
         if isinstance(dtype, T.StringType):
-            path = "$" + "".join(
-                f"[{a}]" if isinstance(a, int) else f".{a}" for a in node.accessors)
+            path = _json_accessor_path(node.accessors, node.name)
             return _Operand(F.get_json_object(col, path), "json", None,
                             json_path_of=(col, path))
         return self._walk_accessors(col, dtype, node.accessors, node.name)
@@ -143,12 +157,20 @@ class _Compiler:
         """Type-directed accessor walk shared by declared paths and the
         ``[*]``-quantified element walk (``cur`` is the lambda variable
         there)."""
-        for a in accessors:
+        for i, a in enumerate(accessors):
             if isinstance(a, ast.Star):
                 raise ExprCompileError(
                     f"[*] on {name!r} quantifies a comparison — it is "
                     f"only valid as `path[*]... <op> value` (and gated "
                     f"behind enable_v3_exprs)")
+            if isinstance(cur_type, T.StringType):
+                # nested JSON inside struct/map values: fold ALL the
+                # remaining accessors into one JSON path — consuming
+                # only the current one would silently drop the rest
+                # (review r07c #3)
+                path = _json_accessor_path(accessors[i:], name)
+                return _Operand(F.get_json_object(cur, path), "json",
+                                None, json_path_of=(cur, path))
             if isinstance(cur_type, T.ArrayType):
                 if not isinstance(a, int):
                     raise ExprCompileError(
@@ -166,11 +188,6 @@ class _Compiler:
             elif isinstance(cur_type, T.StructType):
                 cur = cur.getField(str(a))
                 cur_type = cur_type[str(a)].dataType
-            elif isinstance(cur_type, T.StringType):
-                # nested JSON inside struct/map values
-                path = f"$.{a}" if not isinstance(a, int) else f"$[{a}]"
-                return _Operand(F.get_json_object(cur, path), "json", None,
-                                json_path_of=(cur, path))
             else:
                 raise ExprCompileError(
                     f"cannot index into {cur_type.simpleString()} ({name!r})")
@@ -190,9 +207,7 @@ class _Compiler:
         col = F.col(DYNAMIC_FIELD_COL).getItem(node.name)
         if not node.accessors:
             return _Operand(col, "json", None)
-        path = "$" + "".join(
-            f"[{a}]" if isinstance(a, int) else f".{a}"
-            for a in node.accessors)
+        path = _json_accessor_path(node.accessors, node.name)
         return _Operand(F.get_json_object(col, path), "json", None,
                         json_path_of=(col, path))
 
@@ -589,7 +604,8 @@ def compile_expr(expr: str, df: DataFrame,
     ``analyzers`` maps field name -> analyzer_params so those predicates
     analyze the query with the match field's analyzer.
     ``enable_v3_exprs`` unlocks the gated 3.0 operator prototypes
-    (``=~``/``!~`` regex, bitwise ``&``/``^``/``|``); raw strings
+    (``=~``/``!~`` regex, bitwise ``&``/``^``/``|``, and ``[*]``
+    element quantification over declared array columns); raw strings
     ``r"..."`` are purely lexical (no 2.6 expression can contain one)
     and parse unconditionally.
     """

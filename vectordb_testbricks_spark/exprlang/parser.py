@@ -19,7 +19,7 @@ Grammar (verbatim forms observed in the reference — SURVEY.md §2.2):
     bit_xor   := bit_and ("^" bit_and)*      #   tighter than relops
     bit_and   := operand ("&" operand)*      #   (Go-style, not C's trap)
     operand   := literal | path_or_call | "(" expr ")"
-    path_or_call := IDENT ("(" args ")")? ("[" (STRING|INT) "]")*
+    path_or_call := IDENT ("(" args ")")? ("[" (STRING|INT|"*") "]")*
     literal   := INT | FLOAT | STRING | RAWSTRING | BOOL | list
 
 3.0-roadmap surface (reference feature-inventory doc §3 "regex filter
@@ -191,6 +191,16 @@ def tokenize(src: str) -> list[Token]:
 _RELOPS = {"==", "!=", ">", ">=", "<", "<="}
 
 
+def _has_star(node) -> bool:
+    """True when the operand is (or contains, through BitOp) a Path with
+    a ``[*]`` quantifier."""
+    if isinstance(node, Path):
+        return any(isinstance(a, Star) for a in node.accessors)
+    if isinstance(node, BitOp):
+        return _has_star(node.left) or _has_star(node.right)
+    return False
+
+
 @dataclass
 class _Parser:
     tokens: list[Token]
@@ -250,6 +260,17 @@ class _Parser:
                 right = self.parse_bit_or()
                 parts.append(Cmp(op, prev, right))
                 prev = right
+            if len(parts) > 1 and any(
+                    _has_star(p.left) or _has_star(p.right) for p in parts):
+                # the desugar is exact for scalars but would quantify
+                # each conjunct with an INDEPENDENT element — `0 <
+                # nums[*] < 5` would match a row with [-1, 10] although
+                # no element lies in the range. Reject rather than
+                # silently change meaning.
+                raise ExprSyntaxError(
+                    "combined ranges over a [*] path are unsupported "
+                    f"(each bound would quantify independently) in "
+                    f"{self.src!r}")
             node = parts[0]
             for p in parts[1:]:
                 node = And(node, p)

@@ -241,16 +241,28 @@ class SchemaSpec:
                         raise SchemaError(
                             f"{self.name}: {f.name}.{s.name}: one nesting "
                             f"level only (roadmap §1)")
-                    if s.primary or s.is_partition_key:
+                    if s.primary or s.is_partition_key or s.auto_id:
                         raise SchemaError(
                             f"{self.name}: subfield {f.name}.{s.name} "
-                            f"cannot be PK/partition key")
+                            f"cannot be PK/partition key/auto_id")
                     if s.is_vector and s.dtype not in (
                             "SPARSE_FLOAT_VECTOR", "BINARY_VECTOR") \
                             and not s.dim:
                         raise SchemaError(
                             f"{self.name}: vector subfield "
                             f"{f.name}.{s.name} needs dim")
+                    if s.dtype == "ARRAY" and not s.element_type:
+                        raise SchemaError(
+                            f"{self.name}: ARRAY subfield "
+                            f"{f.name}.{s.name} needs element_type")
+                    if s.dtype == "VARCHAR" and s.max_length is not None \
+                            and s.max_length <= 0:
+                        raise SchemaError(
+                            f"{self.name}: VARCHAR {f.name}.{s.name} "
+                            f"max_length must be > 0")
+                    # surface any remaining dtype problem at validate
+                    # time, not at the first insert's spark_type() call
+                    s.spark_type()
             if f.dtype == "BINARY_VECTOR" and not f.dim:
                 raise SchemaError(f"{self.name}: binary vector {f.name} needs dim")
             if f.dtype == "ARRAY" and not f.element_type:
