@@ -1174,3 +1174,36 @@ def test_struct_array_schema_roundtrip_and_element_ops(mgr, spark):
             FieldSpec("id", "INT64", primary=True),
             FieldSpec("c", "STRUCT_ARRAY", subfields=[
                 FieldSpec("v", "FLOAT_VECTOR")])]).validate()
+
+
+def test_text_embedding_serves_through_sparse_postings_tier(mgr, spark):
+    """§6 at scale: a TEXT_EMBEDDING output field is a
+    SPARSE_FLOAT_VECTOR, so the SPARSE_INVERTED_INDEX postings tier
+    applies directly — build the index over the managed collection's
+    embedding column and the pruned path returns the brute-force
+    text-search hits exactly (the 100-TB serving shape: bucket-dir +
+    key-In() pruned postings scan instead of a full map-column scan)."""
+    from vectordb_testbricks_spark.functions.text import (
+        py_hashed_sparse_embedding)
+    from vectordb_testbricks_spark.operators.ann_index import (
+        build_sparse_inverted, sparse_inverted_search)
+    mgr.create_collection(SchemaSpec("emb_ix", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=256, enable_analyzer=True),
+        FieldSpec("vec", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("emb", "TEXT_EMBEDDING", "text", "vec",
+                               params={"n_buckets": 128})]))
+    texts = [(i, f"token{i % 7} shared word{i % 3}") for i in range(40)]
+    mgr.insert("emb_ix", spark.createDataFrame(
+        texts, "doc_id long, text string")
+        .withColumn("vec", F.lit(None).cast("map<int,float>")))
+    bf = mgr.text_embedding_search("emb_ix", "token3 shared word0",
+                                   k=8).collect()
+    model = build_sparse_inverted(mgr.read("emb_ix"), "vec", "doc_id",
+                                  n_buckets=8)
+    q = py_hashed_sparse_embedding("token3 shared word0", 128)
+    pv = sparse_inverted_search(model, [q], k=8).collect()
+    assert sorted((r["doc_id"], round(r["score"], 6), r["rank"])
+                  for r in bf) == \
+           sorted((r["doc_id"], round(r["score"], 6), r["rank"])
+                  for r in pv)
