@@ -190,6 +190,59 @@ def main() -> None:
             latency[name] = {k: round(v, 4) for k, v in
                              percentile_stats(runs).items()}
 
+    # concurrent-QPS entry: the reference's headline serving metric is
+    # QPS under a concurrent worker pool (search_permanently.py:36-96,
+    # async_search.py worker pool; go_bench drives concurrency 10,
+    # config.yaml:1-26), not just single-query latency. Two matched paths
+    # over the same corpus and query family:
+    #   pool    — 16 single-query (nq=1) cosine top-k searches through the
+    #             V10 async machinery (run_async_searches: per-thread job
+    #             groups over the shared scheduler pool), 8 workers.
+    #   batched — the SAME 16 query vectors as ONE nq=16 plan (broadcast
+    #             queries ⨯ base, two-phase WindowGroupLimit top-k).
+    # Recording both evidences the design claim that in Spark, batching
+    # queries into one plan beats thread-pooling independent plans.
+    # Disable with SPARK_GRAFT_BENCH_CONCURRENCY=0.
+    concurrency: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0":
+        from vectordb_testbricks_spark.workload import run_async_searches
+        from vectordb_testbricks_spark.operators.search import knn_search
+
+        def _knn_nq(ids):
+            emb, q = entrymod._emb_queries(spark, sf_dir, ids=ids)
+            return knn_search(emb, q, "embedding", "vec_id",
+                              metric="COSINE", k=10)
+
+        _knn_nq((0,)).count()        # plan warm-up outside the timed region
+        rep = run_async_searches(
+            spark, [lambda i=i: _knn_nq((i,)) for i in range(16)],
+            max_workers=8)
+        t0 = time.perf_counter()
+        _knn_nq(tuple(range(16))).count()
+        batched_sec = time.perf_counter() - t0
+        concurrency = {
+            "pool": {
+                "tasks": len(rep.outcomes), "workers": 8, "nq_per_task": 1,
+                "successes": rep.successes, "failures": rep.failures,
+                "timeouts": rep.timeouts,
+                "wall_clock_sec": round(rep.wall_clock_sec, 3),
+            },
+            "batched": {"nq": 16,
+                        "wall_clock_sec": round(batched_sec, 3)},
+            "concurrency_qps": round(rep.qps, 2),
+            "batched_nq16_qps": round(16.0 / max(batched_sec, 1e-9), 2),
+        }
+        print(f"# concurrency: pool {concurrency['concurrency_qps']} qps "
+              f"({rep.successes}/{len(rep.outcomes)} ok, "
+              f"{concurrency['pool']['wall_clock_sec']}s wall) vs "
+              f"batched nq=16 {concurrency['batched_nq16_qps']} qps "
+              f"({concurrency['batched']['wall_clock_sec']}s)", flush=True)
+
+    # (Measured BEFORE the scale/stretch block on purpose: the 1M/10M
+    # entries leave the long-lived JVM with GC debt that depressed a
+    # trailing concurrency measurement 4x — r07 runs recorded 1.9 qps
+    # after the stretch vs 8-10 qps on a fresh JVM. Order is evidence
+    # hygiene, not a speedup.)
     # scale-evidence entries: run outside the repeat/median loop and
     # outside the headline total (they are 1M-row generated corpora whose
     # point is "the design survives 200× the fixture", not steady-state
@@ -261,53 +314,6 @@ def main() -> None:
             print("# stretch dd_minhash_10m: subprocess failed/timeout",
                   flush=True)
 
-    # concurrent-QPS entry: the reference's headline serving metric is
-    # QPS under a concurrent worker pool (search_permanently.py:36-96,
-    # async_search.py worker pool; go_bench drives concurrency 10,
-    # config.yaml:1-26), not just single-query latency. Two matched paths
-    # over the same corpus and query family:
-    #   pool    — 16 single-query (nq=1) cosine top-k searches through the
-    #             V10 async machinery (run_async_searches: per-thread job
-    #             groups over the shared scheduler pool), 8 workers.
-    #   batched — the SAME 16 query vectors as ONE nq=16 plan (broadcast
-    #             queries ⨯ base, two-phase WindowGroupLimit top-k).
-    # Recording both evidences the design claim that in Spark, batching
-    # queries into one plan beats thread-pooling independent plans.
-    # Disable with SPARK_GRAFT_BENCH_CONCURRENCY=0.
-    concurrency: dict = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0":
-        from vectordb_testbricks_spark.workload import run_async_searches
-        from vectordb_testbricks_spark.operators.search import knn_search
-
-        def _knn_nq(ids):
-            emb, q = entrymod._emb_queries(spark, sf_dir, ids=ids)
-            return knn_search(emb, q, "embedding", "vec_id",
-                              metric="COSINE", k=10)
-
-        _knn_nq((0,)).count()        # plan warm-up outside the timed region
-        rep = run_async_searches(
-            spark, [lambda i=i: _knn_nq((i,)) for i in range(16)],
-            max_workers=8)
-        t0 = time.perf_counter()
-        _knn_nq(tuple(range(16))).count()
-        batched_sec = time.perf_counter() - t0
-        concurrency = {
-            "pool": {
-                "tasks": len(rep.outcomes), "workers": 8, "nq_per_task": 1,
-                "successes": rep.successes, "failures": rep.failures,
-                "timeouts": rep.timeouts,
-                "wall_clock_sec": round(rep.wall_clock_sec, 3),
-            },
-            "batched": {"nq": 16,
-                        "wall_clock_sec": round(batched_sec, 3)},
-            "concurrency_qps": round(rep.qps, 2),
-            "batched_nq16_qps": round(16.0 / max(batched_sec, 1e-9), 2),
-        }
-        print(f"# concurrency: pool {concurrency['concurrency_qps']} qps "
-              f"({rep.successes}/{len(rep.outcomes)} ok, "
-              f"{concurrency['pool']['wall_clock_sec']}s wall) vs "
-              f"batched nq=16 {concurrency['batched_nq16_qps']} qps "
-              f"({concurrency['batched']['wall_clock_sec']}s)", flush=True)
 
     total = round(sum(timings.values()), 3)
 
