@@ -260,7 +260,12 @@ def main() -> None:
     #   cold_proc_sec — OPTIONAL true cold: the entry executed once in a
     #     fresh subprocess JVM (new process, new session, nothing JIT'd).
     #     Enabled with SPARK_GRAFT_BENCH_SCALE_COLD_PROC=1; off by
-    #     default because 9 extra JVM launches add ~5 min.
+    #     default because 9 extra JVM launches add ~5 min. All cold-proc
+    #     launches (and the 10M stretch) run AFTER this bench's own Spark
+    #     JVM is stopped: a subprocess racing the parent's 32-thread JVM
+    #     for cores/memory recorded 2-2.5× inflated "cold" numbers
+    #     (dd_minhash_1m 32s vs 70s across two r07 runs — pure contention,
+    #     same code).
     # Disable the whole block with SPARK_GRAFT_BENCH_SCALE=0.
     scale: dict[str, dict] = {}
     cold_proc = os.environ.get(
@@ -286,14 +291,23 @@ def main() -> None:
             scale[name] = {"warm_sec": min(runs),
                            "cache_cleared_first_sec": runs[0],
                            "rows": n, "runs": runs}
-            if cold_proc:
-                cp = _cold_proc_run(name, sf_dir)
-                if cp is not None:
-                    scale[name]["cold_proc_sec"] = cp
             print(f"# scale {name}: warm {min(runs):.3f}s rows={n} "
-                  f"runs={runs}"
-                  + (f" cold_proc={scale[name].get('cold_proc_sec')}"
-                     if cold_proc else ""), flush=True)
+                  f"runs={runs}", flush=True)
+
+    # Everything from here on runs in subprocess JVMs; stop this one so
+    # they measure a quiet machine, not a core-for-core race against a
+    # 100 GiB idle parent.
+    if (cold_proc and scale) or (
+            os.environ.get("SPARK_GRAFT_BENCH_STRETCH", "1") != "0"
+            and os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"):
+        spark.stop()
+    if cold_proc:
+        for name in scale:
+            cp = _cold_proc_run(name, sf_dir)
+            if cp is not None:
+                scale[name]["cold_proc_sec"] = cp
+            print(f"# scale {name}: cold_proc="
+                  f"{scale[name].get('cold_proc_sec')}", flush=True)
 
     # stretch entry (judge r06 #5): one 10M-row decade — dd_minhash_10m,
     # the banded-LSH pipeline at 10× the 1M entries, executed ONCE in a
