@@ -697,6 +697,18 @@ def v_sparse_1m(spark, sf_dir, n=1_000_000, vocab=30_000, nnz=16):
     return out
 
 
+def v_sparse_10m(spark, sf_dir):
+    """Stretch scale evidence: the SPARSE_INVERTED_INDEX tier one decade
+    further — 10M docs × 16 dims (~160M postings) built, bucket-written,
+    reloaded, probed nq=4. The probe cost is governed by the query keys'
+    posting lists (~n·nnz/vocab docs per key), not the corpus size, so
+    build/write should grow ~linearly while the search stays
+    bucket-pruned — this entry measures exactly that claim one decade up
+    from v_sparse_1m. Run once in a fresh subprocess JVM by bench.py's
+    stretch block — detail artifact only, headline total untouched."""
+    return v_sparse_1m(spark, sf_dir, n=10_000_000)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")

@@ -217,9 +217,15 @@ def main() -> None:
         rep = run_async_searches(
             spark, [lambda i=i: _knn_nq((i,)) for i in range(16)],
             max_workers=8)
-        t0 = time.perf_counter()
-        _knn_nq(tuple(range(16))).count()
-        batched_sec = time.perf_counter() - t0
+        # batched side: median of 3 — a single run whipsawed 0.97-1.69s
+        # across r07 artifacts, enough to blur the pool-vs-batched margin
+        # (the pool side is already an aggregate over 16 tasks)
+        bruns = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _knn_nq(tuple(range(16))).count()
+            bruns.append(time.perf_counter() - t0)
+        batched_sec = sorted(bruns)[1]
         concurrency = {
             "pool": {
                 "tasks": len(rep.outcomes), "workers": 8, "nq_per_task": 1,
@@ -228,7 +234,8 @@ def main() -> None:
                 "wall_clock_sec": round(rep.wall_clock_sec, 3),
             },
             "batched": {"nq": 16,
-                        "wall_clock_sec": round(batched_sec, 3)},
+                        "wall_clock_sec": round(batched_sec, 3),
+                        "runs": [round(b, 3) for b in bruns]},
             "concurrency_qps": round(rep.qps, 2),
             "batched_nq16_qps": round(16.0 / max(batched_sec, 1e-9), 2),
         }
@@ -309,24 +316,25 @@ def main() -> None:
             print(f"# scale {name}: cold_proc="
                   f"{scale[name].get('cold_proc_sec')}", flush=True)
 
-    # stretch entry (judge r06 #5): one 10M-row decade — dd_minhash_10m,
-    # the banded-LSH pipeline at 10× the 1M entries, executed ONCE in a
-    # fresh subprocess JVM (true process-cold, zero JIT state, no shared
-    # heap with this driver). Expected rows: exactly the 1M planted
-    # duplicates. Detail artifact only; headline total untouched.
-    # Disable with SPARK_GRAFT_BENCH_STRETCH=0.
+    # stretch entries (judge r06 #5): 10M-row decades — dd_minhash_10m
+    # (banded-LSH, expected rows exactly the 1M planted duplicates) and
+    # v_sparse_10m (the SPARSE_INVERTED_INDEX tier: ~160M postings built,
+    # bucket-written, probed nq=4 → exactly 40 rows), each executed ONCE
+    # in a fresh subprocess JVM (true process-cold, zero JIT state, no
+    # shared heap with this driver). Detail artifact only; headline
+    # total untouched. Disable with SPARK_GRAFT_BENCH_STRETCH=0.
     stretch: dict = {}
     if (os.environ.get("SPARK_GRAFT_BENCH_STRETCH", "1") != "0"
             and os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"):
-        cp = _cold_proc_run("dd_minhash_10m", sf_dir, want_rows=True)
-        if cp is not None:
-            stretch["dd_minhash_10m"] = {"cold_proc_sec": cp[0],
-                                         "rows": cp[1]}
-            print(f"# stretch dd_minhash_10m: {cp[0]:.3f}s cold-process "
-                  f"rows={cp[1]}", flush=True)
-        else:
-            print("# stretch dd_minhash_10m: subprocess failed/timeout",
-                  flush=True)
+        for name in ("dd_minhash_10m", "v_sparse_10m"):
+            cp = _cold_proc_run(name, sf_dir, want_rows=True)
+            if cp is not None:
+                stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1]}
+                print(f"# stretch {name}: {cp[0]:.3f}s cold-process "
+                      f"rows={cp[1]}", flush=True)
+            else:
+                print(f"# stretch {name}: subprocess failed/timeout",
+                      flush=True)
 
 
     total = round(sum(timings.values()), 3)

@@ -1029,6 +1029,16 @@ def test_sessionize_scale_entry_wiring_small_n(spark):
     assert (r.sessions, r.events, r.min_ev, r.max_ev) == (887, 17740, 20, 20)
 
 
+def test_stretch_entry_symbols():
+    """bench.py's stretch block resolves entries by name off the entry
+    module (a missing symbol degrades to a silent 'subprocess failed'
+    line mid-bench); pin both 10M names here so a rename breaks the gate
+    suite instead. Their logic is the tested _1m functions at 10× n."""
+    import __spark_entry__ as E
+    for name in ("dd_minhash_10m", "v_sparse_10m"):
+        assert callable(getattr(E, name))
+
+
 def test_sparse_scale_entry_wiring_small_n(spark):
     """v_sparse_1m at a tiny n: the bench-only scale entry's wiring
     (deterministic map corpus → build/write/read sparse inverted index →
