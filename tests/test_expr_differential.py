@@ -51,6 +51,19 @@ def dft(spark, tmp_path_factory):
                F.transform(F.sequence(F.lit(0), F.col("id") % 3),
                            lambda i: ((F.col("id") * 3 + i) % 20)
                            .cast("int"))).alias("nums"),
+        # struct-array for the [*] quantifier: ~6% NULL arrays, and a
+        # NULL val inside some elements so the quantified comparison's
+        # NULL-element branch (Kleene exists) is exercised, not just the
+        # NULL-array branch
+        F.when(F.col("id") % 17 != 8, F.transform(
+            F.sequence(F.lit(0), F.col("id") % 3),
+            lambda i: F.struct(
+                F.when((F.col("id") + i) % 5 != 2,
+                       ((F.col("id") * 5 + i * 7) % 60).cast("int"))
+                .alias("val"),
+                F.concat(F.lit("g"), ((F.col("id") + i) % 4)
+                         .cast("string")).alias("tag"))))
+        .alias("items"),
         # dynamic catch-all: string-valued map; dyn_num is absent for
         # id%6==0 rows (the missing-key NULL path)
         F.when(
@@ -207,7 +220,7 @@ def _signatures_spark(df, exprs, **ck):
     return [(row[f"c{i}"], row[f"s{i}"]) for i in range(len(exprs))]
 
 
-COLUMNS = {"id", "i32", "val", "name", "flag", "tags", "nums",
+COLUMNS = {"id", "i32", "val", "name", "flag", "tags", "nums", "items",
            "_dynamic", "props"}
 JSON_COLUMNS = {"props"}
 
@@ -278,11 +291,33 @@ V3_CURATED = [
     "(i32 & 12) != 0",                   # NULLs flow three-valued through
     "not ((i32 & 12) != 0)",             # the bit op on both engines
     '(id & 1) == 0 and name =~ "y$"',
+    # [*] element quantifier → Spark F.exists vs DuckDB Kleene-exists
+    # (CASE over list_filter); NULL arrays (nums, items) and NULL
+    # element values (items.val) push both engines through all three
+    # truth values, with and without NOT
+    "nums[*] > 15",
+    "not (nums[*] > 15)",
+    "10 < nums[*]",                      # quantified path on the right
+    'tags[*] == "t3"',
+    'items[*]["val"] > 40',
+    'not (items[*]["val"] > 40)',
+    'items[*]["val"] <= 3',
+    'items[*]["tag"] == "g2"',
+    'items[*]["val"] != 12',
+    'nums[*] > 15 and items[*]["tag"] == "g1"',
 ]
 
 
 def _v3_leaf(rnd: random.Random) -> str:
-    k = rnd.randrange(6)
+    k = rnd.randrange(9)
+    if k == 6:
+        return f"nums[*] {rnd.choice(['>', '<=', '=='])} " \
+               f"{rnd.randrange(20)}"
+    if k == 7:
+        return f'items[*]["val"] {rnd.choice([">", "<=", "!="])} ' \
+               f"{rnd.randrange(60)}"
+    if k == 8:
+        return f'items[*]["tag"] == "g{rnd.randrange(4)}"'
     if k == 0:
         return f'name =~ "item-{rnd.randrange(37)}[-_]"'
     if k == 1:

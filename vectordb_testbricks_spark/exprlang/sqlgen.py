@@ -111,8 +111,10 @@ class _Emitter:
 
     def path(self, node: ast.Path) -> str:
         if any(isinstance(a, ast.Star) for a in node.accessors):
+            # comparisons lower through _star_cmp; any other position
+            # (IN, LIKE, calls) has no exists-shaped rewrite here
             raise SqlGenError(
-                "[*] element quantifier keeps curated/Python oracles")
+                "[*] outside a comparison keeps curated/Python oracles")
         if self.is_dynamic(node):
             if node.accessors:
                 raise SqlGenError(
@@ -160,7 +162,66 @@ class _Emitter:
             return f"TRY_CAST({sql} AS {_SQL_CAST[cast]})"
         return sql
 
+    @staticmethod
+    def _star_split(node):
+        """(accessors before [*], accessors after) for a star path, else
+        None — the emitter-side mirror of compiler._star_split."""
+        if not isinstance(node, ast.Path):
+            return None
+        stars = [i for i, a in enumerate(node.accessors)
+                 if isinstance(a, ast.Star)]
+        if not stars:
+            return None
+        if len(stars) > 1:
+            raise SqlGenError("only one [*] per path is supported")
+        i = stars[0]
+        return node.accessors[:i], node.accessors[i + 1:]
+
+    def _star_cmp(self, node: ast.Cmp) -> str | None:
+        """DuckDB twin of the compiler's [*] quantified comparison
+        (F.exists over the array) — Kleene-exists semantics spelled out:
+        NULL array → NULL; any element satisfying the predicate → TRUE;
+        else any NULL element-predicate → NULL; else FALSE. `len(
+        list_filter(..)) > 0` alone would collapse the NULL cases to
+        FALSE, which diverges under NOT."""
+        ls, rs = self._star_split(node.left), self._star_split(node.right)
+        if ls is None and rs is None:
+            return None
+        if ls is not None and rs is not None:
+            raise SqlGenError("[*] on both sides keeps curated oracles")
+        flip = ls is None
+        path_node = node.right if flip else node.left
+        other_node = node.left if flip else node.right
+        pre, post = rs if flip else ls
+        if self.is_dynamic(path_node) or path_node.name in self.json_columns:
+            raise SqlGenError(
+                "[*] over JSON/dynamic paths keeps curated oracles")
+        if not isinstance(other_node, ast.Lit):
+            raise SqlGenError(
+                "[*] comparisons with non-literal operands keep curated "
+                "oracles")
+        base = self.path(ast.Path(path_node.name, tuple(pre)))
+        elem = "_e"
+        for a in post:
+            if isinstance(a, int):
+                elem = f"{elem}[{a + 1}]"      # DuckDB lists are 1-based
+            elif isinstance(a, str):
+                elem = f"{elem}.{_ident(a)}"
+            else:
+                raise SqlGenError(f"unsupported accessor {a!r} under [*]")
+        lit = _lit(other_node.value)
+        l, r = (lit, elem) if flip else (elem, lit)
+        pred = f"({l} {_CMP[node.op]} {r})"
+        return (f"(CASE WHEN {base} IS NULL THEN NULL"
+                f" WHEN len(list_filter({base}, _e -> {pred})) > 0"
+                f" THEN TRUE"
+                f" WHEN len(list_filter({base}, _e -> {pred} IS NULL)) > 0"
+                f" THEN NULL ELSE FALSE END)")
+
     def cmp(self, node: ast.Cmp) -> str:
+        star = self._star_cmp(node)
+        if star is not None:
+            return star
         lsql, rsql = self.operand(node.left), self.operand(node.right)
         if self.is_jsonish(node.left) and isinstance(node.right, ast.Lit):
             lsql = self._dyn_cast(lsql, node.right)
