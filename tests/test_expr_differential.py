@@ -270,6 +270,47 @@ def test_random_expressions_match_duckdb(dft):
     assert len({c for c, _ in sigs}) > 10
 
 
+def test_random_query_assembly_matches_duckdb(dft):
+    """Q1/Q2/ext assembly differential: random (filter, output_fields,
+    order_by, offset, limit) specs run through operators.query.query()
+    vs the equivalent DuckDB SELECT — row-identical, order included.
+    The predicate layer is covered by the signature tests above; this
+    exercises the assembly AROUND it (projection order, offset-without-
+    limit, offset past the row count, ordered pagination). order_by
+    always ends with the unique id so both engines produce one total
+    order; DuckDB sorts ASC NULLS LAST by default where Spark sorts
+    NULLS FIRST, so the SQL says NULLS FIRST explicitly."""
+    from vectordb_testbricks_spark.operators.query import query
+
+    df, con = dft
+    rnd = random.Random(41)
+    scalar_cols = ["id", "i32", "val", "name", "flag"]
+    for _ in range(30):
+        flt = _expr(rnd) if rnd.random() < 0.8 else ""
+        fields = rnd.sample(scalar_cols, rnd.randrange(1, 5))
+        if "id" not in fields:
+            fields.append("id")
+        ob = rnd.sample([c for c in scalar_cols if c != "id"],
+                        rnd.randrange(0, 3)) + ["id"]
+        offset = rnd.choice([0, 0, 3, 17, N_ROWS + 10])
+        limit = rnd.choice([None, 1, 7, 40])
+        got = [tuple(r) for r in query(
+            df, flt or None, output_fields=fields, limit=limit,
+            order_by=ob, offset=offset).collect()]
+        sql = to_sql(parse(flt), columns=COLUMNS,
+                     json_columns=JSON_COLUMNS)
+        q = (f"SELECT {', '.join(fields)} FROM dft WHERE {sql} "
+             f"ORDER BY {', '.join(c + ' NULLS FIRST' for c in ob)}")
+        if limit is not None:
+            q += f" LIMIT {limit}"
+        if offset:
+            q += f" OFFSET {offset}"
+        want = con.execute(q).fetchall()
+        assert got == want, f"assembly mismatch flt={flt!r} " \
+                            f"fields={fields} ob={ob} off={offset} " \
+                            f"lim={limit}: {got[:3]} vs {want[:3]}"
+
+
 # -------------------------------------------- 3.0 operator prototypes
 
 # Regex patterns stick to the Java-regex ∩ RE2 shared subset (literals,
