@@ -380,6 +380,44 @@ def _v3_expr(rnd: random.Random, depth: int = 0) -> str:
     return f"({a}) {rnd.choice(['and', 'or'])} ({b})"
 
 
+def test_text_match_matches_duckdb(dft):
+    """TEXT_MATCH differential: Spark arrays_overlap over tokenize()
+    vs DuckDB list_has_any over the tokenizer's documented SQL twin,
+    from one parsed AST. Covers case folding, NULL fields (props is
+    NULL for ~11% of rows — 3VL under NOT), the empty-analyzed-query
+    constant, and a per-field stop-words analyzer."""
+    df, con = dft
+    cases = [
+        'TEXT_MATCH(name, "item 12")',
+        'TEXT_MATCH(name, "X")',                 # query folds to "x"
+        'not TEXT_MATCH(name, "item")',          # matches-all, negated
+        'TEXT_MATCH(props, "s2 true")',          # NULL field -> NULL
+        'not (TEXT_MATCH(props, "s2"))',         # ...3VL under NOT
+        'TEXT_MATCH(name, "--")',                # analyzes to no terms
+        'TEXT_MATCH(name, "12 17") and i32 > 20',
+    ]
+    for analyzers in (None, {"name": {
+            "tokenizer": "standard",
+            "filter": ["lowercase",
+                       {"type": "stop", "stop_words": ["item"]}]}}):
+        for e in cases:
+            node = parse(e)
+            pred = compile_expr(e, df, enable_text_match=True,
+                                analyzers=analyzers)
+            got = df.filter(pred).agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("id"), F.lit(0))
+            ).collect()[0]
+            sql = to_sql(node, columns=COLUMNS, json_columns=JSON_COLUMNS,
+                         analyzers=analyzers)
+            want = con.execute(
+                f"SELECT CAST(COUNT(*) AS BIGINT), "
+                f"CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM dft "
+                f"WHERE {sql}").fetchone()
+            assert tuple(got) == want, \
+                f"text_match mismatch {e!r} analyzers={analyzers}: " \
+                f"{tuple(got)} vs {want}"
+
+
 def test_v3_operator_prototypes_match_duckdb(dft):
     """Gated 3.0 prototypes (=~/!~ regex, bitwise &/^/|, raw strings)
     differentially verified: Spark rlike/bitwise Columns vs DuckDB

@@ -14,8 +14,10 @@ dynamic-field path (an undeclared name resolves to the ``_dynamic``
 map<string,string> with literal-driven TRY_CAST — mirror of
 compiler._dynamic_path) plus the gated 3.0 operator prototypes
 (``=~``/``!~`` → regexp_matches, bitwise ``&``/``^``/``|`` →
-``&``/xor()/``|`` — DuckDB's ``^`` is POWER). Geo and the gated
-TEXT_MATCH keep their curated oracles — their SQL encodings are
+``&``/xor()/``|`` — DuckDB's ``^`` is POWER; ``[*]`` quantified
+comparisons → Kleene-exists CASE over list_filter; TEXT_MATCH →
+list_has_any over the documented tokenizer twin). Geo and PHRASE_MATCH
+keep their curated/Python oracles — their SQL encodings are
 engine-shaped enough that a generic emitter would just re-implement the
 curated strings.
 
@@ -75,9 +77,11 @@ _SQL_CAST = {"double": "DOUBLE", "boolean": "BOOLEAN"}
 
 class _Emitter:
     def __init__(self, columns: set[str] | None,
-                 json_columns: set[str] | None):
+                 json_columns: set[str] | None,
+                 analyzers: dict | None = None):
         self.columns = columns
         self.json_columns = json_columns or set()
+        self.analyzers = analyzers or {}
         self.calls = {
             "array_contains": lambda a: (
                 f"list_contains({self.operand(a[0])}, "
@@ -90,7 +94,45 @@ class _Emitter:
             "starts_with": lambda a: (
                 f"starts_with({self.operand(a[0])}, "
                 f"{self.operand(a[1])})"),
+            "text_match": self._text_match_sql,
         }
+
+    def _text_match_sql(self, args) -> str:
+        """DuckDB twin of compiler.text_match (the inline-tokenize
+        branch): analyze the query literal driver-side with the field's
+        analyzer (functions.text.py_tokenize — the same code the Spark
+        side uses), tokenize the field with the documented DuckDB twin
+        of functions.text.tokenize, and test any-overlap. NULL field →
+        NULL on both engines (split/list_filter/list_has_any all
+        propagate); empty analyzed query → constant FALSE, mirroring
+        the compiler."""
+        from vectordb_testbricks_spark.functions.text import (
+            TOKEN_SPLIT_RE, TOKEN_SPLIT_RE_CASED, analyzer_kwargs,
+            py_tokenize)
+        field, querylit = args[0], args[1]
+        if not isinstance(field, ast.Path) or field.accessors:
+            raise SqlGenError("TEXT_MATCH needs a plain field name")
+        if self.is_dynamic(field):
+            raise SqlGenError(
+                "TEXT_MATCH over dynamic fields keeps curated oracles")
+        if not isinstance(querylit, ast.Lit) or not isinstance(
+                querylit.value, str):
+            raise SqlGenError("TEXT_MATCH query must be a string literal")
+        kw = analyzer_kwargs(self.analyzers.get(field.name))
+        terms = py_tokenize(querylit.value, **kw)
+        if not terms:
+            return "FALSE"
+        if kw["lowercase"]:
+            base, split_re = f"lower({_ident(field.name)})", TOKEN_SPLIT_RE
+        else:
+            base, split_re = _ident(field.name), TOKEN_SPLIT_RE_CASED
+        toks = (f"list_filter(string_split_regex({base}, "
+                f"{_lit(split_re)}), _t -> _t != '')")
+        if kw["stop_words"]:
+            sw = ", ".join(_lit(w) for w in kw["stop_words"])
+            toks = f"list_filter({toks}, _t -> _t NOT IN ({sw}))"
+        terms_sql = "[" + ", ".join(_lit(t) for t in terms) + "]"
+        return f"list_has_any({toks}, {terms_sql})"
 
     def is_dynamic(self, node) -> bool:
         return (isinstance(node, ast.Path) and self.columns is not None
@@ -279,15 +321,18 @@ class _Emitter:
 
 
 def to_sql(node, columns: set[str] | None = None,
-           json_columns: set[str] | None = None) -> str:
+           json_columns: set[str] | None = None,
+           analyzers: dict | None = None) -> str:
     """Lower a parsed filter AST to a DuckDB boolean expression.
 
     ``columns``: the declared column names; when given, an undeclared
     Path lowers through the dynamic-field map (compiler parity). When
     None, every name is treated as a declared column. ``json_columns``:
     declared string columns holding JSON — accessor paths on them lower
-    to json_extract_string (compiler's get_json_object twin)."""
-    return _Emitter(columns, json_columns).to_sql(node)
+    to json_extract_string (compiler's get_json_object twin).
+    ``analyzers``: per-field analyzer_params for TEXT_MATCH (compiler's
+    ``analyzers`` twin)."""
+    return _Emitter(columns, json_columns, analyzers).to_sql(node)
 
 
 __all__ = ["to_sql", "SqlGenError"]
