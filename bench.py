@@ -303,10 +303,12 @@ def main() -> None:
 
     # Everything from here on runs in subprocess JVMs; stop this one so
     # they measure a quiet machine, not a core-for-core race against a
-    # 100 GiB idle parent.
-    if (cold_proc and scale) or (
-            os.environ.get("SPARK_GRAFT_BENCH_STRETCH", "1") != "0"
-            and os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"):
+    # 100 GiB idle parent. stretch_on is THE gate for the stretch block
+    # below — one boolean so the stop decision can never desynchronize
+    # from whether stretch subprocesses actually run.
+    stretch_on = (os.environ.get("SPARK_GRAFT_BENCH_STRETCH", "1") != "0"
+                  and os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0")
+    if (cold_proc and scale) or stretch_on:
         spark.stop()
     if cold_proc:
         for name in scale:
@@ -324,8 +326,7 @@ def main() -> None:
     # shared heap with this driver). Detail artifact only; headline
     # total untouched. Disable with SPARK_GRAFT_BENCH_STRETCH=0.
     stretch: dict = {}
-    if (os.environ.get("SPARK_GRAFT_BENCH_STRETCH", "1") != "0"
-            and os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"):
+    if stretch_on:
         for name in ("dd_minhash_10m", "v_sparse_10m"):
             cp = _cold_proc_run(name, sf_dir, want_rows=True)
             if cp is not None:

@@ -229,7 +229,8 @@ def _signatures_duck(con, exprs):
     sels = []
     for i, e in enumerate(exprs):
         sql = to_sql(parse(e), columns=COLUMNS,
-                     json_columns=JSON_COLUMNS)
+                     json_columns=JSON_COLUMNS,
+                     struct_array_columns={"items"})
         sels.append(f"CAST(COUNT(*) FILTER (WHERE {sql}) AS BIGINT)")
         sels.append(f"CAST(COALESCE(SUM(id) FILTER (WHERE {sql}), 0) "
                     f"AS BIGINT)")
@@ -396,10 +397,18 @@ def test_text_match_matches_duckdb(dft):
         'TEXT_MATCH(name, "--")',                # analyzes to no terms
         'TEXT_MATCH(name, "12 17") and i32 > 20',
     ]
-    for analyzers in (None, {"name": {
-            "tokenizer": "standard",
-            "filter": ["lowercase",
-                       {"type": "stop", "stop_words": ["item"]}]}}):
+    for analyzers in (
+            None,
+            {"name": {"tokenizer": "standard",
+                      "filter": ["lowercase",
+                                 {"type": "stop",
+                                  "stop_words": ["item"]}]}},
+            # case-preserving analyzer (empty filter list => no
+            # lowercase): exercises the TOKEN_SPLIT_RE_CASED branch on
+            # both engines — "X" must match the literal "_x" suffix rows
+            # only via the cased token "x"... which no longer folds, so
+            # the match set differs from the folded run
+            {"name": {"tokenizer": "standard", "filter": []}}):
         for e in cases:
             node = parse(e)
             pred = compile_expr(e, df, enable_text_match=True,

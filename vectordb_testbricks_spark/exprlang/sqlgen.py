@@ -78,10 +78,12 @@ _SQL_CAST = {"double": "DOUBLE", "boolean": "BOOLEAN"}
 class _Emitter:
     def __init__(self, columns: set[str] | None,
                  json_columns: set[str] | None,
-                 analyzers: dict | None = None):
+                 analyzers: dict | None = None,
+                 struct_array_columns: set[str] | None = None):
         self.columns = columns
         self.json_columns = json_columns or set()
         self.analyzers = analyzers or {}
+        self.struct_array_columns = struct_array_columns or set()
         self.calls = {
             "array_contains": lambda a: (
                 f"list_contains({self.operand(a[0])}, "
@@ -242,15 +244,27 @@ class _Emitter:
             raise SqlGenError(
                 "[*] comparisons with non-literal operands keep curated "
                 "oracles")
-        base = self.path(ast.Path(path_node.name, tuple(pre)))
+        # The emitter has no element-type information, so it lowers
+        # exactly the shapes it can emit correctly: ``col[*]`` over a
+        # scalar array, and ``col[*]["field"]`` when the caller declared
+        # the column a struct-array (a string accessor on a map or
+        # JSON-string element would need getItem / TRY_CAST semantics
+        # the SQL here does not mirror). Everything else keeps curated
+        # oracles — the compiler is deliberately wider.
+        if pre:
+            raise SqlGenError(
+                "[*] with pre-star accessors keeps curated oracles")
+        base = self.path(ast.Path(path_node.name, ()))
         elem = "_e"
         for a in post:
-            if isinstance(a, int):
-                elem = f"{elem}[{a + 1}]"      # DuckDB lists are 1-based
-            elif isinstance(a, str):
+            if (isinstance(a, str)
+                    and path_node.name in self.struct_array_columns):
                 elem = f"{elem}.{_ident(a)}"
             else:
-                raise SqlGenError(f"unsupported accessor {a!r} under [*]")
+                raise SqlGenError(
+                    f"accessor {a!r} under [*] keeps curated oracles "
+                    "(declare the column in struct_array_columns for "
+                    "struct-field access)")
         lit = _lit(other_node.value)
         l, r = (lit, elem) if flip else (elem, lit)
         pred = f"({l} {_CMP[node.op]} {r})"
@@ -322,7 +336,8 @@ class _Emitter:
 
 def to_sql(node, columns: set[str] | None = None,
            json_columns: set[str] | None = None,
-           analyzers: dict | None = None) -> str:
+           analyzers: dict | None = None,
+           struct_array_columns: set[str] | None = None) -> str:
     """Lower a parsed filter AST to a DuckDB boolean expression.
 
     ``columns``: the declared column names; when given, an undeclared
@@ -331,8 +346,11 @@ def to_sql(node, columns: set[str] | None = None,
     declared string columns holding JSON — accessor paths on them lower
     to json_extract_string (compiler's get_json_object twin).
     ``analyzers``: per-field analyzer_params for TEXT_MATCH (compiler's
-    ``analyzers`` twin)."""
-    return _Emitter(columns, json_columns, analyzers).to_sql(node)
+    ``analyzers`` twin). ``struct_array_columns``: columns declared
+    array<struct<...>>, enabling ``col[*]["field"]`` struct access under
+    the quantifier (the emitter is otherwise element-type-blind)."""
+    return _Emitter(columns, json_columns, analyzers,
+                    struct_array_columns).to_sql(node)
 
 
 __all__ = ["to_sql", "SqlGenError"]
