@@ -427,6 +427,40 @@ def test_text_match_matches_duckdb(dft):
                 f"{tuple(got)} vs {want}"
 
 
+def test_phrase_match_matches_duckdb(dft):
+    """PHRASE_MATCH differential: the compiler's nested-exists sloppy
+    phrase (in-order, span ≤ (m−1)+slop) vs the same chain emitted as
+    DuckDB list_filter nesting, from one parsed AST. name tokenizes to
+    ["item", <n>, "x"|"y"], so adjacency, gap-of-one, 3-term phrases,
+    and order violations all have known row sets; props exercises NULL
+    fields (3VL under NOT)."""
+    df, con = dft
+    cases = [
+        'PHRASE_MATCH(name, "item 12")',          # exact adjacency
+        'PHRASE_MATCH(name, "item x")',           # gap -> false at slop=0
+        'PHRASE_MATCH(name, "item x", 1)',        # ...true at slop=1
+        'PHRASE_MATCH(name, "item 12 x")',        # 3-term adjacency
+        'PHRASE_MATCH(name, "12 item")',          # order violation
+        'PHRASE_MATCH(name, "12 item", 5)',       # stays false: in-order
+        'PHRASE_MATCH(name, "item")',             # single term
+        'not PHRASE_MATCH(props, "s2", 2)',       # NULL field, 3VL
+        'PHRASE_MATCH(name, "item 3") or PHRASE_MATCH(name, "item 7")',
+    ]
+    for e in cases:
+        node = parse(e)
+        pred = compile_expr(e, df, enable_text_match=True)
+        got = df.filter(pred).agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("id"), F.lit(0))
+        ).collect()[0]
+        sql = to_sql(node, columns=COLUMNS, json_columns=JSON_COLUMNS)
+        want = con.execute(
+            f"SELECT CAST(COUNT(*) AS BIGINT), "
+            f"CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM dft "
+            f"WHERE {sql}").fetchone()
+        assert tuple(got) == want, \
+            f"phrase_match mismatch {e!r}: {tuple(got)} vs {want}"
+
+
 def test_v3_operator_prototypes_match_duckdb(dft):
     """Gated 3.0 prototypes (=~/!~ regex, bitwise &/^/|, raw strings)
     differentially verified: Spark rlike/bitwise Columns vs DuckDB

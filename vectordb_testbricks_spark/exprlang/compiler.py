@@ -447,14 +447,20 @@ class _Compiler:
         # NB: closure helper, not a defaulted lambda param — F.filter
         # treats a two-arg lambda as (element, index) and would bind the
         # index column over the default.
+        if m == 1:
+            # containment, directly over the tokens: a positions-array
+            # formulation (size(filter(sequence(1, greatest(size, 1)),
+            # ...)) > 0) collapses a NULL token array to FALSE — greatest
+            # swallows the NULL and filter drops the NULL predicate —
+            # where every other branch (and TEXT_MATCH) evaluates NULL
+            return F.exists(toks, lambda t: t == terms[0])
+
         def _positions(term):
             return F.filter(
                 F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
                 lambda p: F.try_element_at(toks, p) == term)
 
         pos = [_positions(t) for t in terms]
-        if m == 1:
-            return F.size(pos[0]) > 0
 
         def chain(j, prev, first):
             # positions for term j must follow prev and keep the total

@@ -97,6 +97,7 @@ class _Emitter:
                 f"starts_with({self.operand(a[0])}, "
                 f"{self.operand(a[1])})"),
             "text_match": self._text_match_sql,
+            "phrase_match": self._phrase_match_sql,
         }
 
     def _text_match_sql(self, args) -> str:
@@ -108,22 +109,30 @@ class _Emitter:
         NULL on both engines (split/list_filter/list_has_any all
         propagate); empty analyzed query → constant FALSE, mirroring
         the compiler."""
-        from vectordb_testbricks_spark.functions.text import (
-            TOKEN_SPLIT_RE, TOKEN_SPLIT_RE_CASED, analyzer_kwargs,
-            py_tokenize)
+        from vectordb_testbricks_spark.functions.text import py_tokenize
         field, querylit = args[0], args[1]
-        if not isinstance(field, ast.Path) or field.accessors:
-            raise SqlGenError("TEXT_MATCH needs a plain field name")
-        if self.is_dynamic(field):
-            raise SqlGenError(
-                "TEXT_MATCH over dynamic fields keeps curated oracles")
         if not isinstance(querylit, ast.Lit) or not isinstance(
                 querylit.value, str):
             raise SqlGenError("TEXT_MATCH query must be a string literal")
-        kw = analyzer_kwargs(self.analyzers.get(field.name))
+        toks, kw = self._analyzed_field(field, "TEXT_MATCH")
         terms = py_tokenize(querylit.value, **kw)
         if not terms:
             return "FALSE"
+        terms_sql = "[" + ", ".join(_lit(t) for t in terms) + "]"
+        return f"list_has_any({toks}, {terms_sql})"
+
+    def _analyzed_field(self, field, caller: str):
+        """(tokens_sql, analyzer_kwargs) for a TEXT_MATCH/PHRASE_MATCH
+        field argument — shared validation + the tokenizer's documented
+        DuckDB twin."""
+        from vectordb_testbricks_spark.functions.text import (
+            TOKEN_SPLIT_RE, TOKEN_SPLIT_RE_CASED, analyzer_kwargs)
+        if not isinstance(field, ast.Path) or field.accessors:
+            raise SqlGenError(f"{caller} needs a plain field name")
+        if self.is_dynamic(field):
+            raise SqlGenError(
+                f"{caller} over dynamic fields keeps curated oracles")
+        kw = analyzer_kwargs(self.analyzers.get(field.name))
         if kw["lowercase"]:
             base, split_re = f"lower({_ident(field.name)})", TOKEN_SPLIT_RE
         else:
@@ -133,8 +142,51 @@ class _Emitter:
         if kw["stop_words"]:
             sw = ", ".join(_lit(w) for w in kw["stop_words"])
             toks = f"list_filter({toks}, _t -> _t NOT IN ({sw}))"
-        terms_sql = "[" + ", ".join(_lit(t) for t in terms) + "]"
-        return f"list_has_any({toks}, {terms_sql})"
+        return toks, kw
+
+    def _phrase_match_sql(self, args) -> str:
+        """DuckDB twin of compiler.phrase_match: in-order bounded-gap
+        sloppy phrase (positions p1 < ... < pm, term_j at p_j, span
+        pm − p1 ≤ (m−1) + slop) as the same nested-exists chain the
+        compiler unrolls — slop=0 degenerates to exact adjacency.
+        Positions are 1-based on both engines (DuckDB list indexing is
+        1-based natively); NULL fields propagate to NULL throughout."""
+        from vectordb_testbricks_spark.functions.text import py_tokenize
+        field, querylit = args[0], args[1]
+        slop = 0
+        if len(args) > 2:
+            if not isinstance(args[2], ast.Lit) or not isinstance(
+                    args[2].value, int):
+                raise SqlGenError("phrase_match slop must be an int literal")
+            slop = args[2].value
+        if not isinstance(querylit, ast.Lit) or not isinstance(
+                querylit.value, str):
+            raise SqlGenError("PHRASE_MATCH query must be a string literal")
+        toks, kw = self._analyzed_field(field, "PHRASE_MATCH")
+        terms = py_tokenize(querylit.value, **kw)
+        if not terms:
+            return "FALSE"
+        m = len(terms)
+
+        def positions(j):
+            return (f"list_filter(range(1, len({toks}) + 1), "
+                    f"_p -> {toks}[_p] = {_lit(terms[j])})")
+
+        if m == 1:
+            return f"(len({positions(0)}) > 0)"
+
+        def chain(j):
+            # _p{j} must follow _p{j-1} and keep the running span from
+            # _p0 within the prefix budget — compiler.chain's bounds
+            bound = (m - 1 + slop) if j == m - 1 else (j + slop)
+            pred = f"_p{j} > _p{j - 1} AND _p{j} - _p0 <= {bound}"
+            if j < m - 1:
+                pred += f" AND {chain(j + 1)}"
+            return (f"len(list_filter({positions(j)}, "
+                    f"_p{j} -> {pred})) > 0")
+
+        return (f"(len({toks}) >= {m} AND "
+                f"len(list_filter({positions(0)}, _p0 -> {chain(1)})) > 0)")
 
     def is_dynamic(self, node) -> bool:
         return (isinstance(node, ast.Path) and self.columns is not None
