@@ -2270,16 +2270,37 @@ def dd_simhash_pairs(spark, sf_dir):
     banded blocking (4 bands × 16 bits, pigeonhole-complete for ham ≤ 3),
     doubled corpus. 64 bits is the scale default — 16-bit signatures
     collide pathologically beyond toy corpora (the 16-bit pigeonhole case
-    stays covered in tests/test_operators.py)."""
-    from vectordb_testbricks_spark.operators.dedup import simhash_near_dups
-    pairs = simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                              max_hamming=3, bits=64)
-    return pairs.select("id_a", "id_b",
-                        F.col("hamming").cast("bigint").alias("hamming"))
+    stays covered in tests/test_operators.py).
+
+    'comp' branch: connected components over the pair graph (min-label
+    propagation to fixpoint; oracle = recursive CTE) — near-dup
+    relations are not transitive, so the dedup pipeline's keep-list
+    needs components, not per-pair minima. Rows are (kind='comp',
+    id_a=member, id_b=component label = min member id, hamming=member
+    count of the component)."""
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.dedup import (
+        connected_components, simhash_near_dups)
+    pairs = shared_persist(
+        simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
+                          max_hamming=3, bits=64)
+        .select("id_a", "id_b",
+                F.col("hamming").cast("bigint").alias("hamming")))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    comp_rows = (comp.join(F.broadcast(sizes), "component")
+                 .select(F.lit("comp").alias("kind"),
+                         F.col("id").alias("id_a"),
+                         F.col("component").alias("id_b"),
+                         F.col("n").alias("hamming")))
+    pair_rows = pairs.select(F.lit("pair").alias("kind"),
+                             "id_a", "id_b", "hamming")
+    return pair_rows.unionByName(comp_rows)
 
 
 SQL_DD_SIMHASH_PAIRS = f"""
-WITH {_SQL_D2},
+WITH RECURSIVE {_SQL_D2},
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest({TOKS_SQL.format(col='text')}) AS term FROM d2)
@@ -2312,9 +2333,28 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-FROM pairs WHERE hamming <= 3
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+fpairs AS (
+  SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+  FROM pairs WHERE hamming <= 3),
+-- connected components over the pair graph: min-label reachability via
+-- a recursive CTE (UNION = set semantics terminates the fixpoint); the
+-- component label is the min member id — the Spark twin is the
+-- iterative min-label propagation in operators/dedup.py
+sym AS (SELECT id_a AS a, id_b AS b FROM fpairs
+        UNION ALL SELECT id_b AS a, id_a AS b FROM fpairs),
+reach(id, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n
+          FROM comps GROUP BY component)
+SELECT 'pair' AS kind, id_a, id_b, hamming FROM fpairs
+UNION ALL
+SELECT 'comp' AS kind, c.id AS id_a, c.component AS id_b,
+       s.n AS hamming
+FROM comps c JOIN csize s USING (component)
 """
 
 

@@ -1147,3 +1147,62 @@ def test_knn_search_multi_field_group_by(spark):
     want = {i for _, members in top_groups for _, i in members[:2]}
     assert {r.id for r in hits} == want
     assert len({(r.cat, r.sub) for r in hits}) == 4 and len(hits) == 8
+
+
+def _uf_components(edges, nodes):
+    """Union-find reference for connected_components tests."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in nodes)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A~B~C chains must collapse to one component (near-dup relations
+    are not transitive — the reason the operator exists); disjoint
+    clusters stay disjoint; the component label is the min member id."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        connected_components, dedup_keep_list)
+    edges = [(1, 2), (2, 3), (3, 4),      # chain -> {1,2,3,4}
+             (10, 11),                    # pair
+             (20, 22), (21, 22), (20, 21)]  # triangle
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp = connected_components(pairs)
+    got = sorted((r.id, r.component) for r in comp.collect())
+    assert got == _uf_components(edges, {n for e in edges for n in e})
+    docs = spark.range(25).select(F.col("id").alias("doc_id"))
+    kept = sorted(r.doc_id for r in dedup_keep_list(
+        docs, "doc_id", comp.withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("component", "component")
+        .selectExpr("doc_id as id", "component")).collect())
+    # canonical survivors: 1, 10, 20; dropped: 2,3,4,11,21,22
+    assert kept == [n for n in range(25) if n not in {2, 3, 4, 11, 21, 22}]
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs vs a Python union-find: labels agree exactly
+    (including long chains worth several propagation rounds)."""
+    import random
+    from vectordb_testbricks_spark.operators.dedup import (
+        connected_components)
+    rnd = random.Random(13)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 60))
+        edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        # a deliberate 12-node path graph: diameter 11, several rounds
+        chain_base = 1000 + trial * 50
+        edges += [(chain_base + i, chain_base + i + 1) for i in range(11)]
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = sorted((r.id, r.component)
+                     for r in connected_components(pairs).collect())
+        assert got == _uf_components(edges, {n for e in edges for n in e})
