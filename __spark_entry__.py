@@ -2687,22 +2687,54 @@ _SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 def tx_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split + per-split accounting
     (operators/corpus.py). Growth-stable: assignment depends only on
-    md5(doc_id), so appending documents never reassigns existing ones."""
-    from vectordb_testbricks_spark.operators.corpus import split_summary
+    md5(doc_id), so appending documents never reassigns existing ones.
+
+    'pack' branch: concat-and-chunk sequence packing (pack_summary) —
+    analyzer token counts concatenated in doc_id order and chunked into
+    2048-token training sequences, reported per chunk. The Spark side is
+    the two-phase exact prefix sum (parallel per-partition windows +
+    driver offsets, never a single-partition global window); the oracle
+    is the equivalent single-window SQL cumsum."""
+    from vectordb_testbricks_spark.functions.text import tokenize
+    from vectordb_testbricks_spark.operators.corpus import (
+        pack_summary, split_summary)
     d = _t(spark, sf_dir, "documents")
     s = split_summary(d, "doc_id", _SPLIT_RATIOS, char_col="text")
-    return s.select("split", "n_docs",
-                    F.col("sum_chars").cast("bigint").alias("sum_chars"))
+    split_rows = s.select(
+        F.lit("split").alias("kind"), F.col("split").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("sum_chars").cast("bigint").alias("units"))
+    p = pack_summary(d, "doc_id", F.size(tokenize(F.col("text"))),
+                     capacity=2048)
+    pack_rows = p.select(
+        F.lit("pack").alias("kind"), F.col("chunk").cast("string").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("tok_sum").cast("bigint").alias("units"))
+    return split_rows.unionByName(pack_rows)
 
 
 def _sql_tx_split() -> str:
     from vectordb_testbricks_spark.operators.corpus import split_oracle_case
     case = split_oracle_case("doc_id", _SPLIT_RATIOS)
     return f"""
-WITH s AS (SELECT {case} AS split, text FROM documents)
-SELECT split, COUNT(*) AS n_docs,
-       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
-FROM s GROUP BY split ORDER BY split
+WITH s AS (SELECT {case} AS split, text FROM documents),
+tok AS (SELECT doc_id,
+               CAST(len({TOKS_SQL.format(col='text')}) AS BIGINT) AS tok_count
+        FROM documents),
+cum AS (SELECT doc_id, tok_count,
+               SUM(tok_count) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tok_count AS excl
+        FROM tok),
+chunks AS (SELECT doc_id, tok_count, excl // 2048 AS chunk FROM cum)
+SELECT 'split' AS kind, split AS key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS units
+FROM s GROUP BY split
+UNION ALL
+SELECT 'pack' AS kind, CAST(chunk AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_count) AS BIGINT) AS units
+FROM chunks GROUP BY chunk
 """
 
 

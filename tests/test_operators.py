@@ -1206,3 +1206,22 @@ def test_connected_components_random_vs_union_find(spark):
         got = sorted((r.id, r.component)
                      for r in connected_components(pairs).collect())
         assert got == _uf_components(edges, {n for e in edges for n in e})
+
+
+def test_pack_sequences_matches_python_prefix_sum(spark):
+    """Concat-and-chunk packing = exact global exclusive prefix sum in id
+    order, floor-divided by capacity — checked against plain Python over
+    seeded token counts, including docs longer than the capacity
+    (straddlers) and n_parts far exceeding the row count."""
+    import random
+    from vectordb_testbricks_spark.operators.corpus import pack_sequences
+    rnd = random.Random(29)
+    rows = [(i, rnd.randrange(1, 900)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    for capacity, n_parts in ((512, 8), (4096, 64)):
+        got = {r.id: (r.tok_count, r.chunk) for r in pack_sequences(
+            df, "doc_id", "tok", capacity, n_parts=n_parts).collect()}
+        acc = 0
+        for i, tok in rows:
+            assert got[i] == (tok, acc // capacity), (i, capacity)
+            acc += tok

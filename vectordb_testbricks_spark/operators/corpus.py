@@ -101,3 +101,62 @@ def split_oracle_case(key_sql: str, ratios: dict[str, float]) -> str:
         f"WHEN {prefix} < '{upper}' THEN '{name}' "
         for name, upper in bounds[:-1])
     return f"CASE {whens}ELSE '{bounds[-1][0]}' END"
+
+
+# ---------------------------------------------------------- sequence packing
+
+def pack_sequences(df: DataFrame, id_col: str, tok_col,
+                   capacity: int, n_parts: int = 32) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM pretraining batches:
+    documents are concatenated in deterministic ``id_col`` order and
+    chunked into fixed ``capacity``-token training sequences; each
+    document is assigned the chunk its first token lands in →
+    ``(id, tok_count, chunk)``.
+
+    The assignment is an EXACT global exclusive prefix sum — the one
+    operation a naive window (``sum() over (order by id)``) computes on
+    a single partition, which is the classic 100-TB bottleneck. Two-phase
+    instead: range-partition by id, cumsum per partition (parallel
+    windows over spark_partition_id), then add per-partition exclusive
+    offsets computed driver-side from the partition totals (bounded:
+    one row per partition, n_parts scalars). Deterministic regardless of
+    where the range partitioner draws its boundaries — the prefix sum is
+    defined by the total id order, not the partitioning.
+
+    ``tok_col`` may be a column name or a Column expression (e.g.
+    ``F.size(tokenize(F.col("text")))`` to count analyzer tokens inside
+    the scan stage)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    from pyspark.sql import Window
+    tok = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    d = (df.select(F.col(id_col).alias("id"),
+                   tok.cast("bigint").alias("tok_count"))
+         .repartitionByRange(n_parts, "id")
+         .select("id", "tok_count",
+                 F.spark_partition_id().alias("_pid")))
+    d = d.localCheckpoint()  # pin the partitioner draw: _pid must be the
+    #                          same in the totals pass and the cumsum pass
+    totals = {r["_pid"]: r["t"] for r in
+              d.groupBy("_pid").agg(F.sum("tok_count").alias("t"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (Window.partitionBy("_pid").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    excl = F.sum("tok_count").over(w) - F.col("tok_count") + off[F.col("_pid")]
+    return d.select("id", "tok_count",
+                    F.floor(excl / capacity).alias("chunk"))
+
+
+def pack_summary(df: DataFrame, id_col: str, tok_col,
+                 capacity: int) -> DataFrame:
+    """Per-chunk accounting of :func:`pack_sequences` —
+    ``(chunk, n_docs, tok_sum)`` for bounded, oracle-checkable output."""
+    packed = pack_sequences(df, id_col, tok_col, capacity)
+    return (packed.groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok_count").alias("tok_sum")))
