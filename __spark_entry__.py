@@ -2710,14 +2710,30 @@ def tx_split(spark, sf_dir):
         F.lit("pack").alias("kind"), F.col("chunk").cast("string").alias("key"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("tok_sum").cast("bigint").alias("units"))
-    return split_rows.unionByName(pack_rows)
+    # 'contam' branch: benchmark decontamination — rare 8-gram shingle
+    # overlap between the test and train splits of the DOUBLED corpus
+    # (each doc's +1M copy lands in an independent split, planting
+    # real cross-split contamination); rows are (kind='contam',
+    # key=test doc, n_docs=#train docs sharing, units=max shared codes)
+    from vectordb_testbricks_spark.operators.corpus import (
+        cross_split_contamination)
+    cont = cross_split_contamination(
+        _doubled_docs(spark, sf_dir), "doc_id", "text", _SPLIT_RATIOS,
+        shingle_n=8, max_df=50)
+    contam_rows = cont.select(
+        F.lit("contam").alias("kind"),
+        F.col("test_id").cast("string").alias("key"),
+        F.col("n_train_docs").alias("n_docs"),
+        F.col("max_shared").alias("units"))
+    return split_rows.unionByName(pack_rows).unionByName(contam_rows)
 
 
 def _sql_tx_split() -> str:
     from vectordb_testbricks_spark.operators.corpus import split_oracle_case
     case = split_oracle_case("doc_id", _SPLIT_RATIOS)
     return f"""
-WITH s AS (SELECT {case} AS split, text FROM documents),
+WITH {_SQL_D2},
+s AS (SELECT {case} AS split, text FROM documents),
 tok AS (SELECT doc_id,
                CAST(len({TOKS_SQL.format(col='text')}) AS BIGINT) AS tok_count
         FROM documents),
@@ -2726,7 +2742,26 @@ cum AS (SELECT doc_id, tok_count,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - tok_count AS excl
         FROM tok),
-chunks AS (SELECT doc_id, tok_count, excl // 2048 AS chunk FROM cum)
+chunks AS (SELECT doc_id, tok_count, excl // 2048 AS chunk FROM cum),
+ctoks AS (SELECT doc_id, {TOKS_SQL.format(col='text')} AS toks FROM d2),
+cshing AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 8
+    THEN list_transform(range(0, len(toks) - 7),
+                        i -> array_to_string(toks[i + 1 : i + 8], ' '))
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM ctoks),
+ccodes AS (
+  SELECT DISTINCT doc_id, {MD5L.format(s='g')} % 2147483647 AS code
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM cshing)),
+posts AS (SELECT c.doc_id, {case} AS split, c.code FROM ccodes c),
+cdf AS (SELECT code, COUNT(*) AS df FROM posts GROUP BY code),
+rare AS (SELECT p.doc_id, p.split, p.code
+         FROM posts p JOIN cdf USING (code) WHERE cdf.df <= 50),
+shared AS (
+  SELECT t.doc_id AS test_id, r.doc_id AS train_id, COUNT(*) AS n_shared
+  FROM rare t JOIN rare r ON t.code = r.code
+  WHERE t.split = 'test' AND r.split = 'train'
+  GROUP BY t.doc_id, r.doc_id)
 SELECT 'split' AS kind, split AS key, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS units
 FROM s GROUP BY split
@@ -2735,6 +2770,11 @@ SELECT 'pack' AS kind, CAST(chunk AS VARCHAR) AS key,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tok_count) AS BIGINT) AS units
 FROM chunks GROUP BY chunk
+UNION ALL
+SELECT 'contam' AS kind, CAST(test_id AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_shared) AS BIGINT) AS units
+FROM shared GROUP BY test_id
 """
 
 

@@ -1225,3 +1225,42 @@ def test_pack_sequences_matches_python_prefix_sum(spark):
         for i, tok in rows:
             assert got[i] == (tok, acc // capacity), (i, capacity)
             acc += tok
+
+
+def test_cross_split_contamination_vs_python(spark):
+    """Planted contamination: doc 100 (test) copies doc 0 (train) and
+    doc 101 (test) shares an 8-token run with doc 1 (train); unrelated
+    docs share nothing. Checked against a plain-Python shingle-set
+    reference using the operator's own split assignment."""
+    from vectordb_testbricks_spark.operators.corpus import (
+        assign_splits, cross_split_contamination)
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "wholly unrelated text with its own private vocabulary words"]
+    rows = ([(i, base[i]) for i in range(3)]
+            + [(100, base[0]),
+               (101, "PREFIX one two three four five six seven eight"),
+               (102, "nothing shared here at all believe me truly")])
+    ratios = {"train": 0.5, "test": 0.5}
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    splits = {r.doc_id: r.split for r in
+              assign_splits(docs, "doc_id", ratios).collect()}
+
+    def sh(text, n=8):
+        toks = [t for t in text.lower().split() if t]
+        return set(" ".join(toks[i:i + n])
+                   for i in range(len(toks) - n + 1)) or {" ".join(toks)}
+
+    want = {}
+    for tid, ttxt in rows:
+        if splits[tid] != "test":
+            continue
+        hits = [len(sh(ttxt) & sh(rtxt)) for rid, rtxt in rows
+                if splits[rid] == "train" and sh(ttxt) & sh(rtxt)]
+        if hits:
+            want[tid] = (len(hits), max(hits))
+    got = {r.test_id: (r.n_train_docs, r.max_shared)
+           for r in cross_split_contamination(
+               docs, "doc_id", "text", ratios).collect()}
+    assert got == want
+    assert want, "fixture must plant at least one cross-split pair"

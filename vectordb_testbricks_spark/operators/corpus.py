@@ -160,3 +160,49 @@ def pack_summary(df: DataFrame, id_col: str, tok_col,
     return (packed.groupBy("chunk")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("tok_count").alias("tok_sum")))
+
+
+# ------------------------------------------------- cross-split contamination
+
+def cross_split_contamination(docs: DataFrame, id_col: str, text_col: str,
+                              ratios: dict[str, float],
+                              train: str = "train", test: str = "test",
+                              shingle_n: int = 8,
+                              max_df: int = 50) -> DataFrame:
+    """Benchmark-decontamination check: which held-out documents share
+    rare ``shingle_n``-gram shingles with the training split →
+    ``(test_id, n_train_docs, max_shared)`` per contaminated test doc.
+
+    The standard LLM-pipeline hygiene step (decontaminate eval sets
+    against pretraining data by long-n-gram overlap), expressed as the
+    same inverted-index shape the n-gram dedup uses: per-doc distinct
+    shingle codes (scan-stage array expressions, no shuffle), split
+    assignment folded into the same scan (md5-interval — zero extra
+    passes), then a code-keyed join of test postings against train
+    postings. Codes with corpus df > ``max_df`` are dropped first —
+    common shingles carry no contamination signal and cap the join
+    fan-out (the quadratic head at 100 TB)."""
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.dedup import _token_codes
+
+    codes = _token_codes(docs, id_col, text_col, shingle_n)
+    posts = (codes.select(
+        F.col(id_col),
+        split_column(F.col(id_col), ratios).alias("split"),
+        F.explode("codes").alias("code")))
+    # df-cap computed over the whole corpus (both splits — contamination
+    # df is a corpus property, mirroring the dedup max_df convention)
+    df_t = posts.groupBy("code").agg(F.count(F.lit(1)).alias("df"))
+    rare = shared_persist(
+        posts.join(df_t.filter(F.col("df") <= max_df), "code")
+        .select(id_col, "split", "code"))
+    t = (rare.filter(F.col("split") == test)
+         .select(F.col(id_col).alias("test_id"), "code"))
+    tr = (rare.filter(F.col("split") == train)
+          .select(F.col(id_col).alias("train_id"), "code"))
+    shared = (t.join(tr, "code")
+              .groupBy("test_id", "train_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared.groupBy("test_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+                 F.max("n_shared").cast("bigint").alias("max_shared")))
