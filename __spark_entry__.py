@@ -2490,18 +2490,29 @@ def tx_quality(spark, sf_dir):
     tx_tokcount registry entry — same scan-stage row grain, one wider
     projection instead of two registry slots)."""
     from vectordb_testbricks_spark.operators.textquality import (
-        bpe_ish_piece_count, quality_features)
+        bpe_ish_piece_count, dup_token_frac, quality_features,
+        tokenized_with_bigrams, top_bigram_char_frac)
     d = _t(spark, sf_dir, "documents")
+    # one persisted (text, _toks, _big) base → every feature incl. the
+    # repetition signals rides a single scan, no join (the join-shaped
+    # first cut doubled this headline query's time)
+    t = tokenized_with_bigrams(d, "doc_id", "text")
     qf = quality_features(
-        d, "doc_id", "text",
-        extra={"bpe_pieces": bpe_ish_piece_count(F.col("text"))})
+        t, "doc_id", "text",
+        extra={"bpe_pieces": bpe_ish_piece_count(F.col("text")),
+               "dup_token_frac": dup_token_frac(F.col("_toks")),
+               "top_bigram_char_frac": top_bigram_char_frac(
+                   F.col("_toks"), F.col("_big"))})
     return qf.select("doc_id", "n_chars",
                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
                      "bpe_pieces",
                      F.round("punct_ratio", 6).alias("punct_ratio"),
                      F.round("stopword_ratio", 6).alias("stopword_ratio"),
                      F.round("mean_token_len", 6).alias("mean_token_len"),
-                     F.round("quality_score", 6).alias("quality_score")) \
+                     F.round("quality_score", 6).alias("quality_score"),
+                     F.round("dup_token_frac", 6).alias("dup_token_frac"),
+                     F.round("top_bigram_char_frac", 6)
+                     .alias("top_bigram_char_frac")) \
              .orderBy("doc_id")
 
 
@@ -2523,13 +2534,32 @@ g AS (
     CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
       / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len
   FROM f)
+,
+rep0 AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(0, len(toks) - 1),
+                             i -> array_to_string(toks[i + 1 : i + 2], ' '))
+         ELSE [array_to_string(toks, ' ')] END AS big
+  FROM f),
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        / CAST(greatest(len(toks), 1) AS DOUBLE) AS dup_token_frac,
+    CAST(list_max(list_transform(list_distinct(big),
+          g -> len(list_filter(big, x -> x = g)) * length(g))) AS DOUBLE)
+      / CAST(greatest(coalesce(list_sum(list_transform(toks,
+          t -> length(t))), 0), 1) AS DOUBLE) AS top_bigram_char_frac
+  FROM rep0)
 SELECT g.doc_id, n_chars, n_tokens, b.bpe_pieces,
   ROUND(punct_ratio, 6) AS punct_ratio,
   ROUND(stopword_ratio, 6) AS stopword_ratio,
   ROUND(mean_token_len, 6) AS mean_token_len,
   ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
-        + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score
+        + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) AS quality_score,
+  ROUND(rep.dup_token_frac, 6) AS dup_token_frac,
+  ROUND(rep.top_bigram_char_frac, 6) AS top_bigram_char_frac
 FROM g JOIN (
   SELECT doc_id,
     CAST(list_sum(list_transform({TOKS_SQL.format(col='text')},
@@ -2537,6 +2567,7 @@ FROM g JOIN (
       + length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS BIGINT)
       AS bpe_pieces
   FROM documents) b ON b.doc_id = g.doc_id
+JOIN rep ON rep.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
 

@@ -1264,3 +1264,27 @@ def test_cross_split_contamination_vs_python(spark):
                docs, "doc_id", "text", ratios).collect()}
     assert got == want
     assert want, "fixture must plant at least one cross-split pair"
+
+
+def test_repetition_features_vs_python(spark):
+    """Gopher-style repetition signals vs a plain-Python reference:
+    heavy repetition (one token repeated), a dominant bigram, clean
+    prose, and a single-token doc (degenerate bigram = the whole doc)."""
+    from vectordb_testbricks_spark.operators.textquality import (
+        repetition_features)
+    rows = [(0, "spam spam spam spam spam ham"),
+            (1, "click here click here click here to win money now"),
+            (2, "a quiet morning with coffee and unhurried reading"),
+            (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (round(r.dup_token_frac, 6),
+                      round(r.top_bigram_char_frac, 6))
+           for r in repetition_features(df, "doc_id", "text").collect()}
+    for i, text in rows:
+        toks = text.split()
+        dup = 1.0 - len(set(toks)) / max(len(toks), 1)
+        bigs = ([" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+                or [" ".join(toks)])
+        top = max(bigs.count(g) * len(g) for g in set(bigs))
+        frac = top / max(sum(len(t) for t in toks), 1)
+        assert got[i] == (round(dup, 6), round(frac, 6)), (i, got[i])

@@ -130,3 +130,77 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str,
         content.alias("content_md5"),
         F.array_min(kgram_hashes).alias("min_kgram_hash"),
     )
+
+
+def repetition_features(docs: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """Gopher-style repetition signals → ``(id, dup_token_frac,
+    top_bigram_char_frac)`` — the standard quality filters for
+    machine-generated / boilerplate text (Rae et al. 2021 §A1.1:
+    duplicate-token and top-n-gram character fractions).
+
+      * dup_token_frac       — 1 − distinct/total analyzer tokens
+      * top_bigram_char_frac — characters covered by the most frequent
+        token bigram (count × bigram length) over total token characters
+
+    The token and bigram arrays are computed once and persisted before
+    the counting lambdas touch them (the shingles() performance
+    contract: HOF lambdas are not CSE'd, so inline arrays would re-split
+    per element). The top-bigram count is sort + one linear
+    run-tracking aggregate — O(B log B) per row; the first cut
+    (count-per-distinct-gram via nested filter, O(B²)) tripled the
+    tx_quality headline time at sf0.1. The DuckDB oracle deliberately
+    keeps the quadratic formulation: two independent algorithms
+    agreeing on the value is a stronger differential than one algorithm
+    mirrored twice. No shuffle; all inside whole-stage codegen."""
+    t = tokenized_with_bigrams(docs, id_col, text_col)
+    return t.select(F.col(id_col),
+                    dup_token_frac(F.col("_toks"))
+                    .alias("dup_token_frac"),
+                    top_bigram_char_frac(F.col("_toks"), F.col("_big"))
+                    .alias("top_bigram_char_frac"))
+
+
+def tokenized_with_bigrams(docs: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """``(id, text, _toks, _big)`` persisted — the shared base for
+    repetition signals (and anything else needing both token and sorted
+    bigram arrays as column attributes, e.g. the consolidated
+    tx_quality projection: one scan, no join)."""
+    from vectordb_testbricks_spark.materialize import (
+        parallelize_small, shared_persist)
+    t = parallelize_small(docs).select(
+        F.col(id_col), F.col(text_col),
+        tokenize(F.col(text_col)).alias("_toks"))
+    t = t.select("*", F.array_sort(shingles(F.col("_toks"), 2))
+                 .alias("_big"))
+    return shared_persist(t)
+
+
+def dup_token_frac(toks: Column) -> Column:
+    """1 − distinct/total over a materialized token array column."""
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def top_bigram_char_frac(toks: Column, sorted_big: Column) -> Column:
+    """Most-frequent-bigram char coverage over total token chars.
+    ``sorted_big`` must be SORTED: max over bigrams of count×chars ==
+    max over sorted equal-runs of run_length×chars (coverage only grows
+    within a run) — one linear aggregate instead of the O(B²)
+    count-per-distinct-gram nested filter."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a["best"], run * F.length(x))
+                        .alias("best"))
+
+    top_cov = F.aggregate(sorted_big, zero, _step, lambda a: a["best"])
+    tok_chars = F.aggregate(toks, F.lit(0),
+                            lambda a, tkn: a + F.length(tkn))
+    return (top_cov.cast("double")
+            / F.greatest(tok_chars, F.lit(1)).cast("double"))
