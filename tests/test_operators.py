@@ -1288,3 +1288,33 @@ def test_repetition_features_vs_python(spark):
         top = max(bigs.count(g) * len(g) for g in set(bigs))
         frac = top / max(sum(len(t) for t in toks), 1)
         assert got[i] == (round(dup, 6), round(frac, 6)), (i, got[i])
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """The full near-dup pipeline composes: MinHash-LSH pairs →
+    connected components → keep-list. A 3-way transitive cluster
+    (A≈B≈C where A and C differ enough that only B links them) must
+    collapse to ONE survivor — the per-pair min-id policy would keep
+    two of the three."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        connected_components, dedup_keep_list, minhash_lsh_dedup)
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy cats watch from the warm garden wall")
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["fence"])            # 1-token edit vs A
+    c = " ".join(["meanwhile"] + words[1:-1] + ["fence"])  # 1 vs B, 2 vs A
+    rows = [(0, a), (1, b), (2, c),
+            (3, "completely different text about spark query planning "
+                "and shuffle partition tuning at large scale")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got_pairs and (1, 2) in got_pairs
+    assert not any(3 in p for p in got_pairs)
+    comp = connected_components(pairs)
+    labels = {r.id: r.component for r in comp.collect()}
+    assert labels == {0: 0, 1: 0, 2: 0}
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_list(docs, "doc_id", comp).collect())
+    assert kept == [0, 3]
