@@ -2546,10 +2546,11 @@ rep AS (
   SELECT doc_id,
     1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
         / CAST(greatest(len(toks), 1) AS DOUBLE) AS dup_token_frac,
-    CAST(list_max(list_transform(list_distinct(big),
-          g -> len(list_filter(big, x -> x = g)) * length(g))) AS DOUBLE)
+    least(CAST(list_max(list_transform(list_distinct(big),
+          g -> len(list_filter(big, x -> x = g))
+               * length(replace(g, ' ', '')))) AS DOUBLE)
       / CAST(greatest(coalesce(list_sum(list_transform(toks,
-          t -> length(t))), 0), 1) AS DOUBLE) AS top_bigram_char_frac
+          t -> length(t))), 0), 1) AS DOUBLE), 1.0) AS top_bigram_char_frac
   FROM rep0)
 SELECT g.doc_id, n_chars, n_tokens, b.bpe_pieces,
   ROUND(punct_ratio, 6) AS punct_ratio,

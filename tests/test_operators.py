@@ -1180,10 +1180,8 @@ def test_connected_components_chain_and_clusters(spark):
     got = sorted((r.id, r.component) for r in comp.collect())
     assert got == _uf_components(edges, {n for e in edges for n in e})
     docs = spark.range(25).select(F.col("id").alias("doc_id"))
-    kept = sorted(r.doc_id for r in dedup_keep_list(
-        docs, "doc_id", comp.withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("component", "component")
-        .selectExpr("doc_id as id", "component")).collect())
+    kept = sorted(r.doc_id
+                  for r in dedup_keep_list(docs, "doc_id", comp).collect())
     # canonical survivors: 1, 10, 20; dropped: 2,3,4,11,21,22
     assert kept == [n for n in range(25) if n not in {2, 3, 4, 11, 21, 22}]
 
@@ -1285,8 +1283,11 @@ def test_repetition_features_vs_python(spark):
         dup = 1.0 - len(set(toks)) / max(len(toks), 1)
         bigs = ([" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
                 or [" ".join(toks)])
-        top = max(bigs.count(g) * len(g) for g in set(bigs))
-        frac = top / max(sum(len(t) for t in toks), 1)
+        # coverage counts token chars only (no join spaces) and the
+        # fraction caps at 1.0 — overlapping occurrences share tokens
+        top = max(bigs.count(g) * len(g.replace(" ", ""))
+                  for g in set(bigs))
+        frac = min(top / max(sum(len(t) for t in toks), 1), 1.0)
         assert got[i] == (round(dup, 6), round(frac, 6)), (i, got[i])
 
 

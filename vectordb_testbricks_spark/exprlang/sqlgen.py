@@ -155,9 +155,15 @@ class _Emitter:
         field, querylit = args[0], args[1]
         slop = 0
         if len(args) > 2:
-            if not isinstance(args[2], ast.Lit) or not isinstance(
-                    args[2].value, int):
-                raise SqlGenError("phrase_match slop must be an int literal")
+            # mirror the compiler's validation exactly: the parser folds
+            # unary minus into the literal, and a negative slop must be
+            # the same loud error on both lowerings, not a silently
+            # stricter-than-adjacency bound here
+            if (not isinstance(args[2], ast.Lit)
+                    or not isinstance(args[2].value, int)
+                    or args[2].value < 0):
+                raise SqlGenError(
+                    "phrase_match slop must be a non-negative int literal")
             slop = args[2].value
         if not isinstance(querylit, ast.Lit) or not isinstance(
                 querylit.value, str):

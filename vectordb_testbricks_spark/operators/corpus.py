@@ -140,6 +140,12 @@ def pack_sequences(df: DataFrame, id_col: str, tok_col,
     totals = {r["_pid"]: r["t"] for r in
               d.groupBy("_pid").agg(F.sum("tok_count").alias("t"))
               .collect()}
+    if not totals:
+        # empty input: F.create_map() over zero entries types as
+        # map<void,void> and fails analysis — short-circuit with the
+        # correctly-typed empty frame instead
+        return d.select("id", "tok_count",
+                        F.lit(None).cast("bigint").alias("chunk"))
     offsets, acc = {}, 0
     for pid in sorted(totals):
         offsets[pid] = acc
@@ -186,7 +192,10 @@ def cross_split_contamination(docs: DataFrame, id_col: str, text_col: str,
     from vectordb_testbricks_spark.operators.dedup import _token_codes
 
     codes = _token_codes(docs, id_col, text_col, shingle_n)
-    posts = (codes.select(
+    # persisted: posts feeds BOTH the df aggregation and the rare join —
+    # without the barrier the shingle→md5 explode (the costliest
+    # expression here) evaluates twice
+    posts = shared_persist(codes.select(
         F.col(id_col),
         split_column(F.col(id_col), ratios).alias("split"),
         F.explode("codes").alias("code")))

@@ -140,8 +140,9 @@ def repetition_features(docs: DataFrame, id_col: str,
     duplicate-token and top-n-gram character fractions).
 
       * dup_token_frac       — 1 − distinct/total analyzer tokens
-      * top_bigram_char_frac — characters covered by the most frequent
-        token bigram (count × bigram length) over total token characters
+      * top_bigram_char_frac — token characters covered by the most
+        frequent token bigram (count × bigram chars, join spaces
+        excluded) over total token characters, capped at 1.0
 
     The token and bigram arrays are computed once and persisted before
     the counting lambdas touch them (the shingles() performance
@@ -185,22 +186,34 @@ def dup_token_frac(toks: Column) -> Column:
 
 
 def top_bigram_char_frac(toks: Column, sorted_big: Column) -> Column:
-    """Most-frequent-bigram char coverage over total token chars.
-    ``sorted_big`` must be SORTED: max over bigrams of count×chars ==
-    max over sorted equal-runs of run_length×chars (coverage only grows
-    within a run) — one linear aggregate instead of the O(B²)
-    count-per-distinct-gram nested filter."""
+    """Most-frequent-bigram char coverage over total token chars,
+    capped at 1.0: coverage = count × token-chars-in-the-bigram
+    (the gram's length minus its join spaces — spaces are not document
+    characters, and counting them via translate also handles the
+    degenerate whole-doc gram of <2-token documents),
+    and since overlapping occurrences share tokens the raw product can
+    exceed the document (``"a a a a"`` → 3 occurrences × 2 chars over 4
+    token chars), so the fraction clamps to 1 — "the whole document is
+    this bigram" is the correct reading of saturation for a
+    Gopher-style threshold filter. ``sorted_big`` must be SORTED: max
+    over bigrams of count×chars == max over sorted equal-runs of
+    run_length×chars (coverage only grows within a run) — one linear
+    aggregate instead of the O(B²) count-per-distinct-gram nested
+    filter."""
     zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                     F.lit(0).alias("best"))
 
     def _step(a, x):
         run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
         return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(a["best"], run * F.length(x))
+                        F.greatest(
+                            a["best"],
+                            run * F.length(F.translate(x, " ", "")))
                         .alias("best"))
 
     top_cov = F.aggregate(sorted_big, zero, _step, lambda a: a["best"])
     tok_chars = F.aggregate(toks, F.lit(0),
                             lambda a, tkn: a + F.length(tkn))
-    return (top_cov.cast("double")
-            / F.greatest(tok_chars, F.lit(1)).cast("double"))
+    return F.least(
+        top_cov.cast("double")
+        / F.greatest(tok_chars, F.lit(1)).cast("double"), F.lit(1.0))
