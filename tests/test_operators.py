@@ -1319,3 +1319,33 @@ def test_dedup_pipeline_end_to_end(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_list(docs, "doc_id", comp).collect())
     assert kept == [0, 3]
+
+
+def test_highlighter_and_run_analyzer(spark):
+    """3.0-roadmap highlighter prototype: fragment windows, <em> term
+    wrapping, Lucene-style fragment scores, no-match and NULL-text
+    rows, multi-fragment config, and run_analyzer's driver twin."""
+    from vectordb_testbricks_spark.operators.textquality import (
+        highlight_matches, run_analyzer)
+    assert run_analyzer("The QUICK, brown fox!") == [
+        "the", "quick", "brown", "fox"]
+    rows = [(0, "alpha beta gamma spark delta epsilon zeta"),
+            (1, "spark at the start and spark again later here"),
+            (2, "no match anywhere in this row"),
+            (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in highlight_matches(
+        docs, "doc_id", "text", "Spark", window=2,
+        max_fragments=2).collect()}
+    assert out[0].n_matches == 1
+    assert out[0].fragments == [
+        "beta gamma <em>spark</em> delta epsilon"]
+    assert out[0].frag_scores == [1]
+    assert out[1].n_matches == 2
+    # first match at position 1: the constant-length window slides to
+    # the array start rather than shrinking
+    assert out[1].fragments[0] == "<em>spark</em> at the start and"
+    assert out[1].fragments[1] == "start and <em>spark</em> again later"
+    assert out[1].frag_scores == [1, 1]
+    assert out[2].n_matches == 0 and out[2].fragments == []
+    assert out[3].n_matches is None and out[3].fragments is None

@@ -217,3 +217,82 @@ def top_bigram_char_frac(toks: Column, sorted_big: Column) -> Column:
     return F.least(
         top_cov.cast("double")
         / F.greatest(tok_chars, F.lit(1)).cast("double"), F.lit(1.0))
+
+
+def run_analyzer(text: str, analyzer_params: dict | None = None) -> list:
+    """3.0-roadmap ``run_analyzer`` prototype (feature-inventory doc §3;
+    no reference implementation exists): analyze a literal string with a
+    field analyzer, returning its token list — the driver-side twin of
+    the engine tokenizer, so what this returns is exactly what the
+    engine matches against."""
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, py_tokenize)
+    return py_tokenize(text, **analyzer_kwargs(analyzer_params))
+
+
+def highlight_matches(docs: DataFrame, id_col: str, text_col: str,
+                      query: str, *, analyzer_params: dict | None = None,
+                      window: int = 3, pre_tag: str = "<em>",
+                      post_tag: str = "</em>",
+                      max_fragments: int = 1) -> DataFrame:
+    """3.0-roadmap query-term highlighter prototype (feature-inventory
+    doc §3: "query term highlighter", "highlighter fragment 配置",
+    "highlighter score"; no reference implementation exists) →
+    ``(id, n_matches, fragments, frag_scores)``.
+
+    The query is analyzed driver-side with the field's analyzer (the
+    TEXT_MATCH discipline); per row, the 1-based positions of matching
+    tokens are found with one scan-stage higher-order filter, and the
+    first ``max_fragments`` matches each yield a constant-length token
+    window of ``2·window+1`` (anchored ``window`` tokens before the
+    match; at the array edges the window slides rather than shrinks)
+    with matched terms wrapped in ``pre_tag``/``post_tag`` (Lucene's
+    default highlighter shape). ``frag_scores`` is the
+    Lucene-style fragment score: matched-token count inside each
+    window. Documents with no match report n_matches=0 and empty
+    fragment arrays; NULL text propagates NULL. Everything is per-row
+    Column work over a persisted token array — no shuffle, no UDF."""
+    from vectordb_testbricks_spark.materialize import (
+        parallelize_small, shared_persist)
+    kw_terms = run_analyzer(query, analyzer_params)
+    if not kw_terms:
+        raise ValueError("highlight query analyzed to zero terms")
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, tokenize)
+    kw = analyzer_kwargs(analyzer_params)
+    t = shared_persist(parallelize_small(docs).select(
+        F.col(id_col), tokenize(F.col(text_col), **kw).alias("_toks")))
+    toks = F.col("_toks")
+
+    def _is_term(tok):
+        return tok.isin(*kw_terms)
+
+    # positions via the index-aware transform: NULL text propagates NULL
+    # (a sequence(1, greatest(size, 1)) formulation collapses NULL to 0
+    # matches — greatest swallows the NULL and filter drops the NULL
+    # predicate, the same trap the phrase-match differential caught)
+    pos = F.filter(
+        F.transform(toks, lambda tok, i: F.when(_is_term(tok), i + 1)),
+        lambda x: x.isNotNull())
+
+    def _fragment(p):
+        start = F.greatest(p - window, F.lit(1))
+        win = F.slice(toks, start, 2 * window + 1)
+        marked = F.transform(
+            win, lambda tok: F.when(
+                _is_term(tok),
+                F.concat(F.lit(pre_tag), tok, F.lit(post_tag)))
+            .otherwise(tok))
+        return F.array_join(marked, " ")
+
+    def _frag_score(p):
+        start = F.greatest(p - window, F.lit(1))
+        return F.size(F.filter(F.slice(toks, start, 2 * window + 1),
+                               _is_term))
+
+    heads = F.slice(pos, 1, max_fragments)
+    return t.select(
+        F.col(id_col),
+        F.size(pos).alias("n_matches"),
+        F.transform(heads, _fragment).alias("fragments"),
+        F.transform(heads, _frag_score).alias("frag_scores"))
