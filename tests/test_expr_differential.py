@@ -408,7 +408,11 @@ def test_text_match_matches_duckdb(dft):
             # both engines — "X" must match the literal "_x" suffix rows
             # only via the cased token "x"... which no longer folds, so
             # the match set differs from the folded run
-            {"name": {"tokenizer": "standard", "filter": []}}):
+            {"name": {"tokenizer": "standard", "filter": []}},
+            # roadmap ngram tokenizer: char 2-3-grams within alnum runs
+            # on both engines (nested flatten/list_transform twin)
+            {"name": {"tokenizer": {"type": "ngram", "min_gram": 2,
+                                    "max_gram": 3}}}):
         for e in cases:
             node = parse(e)
             pred = compile_expr(e, df, enable_text_match=True,

@@ -426,3 +426,42 @@ def test_star_rejected_in_json_and_chained_contexts(spark):
     assert df.filter(p).count() == 1
     p = compile_expr('meta["j"]["a"]["b"] == 3', df)
     assert df.filter(p).count() == 0
+
+
+def test_ngram_tokenizer_analyzer(spark):
+    """Roadmap ngram tokenizer: analyzer_params dict-tokenizer shape,
+    Lucene semantics (grams within alnum runs, short runs emit
+    nothing), twin parity, validation, and TEXT_MATCH end-to-end."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, py_tokenize, tokenize)
+    ap = {"tokenizer": {"type": "ngram", "min_gram": 2, "max_gram": 3}}
+    kw = analyzer_kwargs(ap)
+    assert py_tokenize("Hello, wor!", **kw) == [
+        "he", "el", "ll", "lo", "hel", "ell", "llo", "wo", "or", "wor"]
+    assert py_tokenize("a", **kw) == []      # shorter than min_gram
+    df = spark.createDataFrame(
+        [(0, "Hello world"), (1, "nothing shared"), (2, None)],
+        "id bigint, body string")
+    got = df.select("id", tokenize(F.col("body"), **kw).alias("g")) \
+            .collect()
+    by_id = {r.id: r.g for r in got}
+    assert by_id[0] == py_tokenize("Hello world", **kw)
+    assert by_id[2] is None
+    # TEXT_MATCH through the per-field analyzer: "hell" grams to
+    # [he,el,ll,hel,ell] which overlap row 0 only... and "xqz" (grams
+    # xq,qz,xqz) matches nothing
+    pred = compile_expr('TEXT_MATCH(body, "hell")', df,
+                        enable_text_match=True, analyzers={"body": ap})
+    assert [r.id for r in df.filter(pred).collect()] == [0]
+    pred2 = compile_expr('TEXT_MATCH(body, "xqz")', df,
+                         enable_text_match=True, analyzers={"body": ap})
+    assert df.filter(pred2).count() == 0
+    for bad in ({"tokenizer": {"type": "edge_ngram"}},
+                {"tokenizer": {"type": "ngram", "min_gram": 0}},
+                {"tokenizer": {"type": "ngram", "min_gram": 3,
+                               "max_gram": 2}}):
+        with _pt.raises(ValueError):
+            analyzer_kwargs(bad)

@@ -142,6 +142,15 @@ class _Emitter:
         if kw["stop_words"]:
             sw = ", ".join(_lit(w) for w in kw["stop_words"])
             toks = f"list_filter({toks}, _t -> _t NOT IN ({sw}))"
+        if kw.get("ngram"):
+            a, b = kw["ngram"]
+            toks = (
+                f"flatten(list_transform({toks}, _w -> "
+                f"flatten(list_transform(range({a}, {b + 1}), _n -> "
+                f"CASE WHEN length(_w) >= _n THEN "
+                f"list_transform(range(0, length(_w) - _n + 1), "
+                f"_i -> substring(_w, _i + 1, _n)) "
+                f"ELSE CAST([] AS VARCHAR[]) END))))")
         return toks, kw
 
     def _phrase_match_sql(self, args) -> str:

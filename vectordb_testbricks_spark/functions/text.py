@@ -35,9 +35,27 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
     p = analyzer_params or {}
     if p.get("type", "standard") != "standard":
         raise ValueError(f"unsupported analyzer type {p['type']!r}")
-    if p.get("tokenizer", "standard") != "standard":
-        raise ValueError(f"unsupported tokenizer {p['tokenizer']!r}")
-    kwargs: dict = {"lowercase": True, "stop_words": ()}
+    tk = p.get("tokenizer", "standard")
+    ngram: tuple[int, int] | None = None
+    if isinstance(tk, dict):
+        # 3.0-roadmap ngram tokenizer (feature-inventory doc §3 "ngram
+        # tokenizer + token chars"): character n-grams WITHIN alnum runs
+        # — the standard split supplies the token_chars=[letter,digit]
+        # boundary semantics, then each run emits its n-grams for every
+        # n in [min_gram, max_gram]; runs shorter than min_gram emit
+        # nothing (Lucene NGramTokenizer behavior)
+        if tk.get("type") != "ngram":
+            raise ValueError(f"unsupported tokenizer {tk!r}")
+        a = int(tk.get("min_gram", 2))
+        b = int(tk.get("max_gram", a))
+        if a < 1 or b < a:
+            raise ValueError(
+                f"ngram tokenizer needs 1 <= min_gram <= max_gram, "
+                f"got {tk!r}")
+        ngram = (a, b)
+    elif tk != "standard":
+        raise ValueError(f"unsupported tokenizer {tk!r}")
+    kwargs: dict = {"lowercase": True, "stop_words": (), "ngram": ngram}
     if "filter" in p:
         kwargs["lowercase"] = False
         for f in p["filter"]:
@@ -58,18 +76,38 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
 
 
 def tokenize(c: Column, *, lowercase: bool = True,
-             stop_words: tuple[str, ...] = ()) -> Column:
+             stop_words: tuple[str, ...] = (),
+             ngram: tuple[int, int] | None = None) -> Column:
     """Standard-analyzer-style tokenization (reference enable_analyzer fields,
     schema_matrix_2_6.yaml:52; BM25 input), with the analyzer_params knobs:
     ``lowercase`` toggles case folding (the split regex widens to keep
     uppercase runs when off) and ``stop_words`` drops exact-match tokens
-    after folding."""
+    after folding. ``ngram=(min, max)`` switches to the roadmap ngram
+    tokenizer: stop-filtered alnum runs each emit their character
+    n-grams for every n in [min, max] (runs shorter than min emit
+    nothing — Lucene NGramTokenizer; the alnum split provides the
+    token_chars=[letter,digit] boundaries)."""
     base = F.lower(c) if lowercase else c
     toks = F.split(base, TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED)
     if stop_words:
-        return F.filter(toks,
+        toks = F.filter(toks,
                         lambda t: (t != "") & ~t.isin(*stop_words))
-    return F.filter(toks, lambda t: t != "")
+    else:
+        toks = F.filter(toks, lambda t: t != "")
+    if ngram is None:
+        return toks
+    a, b = ngram
+
+    def _grams(w):
+        return F.flatten(F.transform(
+            F.sequence(F.lit(a), F.lit(b)),
+            lambda n: F.when(
+                F.length(w) >= n,
+                F.transform(F.sequence(F.lit(0), F.length(w) - n),
+                            lambda i: F.substring(w, i + 1, n)))
+            .otherwise(F.array().cast("array<string>"))))
+
+    return F.flatten(F.transform(toks, _grams))
 
 
 def materialized_tokens(docs, id_col: str, text_col: str,
@@ -96,16 +134,22 @@ def materialized_tokens(docs, id_col: str, text_col: str,
 
 
 def py_tokenize(text: str, *, lowercase: bool = True,
-                stop_words: tuple[str, ...] = ()) -> list[str]:
+                stop_words: tuple[str, ...] = (),
+                ngram: tuple[int, int] | None = None) -> list[str]:
     """Driver-side twin of :func:`tokenize` for literal query strings
     (TEXT_MATCH predicates, ad-hoc analyzers) — same split regex, same
-    fold/stop semantics, so a term analyzed in Python matches the tokens
-    the Column path produced."""
+    fold/stop/ngram semantics, so a term analyzed in Python matches the
+    tokens the Column path produced."""
     import re as _re
     base = text.lower() if lowercase else text
     pat = TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED
-    return [t for t in _re.split(pat, base)
-            if t != "" and t not in stop_words]
+    words = [t for t in _re.split(pat, base)
+             if t != "" and t not in stop_words]
+    if ngram is None:
+        return words
+    a, b = ngram
+    return [w[i:i + n] for w in words for n in range(a, b + 1)
+            for i in range(len(w) - n + 1)]
 
 
 def hashed_sparse_embedding(toks: Column, n_buckets: int = 1024) -> Column:
@@ -153,15 +197,18 @@ def hashed_sparse_embedding(toks: Column, n_buckets: int = 1024) -> Column:
 
 def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
                                lowercase: bool = True,
-                               stop_words: tuple[str, ...] = ()) -> dict:
+                               stop_words: tuple[str, ...] = (),
+                               ngram: tuple[int, int] | None = None) -> dict:
     """Driver-side twin of :func:`hashed_sparse_embedding` for query
-    featurization: same tokenizer twin (py_tokenize), same zlib.crc32
-    bucket hash (== Spark's crc32 over utf-8), same L2 norm — a query
-    embedded here scores exact cosine against stored embeddings."""
+    featurization: same tokenizer twin (py_tokenize, ngram included),
+    same zlib.crc32 bucket hash (== Spark's crc32 over utf-8), same L2
+    norm — a query embedded here scores exact cosine against stored
+    embeddings."""
     import math
     import zlib
     counts: dict[int, float] = {}
-    for t in py_tokenize(text, lowercase=lowercase, stop_words=stop_words):
+    for t in py_tokenize(text, lowercase=lowercase, stop_words=stop_words,
+                         ngram=ngram):
         b = zlib.crc32(t.encode("utf-8")) % n_buckets
         counts[b] = counts.get(b, 0.0) + 1.0
     norm = math.sqrt(sum(v * v for v in counts.values()))
