@@ -412,7 +412,14 @@ def test_text_match_matches_duckdb(dft):
             # roadmap ngram tokenizer: char 2-3-grams within alnum runs
             # on both engines (nested flatten/list_transform twin)
             {"name": {"tokenizer": {"type": "ngram", "min_gram": 2,
-                                    "max_gram": 3}}}):
+                                    "max_gram": 3}}},
+            # roadmap inline synonym filter: expand semantics on both
+            # engines ("item" expands with "x", so querying "x" matches
+            # every row; CASE-arm order = first-match)
+            {"name": {"tokenizer": "standard",
+                      "filter": ["lowercase",
+                                 {"type": "synonym",
+                                  "synonyms": ["item,x", "17,y"]}]}}):
         for e in cases:
             node = parse(e)
             pred = compile_expr(e, df, enable_text_match=True,

@@ -465,3 +465,48 @@ def test_ngram_tokenizer_analyzer(spark):
                                "max_gram": 2}}):
         with _pt.raises(ValueError):
             analyzer_kwargs(bad)
+
+
+def test_synonym_filter_analyzer(spark):
+    """Roadmap inline synonym filter (expand semantics): group members
+    share all tokens on both lowerings; first group wins for a token in
+    two groups (Spark chain vs Python break parity); validation."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, py_tokenize, tokenize)
+    ap = {"tokenizer": "standard",
+          "filter": ["lowercase",
+                     {"type": "synonym",
+                      "synonyms": ["fast,quick,rapid", "big,large"]}]}
+    kw = analyzer_kwargs(ap)
+    assert py_tokenize("A Quick big dog", **kw) == [
+        "a", "fast", "quick", "rapid", "big", "large", "dog"]
+    df = spark.createDataFrame(
+        [(0, "the RAPID fox"), (1, "a large hound"), (2, "plain prose")],
+        "id bigint, body string")
+    got = {r.id: r.g for r in
+           df.select("id", tokenize(F.col("body"), **kw).alias("g"))
+           .collect()}
+    for i, text in [(0, "the RAPID fox"), (1, "a large hound"),
+                    (2, "plain prose")]:
+        assert got[i] == py_tokenize(text, **kw), i
+    # TEXT_MATCH: querying "fast" matches the doc that said "rapid"
+    pred = compile_expr('TEXT_MATCH(body, "fast")', df,
+                        enable_text_match=True, analyzers={"body": ap})
+    assert [r.id for r in df.filter(pred).collect()] == [0]
+    # overlapping groups: first group claims the shared token
+    ap2 = {"tokenizer": "standard",
+           "filter": ["lowercase",
+                      {"type": "synonym",
+                       "synonyms": ["x,y", "y,z"]}]}
+    kw2 = analyzer_kwargs(ap2)
+    assert py_tokenize("y", **kw2) == ["x", "y"]
+    r = spark.createDataFrame([("y",)], "t string").select(
+        tokenize(F.col("t"), **kw2).alias("g")).collect()[0]
+    assert r.g == ["x", "y"]
+    for bad in ({"filter": [{"type": "synonym", "synonyms": "a,b"}]},
+                {"filter": [{"type": "synonym", "synonyms": ["solo"]}]}):
+        with _pt.raises(ValueError):
+            analyzer_kwargs(bad)

@@ -142,6 +142,15 @@ class _Emitter:
         if kw["stop_words"]:
             sw = ", ".join(_lit(w) for w in kw["stop_words"])
             toks = f"list_filter({toks}, _t -> _t NOT IN ({sw}))"
+        if kw.get("synonyms"):
+            # CASE arms in group order = first-match, mirroring the
+            # Python twin's break and the Spark chain's reversed nesting
+            arms = " ".join(
+                f"WHEN _t IN ({', '.join(_lit(m) for m in g)}) THEN "
+                f"[{', '.join(_lit(m) for m in g)}]"
+                for g in kw["synonyms"])
+            toks = (f"flatten(list_transform({toks}, _t -> "
+                    f"CASE {arms} ELSE [_t] END))")
         if kw.get("ngram"):
             a, b = kw["ngram"]
             toks = (

@@ -55,7 +55,8 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
         ngram = (a, b)
     elif tk != "standard":
         raise ValueError(f"unsupported tokenizer {tk!r}")
-    kwargs: dict = {"lowercase": True, "stop_words": (), "ngram": ngram}
+    kwargs: dict = {"lowercase": True, "stop_words": (), "ngram": ngram,
+                    "synonyms": ()}
     if "filter" in p:
         kwargs["lowercase"] = False
         for f in p["filter"]:
@@ -70,14 +71,39 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
                     raise ValueError(
                         f"stop_words must be a list of strings, got {sw!r}")
                 kwargs["stop_words"] = tuple(sw)
+            elif isinstance(f, dict) and f.get("type") == "synonym":
+                # 3.0-roadmap inline synonym filter (feature-inventory
+                # doc §3 "synonym filter"; file-based dictionaries stay
+                # out of scope): comma-separated groups, expand
+                # semantics — every member of a group emits the whole
+                # group, so any two synonyms share all their tokens
+                groups = f.get("synonyms", ())
+                if isinstance(groups, str) or not all(
+                        isinstance(g, str) for g in groups):
+                    raise ValueError(
+                        f"synonyms must be a list of 'a,b,...' group "
+                        f"strings, got {groups!r}")
+                parsed = []
+                for g in groups:
+                    members = tuple(m.strip() for m in g.split(",")
+                                    if m.strip())
+                    if len(members) < 2:
+                        raise ValueError(
+                            f"synonym group needs >= 2 members: {g!r}")
+                    parsed.append(members)
+                kwargs["synonyms"] = tuple(parsed)
             else:
                 raise ValueError(f"unsupported analyzer filter {f!r}")
+    if kwargs["lowercase"]:
+        kwargs["synonyms"] = tuple(
+            tuple(m.lower() for m in g) for g in kwargs["synonyms"])
     return kwargs
 
 
 def tokenize(c: Column, *, lowercase: bool = True,
              stop_words: tuple[str, ...] = (),
-             ngram: tuple[int, int] | None = None) -> Column:
+             ngram: tuple[int, int] | None = None,
+             synonyms: tuple[tuple[str, ...], ...] = ()) -> Column:
     """Standard-analyzer-style tokenization (reference enable_analyzer fields,
     schema_matrix_2_6.yaml:52; BM25 input), with the analyzer_params knobs:
     ``lowercase`` toggles case folding (the split regex widens to keep
@@ -86,7 +112,11 @@ def tokenize(c: Column, *, lowercase: bool = True,
     tokenizer: stop-filtered alnum runs each emit their character
     n-grams for every n in [min, max] (runs shorter than min emit
     nothing — Lucene NGramTokenizer; the alnum split provides the
-    token_chars=[letter,digit] boundaries)."""
+    token_chars=[letter,digit] boundaries). ``synonyms`` is the inline
+    synonym filter (expand semantics): each stop-filtered word token
+    that belongs to a group emits the whole group, so any two synonyms
+    share all their tokens; with the ngram tokenizer configured, grams
+    are emitted from the expanded words."""
     base = F.lower(c) if lowercase else c
     toks = F.split(base, TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED)
     if stop_words:
@@ -94,6 +124,17 @@ def tokenize(c: Column, *, lowercase: bool = True,
                         lambda t: (t != "") & ~t.isin(*stop_words))
     else:
         toks = F.filter(toks, lambda t: t != "")
+    if synonyms:
+        def _expand(t):
+            out = F.array(t)
+            # reversed so the OUTERMOST when is the first group — a
+            # token in two groups resolves to the first, matching the
+            # Python twin's first-match break
+            for g in reversed(synonyms):
+                out = F.when(t.isin(*g),
+                             F.array(*[F.lit(m) for m in g])).otherwise(out)
+            return out
+        toks = F.flatten(F.transform(toks, _expand))
     if ngram is None:
         return toks
     a, b = ngram
@@ -135,16 +176,27 @@ def materialized_tokens(docs, id_col: str, text_col: str,
 
 def py_tokenize(text: str, *, lowercase: bool = True,
                 stop_words: tuple[str, ...] = (),
-                ngram: tuple[int, int] | None = None) -> list[str]:
+                ngram: tuple[int, int] | None = None,
+                synonyms: tuple[tuple[str, ...], ...] = ()) -> list[str]:
     """Driver-side twin of :func:`tokenize` for literal query strings
     (TEXT_MATCH predicates, ad-hoc analyzers) — same split regex, same
-    fold/stop/ngram semantics, so a term analyzed in Python matches the
-    tokens the Column path produced."""
+    fold/stop/synonym/ngram semantics, so a term analyzed in Python
+    matches the tokens the Column path produced."""
     import re as _re
     base = text.lower() if lowercase else text
     pat = TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED
     words = [t for t in _re.split(pat, base)
              if t != "" and t not in stop_words]
+    if synonyms:
+        expanded = []
+        for t in words:
+            for g in synonyms:
+                if t in g:
+                    expanded.extend(g)
+                    break
+            else:
+                expanded.append(t)
+        words = expanded
     if ngram is None:
         return words
     a, b = ngram
@@ -198,7 +250,8 @@ def hashed_sparse_embedding(toks: Column, n_buckets: int = 1024) -> Column:
 def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
                                lowercase: bool = True,
                                stop_words: tuple[str, ...] = (),
-                               ngram: tuple[int, int] | None = None) -> dict:
+                               ngram: tuple[int, int] | None = None,
+                               synonyms: tuple = ()) -> dict:
     """Driver-side twin of :func:`hashed_sparse_embedding` for query
     featurization: same tokenizer twin (py_tokenize, ngram included),
     same zlib.crc32 bucket hash (== Spark's crc32 over utf-8), same L2
@@ -208,7 +261,7 @@ def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
     import zlib
     counts: dict[int, float] = {}
     for t in py_tokenize(text, lowercase=lowercase, stop_words=stop_words,
-                         ngram=ngram):
+                         ngram=ngram, synonyms=synonyms):
         b = zlib.crc32(t.encode("utf-8")) % n_buckets
         counts[b] = counts.get(b, 0.0) + 1.0
     norm = math.sqrt(sum(v * v for v in counts.values()))
