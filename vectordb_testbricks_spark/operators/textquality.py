@@ -234,7 +234,8 @@ def highlight_matches(docs: DataFrame, id_col: str, text_col: str,
                       query: str, *, analyzer_params: dict | None = None,
                       window: int = 3, pre_tag: str = "<em>",
                       post_tag: str = "</em>",
-                      max_fragments: int = 1) -> DataFrame:
+                      max_fragments: int = 1,
+                      term_weights: dict | None = None) -> DataFrame:
     """3.0-roadmap query-term highlighter prototype (feature-inventory
     doc §3: "query term highlighter", "highlighter fragment 配置",
     "highlighter score"; no reference implementation exists) →
