@@ -455,6 +455,12 @@ def test_phrase_match_matches_duckdb(dft):
         'PHRASE_MATCH(name, "12 item", 5)',       # stays false: in-order
         'PHRASE_MATCH(name, "item")',             # single term
         'not PHRASE_MATCH(props, "s2", 2)',       # NULL field, 3VL
+        # multi-term + slop>0 on a NULL field: the sloppy branch builds
+        # positions arrays via greatest+filter which swallow the NULL —
+        # regression for the r07 advisor finding (NULL AND FALSE = FALSE
+        # dropped NULL rows under NOT while DuckDB kept them)
+        'not PHRASE_MATCH(props, "s2 true", 1)',
+        'not PHRASE_MATCH(props, "s2 a b", 2)',
         'PHRASE_MATCH(name, "item 3") or PHRASE_MATCH(name, "item 7")',
     ]
     for e in cases:

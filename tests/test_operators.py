@@ -1225,6 +1225,22 @@ def test_pack_sequences_matches_python_prefix_sum(spark):
             acc += tok
 
 
+def test_pack_sequences_null_token_counts(spark):
+    """NULL tok_count rows (e.g. NULL text under size(tokenize(...)))
+    coalesce to 0: no driver TypeError from a NULL partition total, no
+    cumsum skew — the r08 advisor finding."""
+    from vectordb_testbricks_spark.operators.corpus import pack_sequences
+    rows = [(0, 600), (1, None), (2, 600), (3, None), (4, 600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    got = {r.id: (r.tok_count, r.chunk) for r in pack_sequences(
+        df, "doc_id", "tok", 512, n_parts=4).collect()}
+    acc = 0
+    for i, tok in rows:
+        tok = tok or 0
+        assert got[i] == (tok, acc // 512), i
+        acc += tok
+
+
 def test_cross_split_contamination_vs_python(spark):
     """Planted contamination: doc 100 (test) copies doc 0 (train) and
     doc 101 (test) shares an 8-token run with doc 1 (train); unrelated
@@ -1349,3 +1365,21 @@ def test_highlighter_and_run_analyzer(spark):
     assert out[1].frag_scores == [1, 1]
     assert out[2].n_matches == 0 and out[2].fragments == []
     assert out[3].n_matches is None and out[3].fragments is None
+    # right-edge slide (r08 advisor): a match at the LAST token must
+    # still yield a constant-length 2*window+1 fragment, sliding left
+    end_rows = [(0, "one two three four five six spark")]
+    edocs = spark.createDataFrame(end_rows, "doc_id bigint, text string")
+    eout = highlight_matches(edocs, "doc_id", "text", "spark",
+                             window=2).collect()[0]
+    assert eout.fragments == ["three four five six <em>spark</em>"]
+    # weighted fragment scoring (r08 advisor): term_weights sums matched
+    # terms' weights; terms absent from the map default to 1.0
+    wrows = [(0, "spark flink beam spark"), (1, "flink only here")]
+    wdocs = spark.createDataFrame(wrows, "doc_id bigint, text string")
+    wout = {r.doc_id: r for r in highlight_matches(
+        wdocs, "doc_id", "text", "spark flink", window=3,
+        term_weights={"spark": 2.5}).collect()}
+    # window around first 'spark' covers [spark flink beam spark]:
+    # 2.5 + 1.0 + 2.5 = 6.0
+    assert wout[0].frag_scores == [6.0]
+    assert wout[1].frag_scores == [1.0]

@@ -474,8 +474,15 @@ class _Compiler:
                 & (p - first <= F.lit(j + slop))   # prefix span bound
                 & chain(j + 1, p, first))
 
-        return (F.size(toks) >= m) & F.exists(
-            pos[0], lambda p1: chain(1, p1, p1))
+        # NULL 3VL: the positions arrays are built via greatest+filter,
+        # which swallow a NULL token array (greatest(NULL,1)=1, filter
+        # drops NULL predicates) so the exists chain would yield FALSE —
+        # while the slop=0 path, the m==1 branch and the DuckDB sqlgen
+        # twin all yield NULL. Gate on toks.isNull() explicitly so
+        # `not PHRASE_MATCH(...)` keeps NULL-field rows on both engines.
+        return F.when(toks.isNull(), F.lit(None).cast("boolean")).otherwise(
+            (F.size(toks) >= m) & F.exists(
+                pos[0], lambda p1: chain(1, p1, p1)))
 
     def text_match(self, field_node, query_node) -> Column:
         """Milvus 3.0 ``TEXT_MATCH(field, 'terms')`` prototype (gated —

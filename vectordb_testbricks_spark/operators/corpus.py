@@ -130,8 +130,12 @@ def pack_sequences(df: DataFrame, id_col: str, tok_col,
         raise ValueError(f"capacity must be positive, got {capacity}")
     from pyspark.sql import Window
     tok = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    # NULL token counts (e.g. NULL text under size(tokenize(...))) would
+    # NULL a partition total — TypeError in the driver offset fold — and
+    # silently skew the window cumsum; a missing document contributes 0.
     d = (df.select(F.col(id_col).alias("id"),
-                   tok.cast("bigint").alias("tok_count"))
+                   F.coalesce(tok.cast("bigint"),
+                              F.lit(0)).alias("tok_count"))
          .repartitionByRange(n_parts, "id")
          .select("id", "tok_count",
                  F.spark_partition_id().alias("_pid")))

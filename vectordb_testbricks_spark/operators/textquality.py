@@ -246,13 +246,17 @@ def highlight_matches(docs: DataFrame, id_col: str, text_col: str,
     tokens are found with one scan-stage higher-order filter, and the
     first ``max_fragments`` matches each yield a constant-length token
     window of ``2·window+1`` (anchored ``window`` tokens before the
-    match; at the array edges the window slides rather than shrinks)
-    with matched terms wrapped in ``pre_tag``/``post_tag`` (Lucene's
-    default highlighter shape). ``frag_scores`` is the
-    Lucene-style fragment score: matched-token count inside each
-    window. Documents with no match report n_matches=0 and empty
-    fragment arrays; NULL text propagates NULL. Everything is per-row
-    Column work over a persisted token array — no shuffle, no UDF."""
+    match; at BOTH array edges the window slides rather than shrinks —
+    the start offset is clamped into [1, size-2·window]) with matched
+    terms wrapped in ``pre_tag``/``post_tag`` (Lucene's default
+    highlighter shape). ``frag_scores`` is the Lucene-style fragment
+    score: matched-token count inside each window, or — when
+    ``term_weights`` maps query terms to weights — the sum of matched
+    terms' weights (terms absent from the map default to weight 1.0, so
+    partial maps degrade to counting). Documents with no match report
+    n_matches=0 and empty fragment arrays; NULL text propagates NULL.
+    Everything is per-row Column work over a persisted token array — no
+    shuffle, no UDF."""
     from vectordb_testbricks_spark.materialize import (
         parallelize_small, shared_persist)
     kw_terms = run_analyzer(query, analyzer_params)
@@ -276,9 +280,15 @@ def highlight_matches(docs: DataFrame, id_col: str, text_col: str,
         F.transform(toks, lambda tok, i: F.when(_is_term(tok), i + 1)),
         lambda x: x.isNotNull())
 
+    def _start(p):
+        # slide (not shrink) at BOTH edges: left-clamp to 1, right-clamp
+        # so the slice still has room for 2*window+1 tokens (short docs
+        # degrade to the whole array via the inner greatest)
+        return F.least(F.greatest(p - window, F.lit(1)),
+                       F.greatest(F.size(toks) - 2 * window, F.lit(1)))
+
     def _fragment(p):
-        start = F.greatest(p - window, F.lit(1))
-        win = F.slice(toks, start, 2 * window + 1)
+        win = F.slice(toks, _start(p), 2 * window + 1)
         marked = F.transform(
             win, lambda tok: F.when(
                 _is_term(tok),
@@ -286,10 +296,21 @@ def highlight_matches(docs: DataFrame, id_col: str, text_col: str,
             .otherwise(tok))
         return F.array_join(marked, " ")
 
-    def _frag_score(p):
-        start = F.greatest(p - window, F.lit(1))
-        return F.size(F.filter(F.slice(toks, start, 2 * window + 1),
-                               _is_term))
+    if term_weights is None:
+        def _frag_score(p):
+            return F.size(F.filter(F.slice(toks, _start(p), 2 * window + 1),
+                                   _is_term)).cast("double")
+    else:
+        wmap = F.create_map(*[F.lit(x) for t, w in term_weights.items()
+                              for x in (t, float(w))])
+
+        def _frag_score(p):
+            win = F.slice(toks, _start(p), 2 * window + 1)
+            return F.aggregate(
+                win, F.lit(0.0),
+                lambda acc, tok: acc + F.when(
+                    _is_term(tok),
+                    F.coalesce(wmap[tok], F.lit(1.0))).otherwise(F.lit(0.0)))
 
     heads = F.slice(pos, 1, max_fragments)
     return t.select(
