@@ -215,15 +215,32 @@ GROUP BY event_type ORDER BY event_type
 _NGRAM_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 
+_TM_EXPR = 'TEXT_MATCH(text, "vector") and lang == "en"'
+_PHRASE_EXPR = 'PHRASE_MATCH(text, "batch window spark", 3)'
+
+
 def q_like_ngram(spark, sf_dir):
-    """Infix LIKE served through the NGRAM(3,3) inverted posting index
-    (scalar-index vocabulary, schema_matrix_3_0.yaml:25,
-    create_horizon_collection.py:120-141): posting probe → all-grams
-    candidates → exact LIKE re-verify. Results are bit-identical to the
-    plain filter — the oracle is the unindexed LIKE query. The posting
-    table is ingest-time (cached per dataset, like the BM25 tables)."""
+    """Text-predicate suite over ``documents``, one branch per surface
+    (r08 fold — the 3.0-roadmap text operators move from suite-tested
+    prototypes to driver-oracled rows at zero registry cost):
+
+    - 'like': infix LIKE served through the NGRAM(3,3) inverted posting
+      index (scalar-index vocabulary, schema_matrix_3_0.yaml:25,
+      create_horizon_collection.py:120-141): posting probe → all-grams
+      candidates → exact LIKE re-verify; bit-identical to the plain
+      filter, so the oracle is the unindexed LIKE query.
+    - 'tm': gated TEXT_MATCH (feature-inventory doc §3;
+      tpuffer/fts_query.go:397-404 is the reference's FTS entry) in a
+      compound — analyzed any-term match AND a scalar predicate.
+    - 'phrase': gated PHRASE_MATCH, 3 terms at slop=3 — the in-order
+      bounded-gap nested-exists chain, oracled by the sqlgen lowering.
+    - 'hl': the query-term highlighter — n_matches and the marked
+      fragment strings (window=3, max_fragments=2, ' | '-joined) over a
+      doc_id%5 slice, rebuilt in DuckDB with index lambdas."""
     from vectordb_testbricks_spark.operators.ngram_index import (
         build_ngram_index, like_with_index)
+    from vectordb_testbricks_spark.operators.textquality import (
+        highlight_matches)
     docs = _t(spark, sf_dir, "documents")
     key = (_session_key(spark), sf_dir)
     posting = _NGRAM_CACHE.get(key)
@@ -231,13 +248,71 @@ def q_like_ngram(spark, sf_dir):
         posting = build_ngram_index(docs, "doc_id", "text", 3, 3).cache()
         _NGRAM_CACHE[key] = posting
     hits = like_with_index(docs, posting, "%stream spark%", "doc_id", "text")
-    return (hits.select("doc_id", "lang", "source")
-            .orderBy("doc_id"))
+    like_rows = hits.select(
+        F.lit("like").alias("kind"), F.col("doc_id"),
+        F.lit(1).cast("bigint").alias("n"),
+        F.concat_ws("/", "lang", "source").alias("info"))
+    tm_rows = (docs.filter(compile_expr(_TM_EXPR, docs,
+                                        enable_text_match=True))
+               .select(F.lit("tm").alias("kind"), F.col("doc_id"),
+                       F.lit(1).cast("bigint").alias("n"),
+                       F.col("lang").alias("info")))
+    ph_rows = (docs.filter(compile_expr(_PHRASE_EXPR, docs,
+                                        enable_text_match=True))
+               .select(F.lit("phrase").alias("kind"), F.col("doc_id"),
+                       F.lit(1).cast("bigint").alias("n"),
+                       F.col("lang").alias("info")))
+    hl = highlight_matches(docs.filter(F.col("doc_id") % 5 == 0),
+                           "doc_id", "text", "spark",
+                           window=3, max_fragments=2)
+    hl_rows = hl.select(
+        F.lit("hl").alias("kind"), F.col("doc_id"),
+        F.col("n_matches").cast("bigint").alias("n"),
+        F.array_join("fragments", " | ").alias("info"))
+    return (like_rows.unionByName(tm_rows).unionByName(ph_rows)
+            .unionByName(hl_rows).orderBy("kind", "doc_id"))
 
 
-SQL_Q_LIKE_NGRAM = """
-SELECT doc_id, lang, source FROM documents
-WHERE text LIKE '%stream spark%' ORDER BY doc_id
+def _sql_q_like_ngram() -> str:
+    """DuckDB twin: tm/phrase WHERE clauses are emitted from the SAME
+    parsed AST by the sqlgen lowering; the highlighter fragments are
+    rebuilt with DuckDB index lambdas + inclusive list slicing."""
+    from vectordb_testbricks_spark.exprlang.parser import parse
+    from vectordb_testbricks_spark.exprlang.sqlgen import to_sql
+    cols = {"doc_id": "bigint", "text": "string", "lang": "string",
+            "source": "string", "n_chars": "bigint"}
+    tm = to_sql(parse(_TM_EXPR), columns=cols)
+    ph = to_sql(parse(_PHRASE_EXPR), columns=cols)
+    toks = TOKS_SQL.format(col="text")
+    start = "least(greatest(p - 3, 1), greatest(len(toks) - 6, 1))"
+    mark = ("t -> CASE WHEN t = 'spark' THEN '<em>' || t || '</em>' "
+            "ELSE t END")
+    return f"""
+WITH hl0 AS (SELECT doc_id, {toks} AS toks FROM documents
+             WHERE doc_id % 5 = 0),
+hl1 AS (SELECT doc_id, toks,
+               list_filter(list_transform(toks,
+                 (t, i) -> CASE WHEN t = 'spark' THEN i END),
+                 x -> x IS NOT NULL) AS pos
+        FROM hl0)
+SELECT 'like' AS kind, doc_id, CAST(1 AS BIGINT) AS n,
+       lang || '/' || source AS info
+FROM documents WHERE text LIKE '%stream spark%'
+UNION ALL
+SELECT 'tm', doc_id, 1, lang FROM documents WHERE {tm}
+UNION ALL
+SELECT 'phrase', doc_id, 1, lang FROM documents WHERE {ph}
+UNION ALL
+SELECT 'hl', doc_id, CAST(len(pos) AS BIGINT),
+       -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is '';
+       -- coalesce no-match rows to '' but keep NULL text NULL
+       CASE WHEN pos IS NULL THEN NULL ELSE COALESCE(
+         array_to_string(list_transform(pos[1:2],
+           p -> array_to_string(list_transform(
+                  toks[{start} : {start} + 6], {mark}), ' ')), ' | '),
+         '') END
+FROM hl1
+ORDER BY kind, doc_id
 """
 
 
@@ -3570,7 +3645,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pk_range": SQL_Q_PK_RANGE,
         "q_iterator_pages": SQL_Q_ITER,
         "q_like": SQL_Q_LIKE,
-        "q_like_ngram": SQL_Q_LIKE_NGRAM,
+        "q_like_ngram": _sql_q_like_ngram(),
         "q_json_shred": SQL_Q_JSON_SHRED,
         "q_array_ops": SQL_Q_ARRAY,
         "q_geo_contains": SQL_Q_GEO,

@@ -52,6 +52,7 @@ def _rand_rows(rnd, n):
             for _ in range(n)]
 
 
+@pytest.mark.slow
 def test_random_dml_sequences_match_model(spark, mgr):
     rnd = random.Random(29)
     model: dict[int, tuple] = {}

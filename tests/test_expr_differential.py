@@ -261,6 +261,7 @@ def test_curated_expressions_match_duckdb(dft):
     assert nontrivial >= len(CURATED) - 7
 
 
+@pytest.mark.slow
 def test_random_expressions_match_duckdb(dft):
     df, con = dft
     rnd = random.Random(7)
@@ -381,6 +382,7 @@ def _v3_expr(rnd: random.Random, depth: int = 0) -> str:
     return f"({a}) {rnd.choice(['and', 'or'])} ({b})"
 
 
+@pytest.mark.slow
 def test_text_match_matches_duckdb(dft):
     """TEXT_MATCH differential: Spark arrays_overlap over tokenize()
     vs DuckDB list_has_any over the tokenizer's documented SQL twin,
@@ -478,6 +480,7 @@ def test_phrase_match_matches_duckdb(dft):
             f"phrase_match mismatch {e!r}: {tuple(got)} vs {want}"
 
 
+@pytest.mark.slow
 def test_v3_operator_prototypes_match_duckdb(dft):
     """Gated 3.0 prototypes (=~/!~ regex, bitwise &/^/|, raw strings)
     differentially verified: Spark rlike/bitwise Columns vs DuckDB

@@ -86,6 +86,7 @@ def test_ensure_event_time_ltz_casts_only_ntz(spark):
 
 
 @pytest.mark.stream
+@pytest.mark.slow
 def test_ntz_source_is_watermarkable_end_to_end(spark, tmp_path):
     """The round-3 failure mode: a parquet source whose event time infers as
     TIMESTAMP_NTZ must stream through a watermarked aggregation."""

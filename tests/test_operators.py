@@ -703,6 +703,7 @@ def test_lsh_search_recall_and_self_hit(emb, queries3):
     assert len(e & a) / len(e) >= 0.5  # LSH@6 bits, flip=2 probes ~1/3 of buckets
 
 
+@pytest.mark.slow
 def test_build_from_index_spec_dispatch_and_hnsw_mapping(emb, queries3):
     """Declared index vocabulary (FLAT/IVF_FLAT/IVF_SQ8/BIN_IVF_FLAT/HNSW)
     realizes as the matching physical structure; HNSW's ef knob raises the
@@ -929,6 +930,7 @@ def test_ivf_balance_stats(spark, emb, tmp_path):
     assert rows[0].n_rows == max(r.n_rows for r in rows)
 
 
+@pytest.mark.slow
 def test_ngram_prefix_candidates_superset_of_results(spark):
     """Prefix filtering (post only the first ⌊(1−t)·|codes|⌋+1 sorted
     codes) must not lose any pair the exact verification would keep:
@@ -1186,6 +1188,7 @@ def test_connected_components_chain_and_clusters(spark):
     assert kept == [n for n in range(25) if n not in {2, 3, 4, 11, 21, 22}]
 
 
+@pytest.mark.slow
 def test_connected_components_random_vs_union_find(spark):
     """Seeded random graphs vs a Python union-find: labels agree exactly
     (including long chains worth several propagation rounds)."""
@@ -1206,6 +1209,7 @@ def test_connected_components_random_vs_union_find(spark):
         assert got == _uf_components(edges, {n for e in edges for n in e})
 
 
+@pytest.mark.slow
 def test_pack_sequences_matches_python_prefix_sum(spark):
     """Concat-and-chunk packing = exact global exclusive prefix sum in id
     order, floor-divided by capacity — checked against plain Python over
@@ -1241,6 +1245,7 @@ def test_pack_sequences_null_token_counts(spark):
         acc += tok
 
 
+@pytest.mark.slow
 def test_cross_split_contamination_vs_python(spark):
     """Planted contamination: doc 100 (test) copies doc 0 (train) and
     doc 101 (test) shares an 8-token run with doc 1 (train); unrelated
@@ -1307,6 +1312,7 @@ def test_repetition_features_vs_python(spark):
         assert got[i] == (round(dup, 6), round(frac, 6)), (i, got[i])
 
 
+@pytest.mark.slow
 def test_dedup_pipeline_end_to_end(spark):
     """The full near-dup pipeline composes: MinHash-LSH pairs →
     connected components → keep-list. A 3-way transitive cluster

@@ -12,6 +12,10 @@ import pytest
 
 import __spark_entry__ as E
 
+# slow tier: the full 50-entry sweep is the pre-commit / bench-gate bar;
+# the fast tier (-m "not slow") relies on the per-operator unit tests
+pytestmark = pytest.mark.slow
+
 QUERIES = E.queries()
 ORACLES = E.oracle_sql()
 

@@ -352,6 +352,7 @@ def test_manager_bm25_search_scans_sidecar_not_docs_text(spark, tmp_path):
     assert not any("tf:int" in l for l in sscans), sp
 
 
+@pytest.mark.slow
 def test_registry_plans_have_no_scale_smells(spark):
     """Whole-registry sweep: no entry's physical plan may contain a
     row-at-a-time Python UDF (BatchEvalPython — everything Python-side

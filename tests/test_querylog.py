@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vectordb_testbricks_spark import querylog as QL
@@ -81,6 +83,7 @@ def test_convert_jsonl_and_compile(spark):
     assert counts == [4, 50, 100, 100]
 
 
+@pytest.mark.slow
 def test_converted_conditions_always_compile(spark):
     """Property: ANY condition object built from the converter's supported
     operator vocabulary converts to an expression that parses and compiles

@@ -469,7 +469,22 @@ class CollectionManager:
         from vectordb_testbricks_spark.functions.text import (
             analyzer_kwargs, hashed_sparse_embedding, tokenize)
         for fn in self._embedding_functions(spec):
-            n = int((fn.params or {}).get("n_buckets", 1024))
+            params = fn.params or {}
+            provider = params.get("provider")
+            if provider is not None and provider != "hashing":
+                # external-model seam (roadmap §6): the registered
+                # provider's batch featurizer runs as an Arrow-batched
+                # pandas UDF over the RAW text (external models tokenize
+                # themselves); the same function embeds query text in
+                # text_embedding_search, so parity is by construction
+                from vectordb_testbricks_spark.functions.providers import (
+                    get_embedding_provider, provider_embed_column)
+                p = get_embedding_provider(provider)
+                df = df.withColumn(
+                    fn.output_field,
+                    provider_embed_column(p, F.col(fn.input_field), params))
+                continue
+            n = int(params.get("n_buckets", 1024))
             kw = analyzer_kwargs(self._fn_analyzer(spec, fn))
             # the featurizer consumes the token expression exactly once
             # (single-pass aggregate), so inlining tokenize here is safe
@@ -979,10 +994,30 @@ class CollectionManager:
             raise SchemaError(
                 f"{name}: no TEXT_EMBEDDING function"
                 + (f" named {fn_name!r}" if fn_name else ""))
-        n = int((fn.params or {}).get("n_buckets", 1024))
-        kw = analyzer_kwargs(self._fn_analyzer(spec, fn))
+        params = fn.params or {}
         texts = [query_texts] if isinstance(query_texts, str) \
             else list(query_texts)
+        provider = params.get("provider")
+        if provider is not None and provider != "hashing":
+            # external-model seam: embed the query texts with the SAME
+            # batch featurizer the write path ran (driver-side call —
+            # nq is bounded), then serve dense providers through the V1
+            # knn path and sparse ones through the V6 sparse tier
+            from vectordb_testbricks_spark.functions.providers import (
+                get_embedding_provider, provider_embed_query)
+            from vectordb_testbricks_spark.operators.search import (
+                knn_search, queries_df)
+            p = get_embedding_provider(provider)
+            qvecs = provider_embed_query(p, texts, params)
+            if p.metric.upper() == "SPARSE_DOT":
+                return sparse_search_many(
+                    self.read(name), qvecs, fn.output_field, spec.pk.name,
+                    k=k, flt=flt, drop_ratio_search=drop_ratio_search)
+            qdf = queries_df(self.spark, qvecs)
+            return knn_search(self.read(name), qdf, fn.output_field,
+                              spec.pk.name, metric=p.metric, k=k, flt=flt)
+        n = int(params.get("n_buckets", 1024))
+        kw = analyzer_kwargs(self._fn_analyzer(spec, fn))
         qmaps = [py_hashed_sparse_embedding(t, n, **kw) for t in texts]
         return sparse_search_many(
             self.read(name), qmaps, fn.output_field, spec.pk.name, k=k,

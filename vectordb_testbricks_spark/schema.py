@@ -294,11 +294,20 @@ class SchemaSpec:
                     f"{self.name}: unknown function type {fn.function_type}")
             out_dtype = next(f.dtype for f in self.fields
                              if f.name == fn.output_field)
-            if (fn.function_type == "TEXT_EMBEDDING"
-                    and out_dtype != "SPARSE_FLOAT_VECTOR"):
-                raise SchemaError(
-                    f"{self.name}: TEXT_EMBEDDING output field "
-                    f"{fn.output_field!r} must be SPARSE_FLOAT_VECTOR")
+            if fn.function_type == "TEXT_EMBEDDING":
+                # built-in hashing featurizer emits SPARSE_FLOAT_VECTOR;
+                # a registered external provider (roadmap §6, pluggable
+                # seam in functions/providers.py) declares its own output
+                # shape — dense FLOAT_VECTOR for typical model endpoints
+                provider = (fn.params or {}).get("provider")
+                want = ("SPARSE_FLOAT_VECTOR",) \
+                    if provider in (None, "hashing") \
+                    else ("SPARSE_FLOAT_VECTOR", "FLOAT_VECTOR")
+                if out_dtype not in want:
+                    raise SchemaError(
+                        f"{self.name}: TEXT_EMBEDDING output field "
+                        f"{fn.output_field!r} must be "
+                        f"{' or '.join(want)}")
         if self.ttl_field is not None:
             fld = next((f for f in self.fields
                         if f.name == self.ttl_field), None)
