@@ -622,23 +622,26 @@ def v_ivf_1m(spark, sf_dir):
     return ivf_search(model, qs, k=100, nprobe=8)
 
 
-def v_ivf_persisted_1m(spark, sf_dir):
+def v_ivf_persisted_1m(spark, sf_dir, n=1_000_000, assert_pruning=False):
     """Bench-only scale evidence for the PERSISTED IVF path — the shape a
     real deployment runs (write_ivf: assignment partitioned by
     centroid_id + centroid sidecar; read_ivf + probe: PartitionFilters
     prune to the nprobe/n_lists file groups, so the probe scans ~1/8 of
     the stored bytes instead of filtering rows; fixture-scale plan guard
     in tests/test_operators.py asserts the pruning). The measured cost is
-    build + partitioned write + reload + nq=4 probe over 1M vectors; the
-    probe alone is sub-second once the layout exists. Warehouse reclaimed
-    after the (k·nq)-row result materializes."""
+    build + partitioned write + reload + nq=4 probe over ``n`` vectors;
+    the probe alone is sub-second once the layout exists. Warehouse
+    reclaimed after the (k·nq)-row result materializes.
+    ``assert_pruning`` re-asserts the centroid_id PartitionFilters on the
+    at-scale plan itself (the 10M stretch runs with it on — pruning
+    evidence at the measured scale, not just the fixture)."""
     import shutil
     import tempfile
     from vectordb_testbricks_spark.datagen import gen_vector_fast
     from vectordb_testbricks_spark.materialize import shared_persist
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search, read_ivf, write_ivf)
-    base = shared_persist(spark.range(1_000_000).select(
+    base = shared_persist(spark.range(n).select(
         F.col("id").alias("pk"),
         gen_vector_fast(19, F.col("id"), 16).alias("embedding")))
     model = build_ivf(base, "embedding", "pk", n_lists=64, seed=19)
@@ -646,16 +649,37 @@ def v_ivf_persisted_1m(spark, sf_dir):
     write_ivf(model, path)
     reloaded = read_ivf(spark, path, "embedding", "pk")
     qs = None
-    for qid, pk0 in enumerate((0, 250_000, 500_000, 750_000)):
+    for qid, pk0 in enumerate((0, n // 4, n // 2, 3 * n // 4)):
         one = spark.range(pk0, pk0 + 1).select(
             F.lit(qid).cast("int").alias("query_id"),
             to_double_array(gen_vector_fast(19, F.col("id"), 16))
             .alias("qvec"))
         qs = one if qs is None else qs.unionByName(one)
     hits = ivf_search(reloaded, qs, k=100, nprobe=8)
+    if assert_pruning:
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        scans = [s for s in plan.split("FileScan") if "PartitionFilters" in s]
+        assert any("centroid_id" in s.split("PartitionFilters")[1][:200]
+                   for s in scans), \
+            "persisted IVF probe plan lost centroid_id partition pruning"
     out = spark.createDataFrame(hits.collect(), hits.schema)
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return out
+
+
+def v_ivf_persisted_10m(spark, sf_dir):
+    """Stretch scale evidence (r07 verdict task 4): the persisted dense
+    IVF path one decade further — 10M 16-dim vectors built (sampled
+    KMeans + codegen assignment), written as 64 centroid_id partition
+    dirs, reloaded, and probed nq=4 / nprobe=8 / k=100 → exactly 400
+    rows. ``assert_pruning=True`` re-asserts the centroid_id
+    PartitionFilters on the at-scale probe plan inside the subprocess —
+    the claim under test is that the probe still reads nprobe/n_lists of
+    the stored bytes at 10M. Run once in a fresh subprocess JVM by
+    bench.py's stretch block — detail artifact only, headline total
+    untouched."""
+    return v_ivf_persisted_1m(spark, sf_dir, n=10_000_000,
+                              assert_pruning=True)
 
 
 def dd_embed_1m(spark, sf_dir):

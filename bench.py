@@ -93,6 +93,89 @@ def _require_green_suite() -> dict:
     return {"tests_green": True, "tests_summary": summary}
 
 
+def _jvm_health(spark) -> dict:
+    """Point-in-time JVM counters for the bimodality instrumentation
+    (r07 verdict task 1): cumulative GC ms, cumulative JIT compilation
+    ms, heap used, and JIT code-cache occupancy. Cheap MXBean reads —
+    deltas across a scale attempt say whether a slow draw was GC debt,
+    re-JIT churn, or a full code cache (compiled loops falling back to
+    the interpreter was the r06 minhash cliff)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        gc_ms = 0
+        beans = mf.getGarbageCollectorMXBeans()
+        for i in range(beans.size()):
+            gc_ms += beans.get(i).getCollectionTime()
+        comp = mf.getCompilationMXBean()
+        comp_ms = comp.getTotalCompilationTime() \
+            if comp.isCompilationTimeMonitoringSupported() else -1
+        heap_mb = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() \
+            // (1 << 20)
+        code_used = code_max = 0
+        pools = mf.getMemoryPoolMXBeans()
+        for i in range(pools.size()):
+            p = pools.get(i)
+            nm = p.getName()
+            if "CodeHeap" in nm or "Code Cache" in nm:
+                u = p.getUsage()
+                code_used += u.getUsed()
+                mx = u.getMax()
+                code_max += mx if mx > 0 else 0
+        return {"gc_ms": gc_ms, "jit_ms": comp_ms, "heap_mb": heap_mb,
+                "code_cache_mb": code_used // (1 << 20),
+                "code_cache_max_mb": code_max // (1 << 20)}
+    except Exception:                             # noqa: BLE001
+        return {}
+
+
+def _max_stage_id(spark) -> int:
+    try:
+        import urllib.request
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return -1
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages", timeout=5) as r:
+            stages = json.load(r)
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:                             # noqa: BLE001
+        return -1
+
+
+def _stages_since(spark, watermark: int) -> dict:
+    """Aggregate executor/shuffle/spill metrics for every stage with
+    stageId > watermark, via the status REST API (the bench session runs
+    with the UI on). Empty dict when the UI is off or the API fails —
+    instrumentation is never bench-fatal."""
+    try:
+        import urllib.request
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return {}
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages", timeout=5) as r:
+            stages = json.load(r)
+        new = [s for s in stages if s["stageId"] > watermark]
+        mb = 1 << 20
+
+        def tot(key):
+            return sum(s.get(key, 0) or 0 for s in new)
+
+        return {
+            "n_stages": len(new),
+            "executor_run_sec": round(tot("executorRunTime") / 1e3, 1),
+            "executor_gc_sec": round(tot("jvmGcTime") / 1e3, 1),
+            "shuffle_read_mb": tot("shuffleReadBytes") // mb,
+            "shuffle_write_mb": tot("shuffleWriteBytes") // mb,
+            "mem_spill_mb": tot("memoryBytesSpilled") // mb,
+            "disk_spill_mb": tot("diskBytesSpilled") // mb,
+        }
+    except Exception:                             # noqa: BLE001
+        return {}
+
+
 def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
     """True process-cold measurement of one scale entry: a fresh
     subprocess JVM (new driver, new session, zero JIT state) runs the
@@ -131,6 +214,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     suite = _require_green_suite()
 
+    # bench sessions run with the UI on so the scale loop can read
+    # per-attempt stage metrics from the status REST API (bimodality
+    # instrumentation); tests keep it off
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     from vectordb_testbricks_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -277,13 +364,21 @@ def main() -> None:
     scale: dict[str, dict] = {}
     cold_proc = os.environ.get(
         "SPARK_GRAFT_BENCH_SCALE_COLD_PROC", "0") == "1"
+    # SPARK_GRAFT_BENCH_SCALE_ONLY=a,b,c restricts the scale block to the
+    # named entries (diagnosis runs); default is the full set
+    scale_only = {s for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_SCALE_ONLY", "").split(",") if s}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         for name in ("dd_minhash_1m", "dd_ngram_1m", "v_ivf_1m",
                      "v_ivf_persisted_1m", "dd_embed_1m", "v_bm25_1m",
                      "v_sparse_1m", "st_stream_1m", "st_sessionize_1m"):
+            if scale_only and name not in scale_only:
+                continue
             fn = getattr(entrymod, name)
-            runs, n = [], 0
-            for _ in range(2):
+            runs, n, attempt_metrics = [], 0, []
+            attempts = max(2, int(os.environ.get(
+                "SPARK_GRAFT_BENCH_SCALE_ATTEMPTS", "2")))
+            for _ in range(attempts):
                 # isolate each attempt: clear headline/scale caches, then
                 # double full-GC with a settle pause (one pass right
                 # after clearCache leaves old-gen debt that swung
@@ -292,14 +387,28 @@ def main() -> None:
                 spark._jvm.System.gc()
                 time.sleep(1.0)
                 spark._jvm.System.gc()
+                h0 = _jvm_health(spark)
+                sid = _max_stage_id(spark)
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(round(time.perf_counter() - t0, 3))
+                h1 = _jvm_health(spark)
+                m = _stages_since(spark, sid)
+                if h0 and h1:
+                    m["gc_delta_ms"] = h1["gc_ms"] - h0["gc_ms"]
+                    if h0.get("jit_ms", -1) >= 0:
+                        m["jit_delta_ms"] = h1["jit_ms"] - h0["jit_ms"]
+                    m["heap_mb"] = h1["heap_mb"]
+                    m["code_cache_mb"] = h1["code_cache_mb"]
+                    m["code_cache_max_mb"] = h1["code_cache_max_mb"]
+                attempt_metrics.append(m)
             scale[name] = {"warm_sec": min(runs),
                            "cache_cleared_first_sec": runs[0],
-                           "rows": n, "runs": runs}
+                           "rows": n, "runs": runs,
+                           "attempt_metrics": attempt_metrics}
             print(f"# scale {name}: warm {min(runs):.3f}s rows={n} "
-                  f"runs={runs}", flush=True)
+                  f"runs={runs} metrics={json.dumps(attempt_metrics)}",
+                  flush=True)
 
     # Everything from here on runs in subprocess JVMs; stop this one so
     # they measure a quiet machine, not a core-for-core race against a
@@ -327,7 +436,8 @@ def main() -> None:
     # total untouched. Disable with SPARK_GRAFT_BENCH_STRETCH=0.
     stretch: dict = {}
     if stretch_on:
-        for name in ("dd_minhash_10m", "v_sparse_10m"):
+        for name in ("dd_minhash_10m", "v_sparse_10m",
+                     "v_ivf_persisted_10m"):
             cp = _cold_proc_run(name, sf_dir, want_rows=True)
             if cp is not None:
                 stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1]}

@@ -1037,8 +1037,28 @@ def test_stretch_entry_symbols():
     line mid-bench); pin both 10M names here so a rename breaks the gate
     suite instead. Their logic is the tested _1m functions at 10× n."""
     import __spark_entry__ as E
-    for name in ("dd_minhash_10m", "v_sparse_10m"):
+    for name in ("dd_minhash_10m", "v_sparse_10m", "v_ivf_persisted_10m"):
         assert callable(getattr(E, name))
+
+
+def test_ivf_persisted_scale_entry_wiring_small_n(spark):
+    """v_ivf_persisted_1m/_10m wiring at a tiny n with the 10M entry's
+    assert_pruning=True: build → partitioned write → reload → probe must
+    yield exactly nq×k rows AND the at-scale plan assertion (centroid_id
+    PartitionFilters on the probe scan) must hold — a broken assertion
+    would otherwise only surface inside the stretch subprocess."""
+    import __spark_entry__ as E
+    hits = E.v_ivf_persisted_1m(spark, "/root/testdata/sf0.001",
+                                n=4000, assert_pruning=True).collect()
+    assert len(hits) == 4 * 100
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3]
+    # query vectors are corpus rows: top-1 is the query itself
+    for qid, pk0 in enumerate((0, 1000, 2000, 3000)):
+        top = min(by_q[qid], key=lambda r: r["rank"])
+        assert top["pk"] == pk0, (qid, top)
 
 
 def test_sparse_scale_entry_wiring_small_n(spark):

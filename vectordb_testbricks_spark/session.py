@@ -35,7 +35,14 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
         # testdata parquet carries TIMESTAMP(NANOS); read as long, the
         # catalog loader converts back to TimestampType (micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off for tests (port + thread overhead ×100s of sessions);
+        # bench.py sets SPARK_GRAFT_UI=1 so its scale-entry loop can read
+        # per-attempt stage metrics (executor run time, GC, shuffle,
+        # spill) from the status REST API — the r07→r08 bimodality
+        # instrumentation
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1"
+                else "false")
         # single-JVM local mode on a 128 GiB box: everything (driver,
         # executor threads, cached tables) shares this one heap, and the
         # 1M-row bench entries measured 3-4× GC-debt swings at 8g after a
