@@ -260,6 +260,35 @@ def test_topk15000_plan_is_two_phase(spark):
     assert not re.search(r"Window \[[^\]]*\], \[\]", p), "unpartitioned window"
 
 
+def test_batched_nq16_scores_once(spark):
+    """The bench's batched-nq16 concurrency query (r07 verdict task 5):
+    the metric expression must be computed by exactly ONE Project —
+    never inside the join condition or a Filter. r07's nullable-vector
+    change filtered score.isNotNull() AFTER scoring; pushdown folded the
+    whole cosine aggregate into the BroadcastNestedLoopJoin condition,
+    and higher-order expressions are never CSE'd, so every (row × query)
+    scored twice — a consistent ~2× regression no guard covered. The
+    NULL-vector exclusion now lives on the base side as a plain column
+    null check before the join."""
+    import __spark_entry__ as E
+    from vectordb_testbricks_spark.operators.search import knn_search
+    emb, q = E._emb_queries(spark, "/root/testdata/sf0.001",
+                            ids=tuple(range(16)))
+    hits = knn_search(emb, q, "embedding", "vec_id", metric="COSINE", k=10)
+    lines = _plan(hits).splitlines()
+    scoring = [l for l in lines if "aggregate(zip_with" in l]
+    assert scoring, "expected a HOF cosine in the plan"
+    assert all(l.strip().lstrip("+-: ").startswith("Project")
+               for l in scoring), \
+        f"score expression outside a Project:\n" + "\n".join(
+            l[:200] for l in scoring)
+    assert len(scoring) == 1, "score must be computed by exactly one node"
+    # the join carries no condition (the null exclusion is a base-side
+    # column filter, pushed to the scan)
+    join = next(l for l in lines if "BroadcastNestedLoopJoin" in l)
+    assert "aggregate" not in join and "isnotnull" not in join, join[:200]
+
+
 def test_lsh_bucket_join_reads_persisted_table_twice(spark):
     """The banded-LSH self-join must consume the PERSISTED bucket relation
     on both sides (two InMemoryTableScans), never re-evaluate the

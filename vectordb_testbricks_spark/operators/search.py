@@ -99,12 +99,17 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
         base = base.filter(pred)  # pre-filter before ranking (V2)
     score, asc = score_expr(metric, F.col(vec_col), F.col("qvec"))
     keep = list(dict.fromkeys([id_col, *(output_fields or []), *gb]))
-    scored = (base.crossJoin(F.broadcast(queries))
-              .select("query_id", *keep, score.alias("score"))
-              # nullable vectors (3.0 roadmap §4) score NULL — never a
-              # hit; without the filter row_number would still rank them
-              # (NULLS LAST is an ordering, not an exclusion)
-              .filter(F.col("score").isNotNull()))
+    # nullable vectors (3.0 roadmap §4) never rank: a NULL vector is the
+    # only NULL-score source (queries are engine-built, never NULL), so
+    # exclude them on the BASE side before the join — a per-row null
+    # check on the stored column. r07 filtered score.isNotNull() AFTER
+    # scoring instead; predicate pushdown folded that into the join
+    # condition, and higher-order scores are never CSE'd, so the whole
+    # cosine aggregate evaluated TWICE per (row × query) — the measured
+    # 0.87s → 1.7s batched-nq16 regression (plan-guarded now).
+    scored = (base.filter(F.col(vec_col).isNotNull())
+              .crossJoin(F.broadcast(queries))
+              .select("query_id", *keep, score.alias("score")))
     if gb:
         # best `group_size` hits per (query, group) — the group key spreads
         # the window shuffle evenly, no skew concentration
