@@ -208,7 +208,90 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
     return None
 
 
+def _run_draws(n_draws: int) -> None:
+    """Median-of-N evidence mode (r07 verdict task 2): run the whole
+    bench N times, each in a FRESH subprocess JVM (honest independent
+    draws, no shared JIT/GC state), pick the draw with the MEDIAN
+    headline total as the committed numbers, and embed every raw draw
+    total in the artifact — a committed number that happens to be the
+    round's best draw cannot gate regressions. Enabled with
+    SPARK_GRAFT_BENCH_DRAWS=N (the per-round driver run stays a single
+    draw; the policy governs the artifact committed at end of round).
+    The suite gate runs once, up front — not once per draw."""
+    import subprocess
+    import sys
+    import tempfile
+    suite = _require_green_suite()
+    repo = os.path.dirname(os.path.abspath(__file__))
+    draws = []
+    for i in range(n_draws):
+        detail_path = tempfile.mktemp(prefix=f"bench_draw{i}_",
+                                      suffix=".json")
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_INNER"] = "1"
+        env["SPARK_GRAFT_BENCH_REQUIRE_GREEN"] = "0"
+        env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
+        r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                           cwd=repo, capture_output=True, text=True, env=env)
+        summary = None
+        for line in reversed((r.stdout or "").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    summary = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if r.returncode != 0 or summary is None:
+            print(f"# draw {i}: FAILED rc={r.returncode}", flush=True)
+            print((r.stderr or "")[-800:], flush=True)
+            continue
+        try:
+            with open(detail_path) as f:
+                detail = json.load(f)
+            os.unlink(detail_path)
+        except OSError:
+            detail = {}
+        draws.append((summary, detail))
+        print(f"# draw {i}: total {summary.get('value')}s", flush=True)
+    if not draws:
+        print(json.dumps({"metric": "headline_queries_total_wall_clock",
+                          "value": -1.0, "unit": "sec",
+                          "error": "all draws failed", **suite}), flush=True)
+        raise SystemExit(1)
+    draws.sort(key=lambda d: d[0].get("value", 1e9))
+    med_summary, med_detail = draws[len(draws) // 2]
+    med_detail["draws"] = len(draws)
+    med_detail["draw_totals"] = [d[0].get("value") for d in draws]
+    med_detail["draw_scale_warm"] = {
+        name: [d[1].get("scale", {}).get(name, {}).get("warm_sec")
+               for d in draws]
+        for name in (draws[0][1].get("scale") or {})}
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 os.path.join(repo, "BENCH_DETAIL.json"))
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(med_detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# bench detail not written to {detail_path}: {e}",
+              flush=True)
+    print(json.dumps(med_detail), flush=True)
+    med_summary.update(suite)
+    med_summary["draws"] = len(draws)
+    line = json.dumps(med_summary)
+    if len(line) >= 2000:
+        med_summary.pop("queries", None)
+        med_summary["queries_note"] = "trimmed; see BENCH_DETAIL"
+        line = json.dumps(med_summary)
+    print(line, flush=True)
+
+
 def main() -> None:
+    n_draws = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "1"))
+    if n_draws > 1 and os.environ.get("SPARK_GRAFT_BENCH_INNER") != "1":
+        _run_draws(n_draws)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
