@@ -1079,9 +1079,68 @@ FROM groups WHERE group_rank <= 5
 """
 
 
+def v_grouping_elem(spark, sf_dir):
+    """Element-level hybrid search (r07 verdict task 8; 3.0-roadmap §1
+    StructArray/EmbeddingList, feature-inventory doc): embeddings are
+    grouped 8-per-entity into an ``array<array<float>>`` embedding list
+    (elements ordered by vec_id), searched entity-scope MaxSim — each
+    entity scores as its best element, the argmax element's hit path is
+    returned. Mapped onto the grouping-mode schema: label = entity id,
+    vec_id = the winning element's original vector, in_group_rank = the
+    element's 1-based position within the entity, group_rank = entity
+    rank. Oracle: list rebuild + per-entity argmax in DuckDB."""
+    from vectordb_testbricks_spark.operators.struct_array import (
+        embedding_list_search)
+    emb, q = _emb_queries(spark, sf_dir)
+    ents = (emb.groupBy(F.floor(F.col("vec_id") / 8).alias("ent_id"))
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"]).alias("elist")))
+    hits = embedding_list_search(ents, q, "elist", "ent_id",
+                                 metric="COSINE", k=5, scope="entity")
+    return hits.select(
+        "query_id",
+        F.col("ent_id").cast("int").alias("label"),
+        (F.col("ent_id") * 8 + F.col("element_idx")).alias("vec_id"),
+        F.round("score", 4).alias("score"),
+        (F.col("element_idx") + 1).cast("bigint").alias("in_group_rank"),
+        F.col("rank").cast("bigint").alias("group_rank"))
+
+
+SQL_V_GROUPING_ELEM = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+el AS (SELECT vec_id // 8 AS ent_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY vec_id // 8
+                                 ORDER BY vec_id) - 1 AS element_idx,
+              embedding
+       FROM embeddings),
+scored AS (
+  SELECT q.query_id, e.ent_id, e.element_idx, e.vec_id, {_SQL_COS} AS score
+  FROM el e CROSS JOIN q),
+best AS (
+  SELECT query_id, ent_id, element_idx, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id, ent_id
+                            ORDER BY score DESC, element_idx) AS rnk
+  FROM scored),
+ranked AS (
+  SELECT query_id, ent_id, element_idx, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, ent_id) AS grank
+  FROM best WHERE rnk = 1)
+SELECT query_id, CAST(ent_id AS INTEGER) AS label, vec_id,
+       ROUND(score, 4) AS score,
+       CAST(element_idx + 1 AS BIGINT) AS in_group_rank,
+       grank AS group_rank
+FROM ranked WHERE grank <= 5
+"""
+
+
 def v_grouping_modes(spark, sf_dir):
-    """V5 consolidated: plain grouping search (group_size=1, top-5 groups)
-    and sized grouping (group_size=2, top-3 groups) as one driver query."""
+    """V5 consolidated: plain grouping search (group_size=1, top-5 groups),
+    sized grouping (group_size=2, top-3 groups), and the element-level
+    MaxSim embedding-list mode as one driver query."""
     plain = (v_grouping_search(spark, sf_dir)
              .select(F.lit("g1_top5").alias("cfg"), "query_id", "label",
                      "vec_id", "score",
@@ -1090,7 +1149,10 @@ def v_grouping_modes(spark, sf_dir):
     sized = (v_grouping_sized(spark, sf_dir)
              .select(F.lit("g2_top3").alias("cfg"), "query_id", "label",
                      "vec_id", "score", "in_group_rank", "group_rank"))
-    return plain.unionByName(sized)
+    elem = (v_grouping_elem(spark, sf_dir)
+            .select(F.lit("elem_maxsim").alias("cfg"), "query_id", "label",
+                    "vec_id", "score", "in_group_rank", "group_rank"))
+    return plain.unionByName(sized).unionByName(elem)
 
 
 SQL_V_GROUPING_MODES = f"""
@@ -1101,6 +1163,10 @@ UNION ALL
 SELECT 'g2_top3' AS cfg, query_id, label, vec_id, score,
        in_group_rank, group_rank
 FROM ({SQL_V_GROUPING_SIZED})
+UNION ALL
+SELECT 'elem_maxsim' AS cfg, query_id, label, vec_id, score,
+       in_group_rank, group_rank
+FROM ({SQL_V_GROUPING_ELEM})
 """
 
 
