@@ -1858,27 +1858,74 @@ FROM merged
 
 
 def dml_partial_update(spark, sf_dir):
-    """S3: partial-update upsert — only the provided columns change."""
-    from vectordb_testbricks_spark.operators.dml import partial_upsert
+    """S3: partial-update upsert — only the provided columns change.
+
+    r08 fold — 'array' mode puts the 3.0 ARRAY_APPEND / ARRAY_REMOVE
+    partial-update family (feature-inventory doc §4) behind oracle rows:
+    append ["zz","red"] onto every p_partkey%7 row's word array, then
+    remove "red" from every p_partkey%11 row, and account the surviving
+    occurrences of the touched words (duplicates preserved — the
+    occurrence counts are exactly what array_except's set semantics
+    would corrupt)."""
+    from vectordb_testbricks_spark.operators.dml import (
+        array_partial_update, partial_upsert)
     c = _t(spark, sf_dir, "customer")
     updates = (c.filter("c_custkey % 10 = 0")
                .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment")))
     merged = partial_upsert(c, updates, "c_custkey")
-    return (merged.groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                  .cast("double").alias("bal"))
-            .orderBy("c_mktsegment"))
+    scalar = (merged.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("bal"))
+              .select(F.lit("scalar").alias("mode"),
+                      F.col("c_mktsegment").alias("key"), "cnt", "bal"))
+    base = (_t(spark, sf_dir, "part")
+            .select("p_partkey", F.split("p_name", " ").alias("words")))
+    app = (base.filter("p_partkey % 7 = 0")
+           .select("p_partkey",
+                   F.array(F.lit("zz"), F.lit("red")).alias("words")))
+    a1 = array_partial_update(base, app, "p_partkey", {"words": "append"})
+    rm = (base.filter("p_partkey % 11 = 0")
+          .select("p_partkey", F.array(F.lit("red")).alias("words")))
+    a2 = array_partial_update(a1, rm, "p_partkey", {"words": "remove"})
+    arr = (a2.select("p_partkey", F.explode("words").alias("w"))
+           .filter(F.col("w").isin("red", "zz", "small"))
+           .groupBy("w")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("p_partkey").cast("double").alias("bal"))
+           .select(F.lit("array").alias("mode"), F.col("w").alias("key"),
+                   "cnt", "bal"))
+    return scalar.unionByName(arr).orderBy("mode", "key")
 
 
 SQL_DML_PARTIAL = """
 WITH merged AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal,
          CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
-  FROM customer)
-SELECT c_mktsegment, COUNT(*) AS cnt,
+  FROM customer),
+w0 AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
+w1 AS (SELECT p_partkey,
+              CASE WHEN p_partkey % 7 = 0
+                   THEN list_concat(words, ['zz', 'red'])
+                   ELSE words END AS words
+       FROM w0),
+w2 AS (SELECT p_partkey,
+              CASE WHEN p_partkey % 11 = 0
+                   THEN list_filter(words,
+                          x -> NOT COALESCE(list_contains(['red'], x),
+                                            FALSE))
+                   ELSE words END AS words
+       FROM w1)
+SELECT 'scalar' AS mode, c_mktsegment AS key, COUNT(*) AS cnt,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+FROM merged GROUP BY c_mktsegment
+UNION ALL
+SELECT 'array', w, COUNT(*),
+       CAST(SUM(p_partkey) AS DOUBLE)
+FROM (SELECT p_partkey, unnest(words) AS w FROM w2)
+WHERE w IN ('red', 'zz', 'small')
+GROUP BY w
+ORDER BY mode, key
 """
 
 
@@ -2975,10 +3022,21 @@ FROM shared GROUP BY test_id
 """
 
 
+_V3_EVENTS_EXPR = ('(event_type =~ "^pu.+se$" && (user_id & 7) == 3) '
+                   '|| ((user_id ^ 21) < 4 && event_type !~ "vi")')
+_QUANT_PART_EXPR = 'words[*] == "red" || (specs[*]["len"] > 8 && p_size > 40)'
+
+
 def q_dynamic_field(spark, sf_dir):
     """Dynamic-field filter (schema.py:59, data.py:216-221): undeclared
     names in the expression resolve into the ``_dynamic`` map; numeric
-    literals drive a cast on the string value."""
+    literals drive a cast on the string value.
+
+    r08 fold — the gated 3.0 expression prototypes move behind oracle
+    rows: 'v3' runs the ``=~``/``!~`` regex + bitwise ``&``/``^``
+    operators over events; 'quant' runs the ``[*]`` element quantifier
+    (scalar array AND struct-array field access) over part. Both sides
+    lower from the SAME parsed AST (compiler vs sqlgen)."""
     ev = _t(spark, sf_dir, "events")
     withdyn = ev.select(
         "event_id",
@@ -2988,17 +3046,53 @@ def q_dynamic_field(spark, sf_dir):
             F.concat(F.lit("dyn_"), F.col("event_type")),
         ).alias("_dynamic"))
     expr = 'dyn_bucket >= 12 && dyn_text like "dyn_p%"'
-    return (withdyn.filter(compile_expr(expr, withdyn))
-            .select("event_id").orderBy("event_id"))
+    dyn = (withdyn.filter(compile_expr(expr, withdyn))
+           .select(F.lit("dyn").alias("kind"),
+                   F.col("event_id").alias("id")))
+    v3 = (ev.filter(compile_expr(_V3_EVENTS_EXPR, ev, enable_v3_exprs=True))
+          .select(F.lit("v3").alias("kind"),
+                  F.col("event_id").alias("id")))
+    p = (_t(spark, sf_dir, "part")
+         .withColumn("words", F.split("p_name", " "))
+         .withColumn("specs", F.transform(
+             F.col("words"),
+             lambda w: F.struct(F.length(w).alias("len")))))
+    quant = (p.filter(compile_expr(_QUANT_PART_EXPR, p,
+                                   enable_v3_exprs=True))
+             .select(F.lit("quant").alias("kind"),
+                     F.col("p_partkey").alias("id")))
+    return dyn.unionByName(v3).unionByName(quant).orderBy("kind", "id")
 
 
-SQL_Q_DYNAMIC = """
-SELECT event_id FROM (
+def _sql_q_dynamic() -> str:
+    """DuckDB twin: the v3/quant WHERE clauses are emitted from the SAME
+    parsed AST by the sqlgen lowering (regexp_matches/xor/& and the
+    Kleene CASE-over-list_filter quantifier)."""
+    from vectordb_testbricks_spark.exprlang.parser import parse
+    from vectordb_testbricks_spark.exprlang.sqlgen import to_sql
+    v3 = to_sql(parse(_V3_EVENTS_EXPR),
+                columns={"event_id", "user_id", "event_type", "value",
+                         "props"})
+    quant = to_sql(parse(_QUANT_PART_EXPR),
+                   columns={"words", "specs", "p_size", "p_partkey",
+                            "p_name"},
+                   struct_array_columns={"specs"})
+    return f"""
+SELECT 'dyn' AS kind, event_id AS id FROM (
   SELECT event_id, CAST(user_id % 16 AS VARCHAR) AS dyn_bucket,
          'dyn_' || event_type AS dyn_text
   FROM events)
 WHERE CAST(dyn_bucket AS DOUBLE) >= 12 AND dyn_text LIKE 'dyn_p%'
-ORDER BY event_id
+UNION ALL
+SELECT 'v3', event_id FROM events WHERE {v3}
+UNION ALL
+SELECT 'quant', p_partkey FROM (
+  SELECT p_partkey, p_size, string_split(p_name, ' ') AS words,
+         list_transform(string_split(p_name, ' '),
+                        w -> {{'len': length(w)}}) AS specs
+  FROM part)
+WHERE {quant}
+ORDER BY kind, id
 """
 
 
@@ -3741,7 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geo_contains": SQL_Q_GEO,
         "q_agg_extension": SQL_Q_AGG,
         "q_count_buckets": SQL_Q_BUCKETS,
-        "q_dynamic_field": SQL_Q_DYNAMIC,
+        "q_dynamic_field": _sql_q_dynamic(),
         "v_knn_metrics": SQL_V_KNN_METRICS,
         "v_knn_prefilter": SQL_V_KNN_PREFILTER_MODES,
         "v_grouping_search": SQL_V_GROUPING_MODES,
