@@ -2233,6 +2233,55 @@ def val_checksum_report(spark, sf_dir):
                .select("embedding").collect()[0][0]]
         per_coll = search_all_collections(m9, [qv9], "embedding", k=5)
         v9_hits = sum(df.count() for df in per_coll.values())
+        # Lifecycle folds (r08): the 3.0 snapshot / external-collection /
+        # import-2PC / entity-TTL / truncate / force-merge prototypes
+        # move behind CONTENT-oracled rows — each count below equals a
+        # DuckDB aggregate over the same events slice, not a pinned
+        # constant (except trunc=0 and fm_files=1, which ARE the claim).
+        from datetime import datetime, timedelta, timezone
+        ev9 = _t(spark, sf_dir, "events").select("event_id", "user_id")
+        m9.create_collection(_SS("lc", [
+            _FS("event_id", "INT64", primary=True),
+            _FS("user_id", "INT64")]))
+        m9.insert("lc", ev9.filter("event_id < 300"))
+        sid = m9.create_snapshot("lc")
+        m9.insert("lc", ev9.filter("event_id >= 300 and event_id < 500"))
+        snap_rows = m9.read("lc", snapshot_id=sid).count()
+        head_rows = m9.read("lc").count()
+        # import 2PC: staged rows are invisible until the commit flip
+        tk = m9.prepare_import(
+            "lc", ev9.filter("event_id >= 500 and event_id < 600"))
+        pre2pc = m9.read("lc").count()
+        m9.commit_import("lc", tk)
+        post2pc = m9.read("lc").count()
+        # external collection over the snapshot's pinned version dir
+        # (the roadmap's "snapshot as External Table data source")
+        m9.create_external_collection(_SS("lc_ext", [
+            _FS("event_id", "INT64", primary=True),
+            _FS("user_id", "INT64")]),
+            m9._snapshot_data_dir("lc", sid))
+        ext_rows = m9.read("lc_ext").count()
+        # entity TTL: per-row ttl 10s (expired at +500s) for event_id%3
+        # == 0, NULL (collection default 1000s, live) otherwise
+        m9.create_collection(_SS("lc_ttl", [
+            _FS("event_id", "INT64", primary=True),
+            _FS("ttl_s", "INT64", nullable=True),
+        ], ttl_seconds=1000, ttl_field="ttl_s"))
+        m9.insert("lc_ttl", ev9.filter("event_id < 100").select(
+            "event_id",
+            F.when(F.col("event_id") % 3 == 0, F.lit(10))
+            .cast("long").alias("ttl_s")))
+        t500 = datetime.now(timezone.utc) + timedelta(seconds=500)
+        ttl_live = m9.read("lc_ttl", now=t500).count()
+        # truncate keeps the schema, drops every row
+        m9.truncate_collection("lc_ttl")
+        trunc_rows = m9.read("lc_ttl").count()
+        # force_merge compacts the 3-batch lc collection to one file per
+        # partition without changing its contents
+        m9.force_merge("lc", files_per_partition=1)
+        fm_rows = m9.read("lc").count()
+        fm_files = sum(1 for _, _, files in os.walk(m9._data_dir("lc"))
+                       for f in files if f.startswith("part-"))
     finally:
         shutil.rmtree(wh9, ignore_errors=True)
     rep = spark.createDataFrame(
@@ -2244,7 +2293,16 @@ def val_checksum_report(spark, sf_dir):
          ("c8_index_drift", c8_drift),
          ("c9_serviceable", c9_val),
          ("v9_collections_searched", len(per_coll)),
-         ("v9_total_hits", v9_hits)],
+         ("v9_total_hits", v9_hits),
+         ("lc_snap_rows", snap_rows),
+         ("lc_head_rows", head_rows),
+         ("lc_2pc_pre_rows", pre2pc),
+         ("lc_2pc_post_rows", post2pc),
+         ("lc_ext_rows", ext_rows),
+         ("lc_ttl_live_rows", ttl_live),
+         ("lc_trunc_rows", trunc_rows),
+         ("lc_fm_rows", fm_rows),
+         ("lc_fm_files", fm_files)],
         "check string, val bigint")
     c3 = chk.select(
         F.explode(F.map_from_arrays(
@@ -2268,6 +2326,22 @@ UNION ALL SELECT 'c8_index_drift', 0
 UNION ALL SELECT 'c9_serviceable', 3
 UNION ALL SELECT 'v9_collections_searched', 2
 UNION ALL SELECT 'v9_total_hits', 10
+UNION ALL SELECT 'lc_snap_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 300)
+UNION ALL SELECT 'lc_head_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 500)
+UNION ALL SELECT 'lc_2pc_pre_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 500)
+UNION ALL SELECT 'lc_2pc_post_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 600)
+UNION ALL SELECT 'lc_ext_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 300)
+UNION ALL SELECT 'lc_ttl_live_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 100 AND event_id % 3 <> 0)
+UNION ALL SELECT 'lc_trunc_rows', 0
+UNION ALL SELECT 'lc_fm_rows',
+    (SELECT COUNT(*) FROM events WHERE event_id < 600)
+UNION ALL SELECT 'lc_fm_files', 1
 ORDER BY "check"
 """
 
