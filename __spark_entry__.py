@@ -217,6 +217,18 @@ _NGRAM_CACHE: dict[tuple, object] = {}  # keyed by (session, sf_dir)
 
 _TM_EXPR = 'TEXT_MATCH(text, "vector") and lang == "en"'
 _PHRASE_EXPR = 'PHRASE_MATCH(text, "batch window spark", 3)'
+# roadmap analyzers behind oracle rows too (r08): char-3-gram tokenizer
+# and the inline synonym filter (expand semantics) — both lower to the
+# same DuckDB twins the differential tests pin
+_TM_NGRAM_EXPR = 'TEXT_MATCH(text, "vector") and source == "src1"'
+_TM_NGRAM_AZ = {"text": {"tokenizer": {"type": "ngram",
+                                       "min_gram": 3, "max_gram": 3}}}
+_TM_SYN_EXPR = 'TEXT_MATCH(text, "tensor flink") and lang == "de"'
+_TM_SYN_AZ = {"text": {"tokenizer": "standard",
+                       "filter": ["lowercase",
+                                  {"type": "synonym",
+                                   "synonyms": ["vector,tensor",
+                                                "spark,flink"]}]}}
 
 
 def q_like_ngram(spark, sf_dir):
@@ -262,6 +274,18 @@ def q_like_ngram(spark, sf_dir):
                .select(F.lit("phrase").alias("kind"), F.col("doc_id"),
                        F.lit(1).cast("bigint").alias("n"),
                        F.col("lang").alias("info")))
+    tmn_rows = (docs.filter(compile_expr(_TM_NGRAM_EXPR, docs,
+                                         enable_text_match=True,
+                                         analyzers=_TM_NGRAM_AZ))
+                .select(F.lit("tm_ngram").alias("kind"), F.col("doc_id"),
+                        F.lit(1).cast("bigint").alias("n"),
+                        F.col("lang").alias("info")))
+    tms_rows = (docs.filter(compile_expr(_TM_SYN_EXPR, docs,
+                                         enable_text_match=True,
+                                         analyzers=_TM_SYN_AZ))
+                .select(F.lit("tm_syn").alias("kind"), F.col("doc_id"),
+                        F.lit(1).cast("bigint").alias("n"),
+                        F.col("lang").alias("info")))
     hl = highlight_matches(docs.filter(F.col("doc_id") % 5 == 0),
                            "doc_id", "text", "spark",
                            window=3, max_fragments=2)
@@ -270,6 +294,7 @@ def q_like_ngram(spark, sf_dir):
         F.col("n_matches").cast("bigint").alias("n"),
         F.array_join("fragments", " | ").alias("info"))
     return (like_rows.unionByName(tm_rows).unionByName(ph_rows)
+            .unionByName(tmn_rows).unionByName(tms_rows)
             .unionByName(hl_rows).orderBy("kind", "doc_id"))
 
 
@@ -283,6 +308,9 @@ def _sql_q_like_ngram() -> str:
             "source": "string", "n_chars": "bigint"}
     tm = to_sql(parse(_TM_EXPR), columns=cols)
     ph = to_sql(parse(_PHRASE_EXPR), columns=cols)
+    tmn = to_sql(parse(_TM_NGRAM_EXPR), columns=cols,
+                 analyzers=_TM_NGRAM_AZ)
+    tms = to_sql(parse(_TM_SYN_EXPR), columns=cols, analyzers=_TM_SYN_AZ)
     toks = TOKS_SQL.format(col="text")
     start = "least(greatest(p - 3, 1), greatest(len(toks) - 6, 1))"
     mark = ("t -> CASE WHEN t = 'spark' THEN '<em>' || t || '</em>' "
@@ -302,6 +330,10 @@ UNION ALL
 SELECT 'tm', doc_id, 1, lang FROM documents WHERE {tm}
 UNION ALL
 SELECT 'phrase', doc_id, 1, lang FROM documents WHERE {ph}
+UNION ALL
+SELECT 'tm_ngram', doc_id, 1, lang FROM documents WHERE {tmn}
+UNION ALL
+SELECT 'tm_syn', doc_id, 1, lang FROM documents WHERE {tms}
 UNION ALL
 SELECT 'hl', doc_id, CAST(len(pos) AS BIGINT),
        -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is '';
