@@ -208,6 +208,37 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
     return None
 
 
+def _write_detail(detail: dict) -> None:
+    """Durable verbose-evidence side file + earlier stdout JSON line —
+    ONE implementation of the tail-capture contract shared by main() and
+    _run_draws (a diverging copy let a long suite summary overflow the
+    <2 KB final line in one mode but not the other)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 os.path.join(repo, "BENCH_DETAIL.json"))
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:          # read-only checkout: stdout line suffices
+        print(f"# bench detail not written to {detail_path}: {e}",
+              flush=True)
+    print(json.dumps(detail), flush=True)
+
+
+def _emit_final(out: dict) -> None:
+    """Print the FINAL compact (<2 KB) JSON line the driver tail-parses:
+    trim the free-text field first, then the per-query map — the headline
+    total must always survive."""
+    out["tests_summary"] = str(out.get("tests_summary", ""))[:120]
+    line = json.dumps(out)
+    if len(line) >= 2000:
+        out.pop("queries", None)
+        out["queries_note"] = "trimmed to fit tail capture; see BENCH_DETAIL"
+        line = json.dumps(out)
+    print(line, flush=True)
+
+
 def _run_draws(n_draws: int) -> None:
     """Median-of-N evidence mode (r07 verdict task 2): run the whole
     bench N times, each in a FRESH subprocess JVM (honest independent
@@ -263,28 +294,19 @@ def _run_draws(n_draws: int) -> None:
     med_summary, med_detail = draws[len(draws) // 2]
     med_detail["draws"] = len(draws)
     med_detail["draw_totals"] = [d[0].get("value") for d in draws]
+    # enumerate scale entries across ALL draws — keying off draws[0]
+    # alone silently dropped the per-draw warm evidence whenever that one
+    # draw's detail file failed to load
+    scale_names = sorted({name for _, det in draws
+                          for name in (det.get("scale") or {})})
     med_detail["draw_scale_warm"] = {
         name: [d[1].get("scale", {}).get(name, {}).get("warm_sec")
                for d in draws]
-        for name in (draws[0][1].get("scale") or {})}
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
-                                 os.path.join(repo, "BENCH_DETAIL.json"))
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(med_detail, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as e:
-        print(f"# bench detail not written to {detail_path}: {e}",
-              flush=True)
-    print(json.dumps(med_detail), flush=True)
+        for name in scale_names}
+    _write_detail(med_detail)
     med_summary.update(suite)
     med_summary["draws"] = len(draws)
-    line = json.dumps(med_summary)
-    if len(line) >= 2000:
-        med_summary.pop("queries", None)
-        med_summary["queries_note"] = "trimmed; see BENCH_DETAIL"
-        line = json.dumps(med_summary)
-    print(line, flush=True)
+    _emit_final(med_summary)
 
 
 def main() -> None:
@@ -297,14 +319,25 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     suite = _require_green_suite()
 
-    # bench sessions run with the UI on so the scale loop can read
+    # THIS bench session runs with the UI on so the scale loop can read
     # per-attempt stage metrics from the status REST API (bimodality
-    # instrumentation); tests keep it off
-    os.environ.setdefault("SPARK_GRAFT_UI", "1")
+    # instrumentation). The env var is scoped to the builder call and
+    # restored right after: _cold_proc_run / stretch subprocesses inherit
+    # os.environ, and a leaked UI=1 added Jetty/event-listener startup to
+    # every "true process-cold" number while buying nothing (the
+    # subprocesses never query the UI).
     from vectordb_testbricks_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench")
+    ui_prev = os.environ.get("SPARK_GRAFT_UI")
+    os.environ["SPARK_GRAFT_UI"] = ui_prev or "1"
+    try:
+        spark = get_spark("bench")
+    finally:
+        if ui_prev is None:
+            del os.environ["SPARK_GRAFT_UI"]
+        else:
+            os.environ["SPARK_GRAFT_UI"] = ui_prev
     # Resolve module-level query functions first: the driver registry
     # consolidates variants (e.g. v_knn_* union) to fit its correctness-row
     # budget, but the bench keeps the original per-variant functions so
@@ -476,7 +509,11 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 runs.append(round(time.perf_counter() - t0, 3))
                 h1 = _jvm_health(spark)
-                m = _stages_since(spark, sid)
+                # a failed pre-attempt watermark read (sid -1) must not
+                # silently aggregate every stage since app start — that
+                # would record the whole headline+concurrency history as
+                # this attempt's metrics and read as a huge regression
+                m = _stages_since(spark, sid) if sid >= 0 else {}
                 if h0 and h1:
                     m["gc_delta_ms"] = h1["gc_ms"] - h0["gc_ms"]
                     if h0.get("jit_ms", -1) >= 0:
@@ -547,36 +584,16 @@ def main() -> None:
         detail["stretch"] = stretch
     if concurrency:
         detail["concurrency"] = concurrency
-    repo = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
-                                 os.path.join(repo, "BENCH_DETAIL.json"))
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as e:          # read-only checkout: stdout line suffices
-        print(f"# bench detail not written to {detail_path}: {e}",
-              flush=True)
-    print(json.dumps(detail), flush=True)
+    _write_detail(detail)
 
-    out = {
+    _emit_final({
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         **suite,
-    }
-    # hard <2 KB guarantee for the final line (driver tail capture): trim
-    # the free-text field first, then the per-query map — the headline
-    # total must always survive.
-    out["tests_summary"] = str(out.get("tests_summary", ""))[:120]
-    line = json.dumps(out)
-    if len(line) >= 2000:
-        out.pop("queries", None)
-        out["queries_note"] = "trimmed to fit tail capture; see BENCH_DETAIL"
-        line = json.dumps(out)
-    print(line, flush=True)
+    })
 
 
 if __name__ == "__main__":

@@ -1137,6 +1137,45 @@ def test_search_by_pk(spark):
     assert len(got) == 10
 
 
+def test_null_scores_never_rank(spark):
+    """NULL scores never enter results (r08 review finding #1). Three
+    NULL-score sources the base-side vector-null filter alone cannot see:
+    a search_by_pk query whose STORED vector is NULL (qvec NULL → every
+    score NULL), a stored vector with a NULL *element* (zip_with/aggregate
+    → NULL, and a bare .asc() would rank it #1 under L2), and an all-zero
+    vector under COSINE (0/0 → NULL). All three must yield zero hits for
+    the affected rows — even when candidates < k leaves room."""
+    from vectordb_testbricks_spark.operators.search import (
+        knn_search, search_by_pk)
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None),
+         (3, [None, 5.0]), (4, [0.0, 0.0])],
+        "id long, vec array<double>")
+    # (a) search_by_pk on the NULL-vector pk: no hit list for query 2
+    hits = search_by_pk(base, [0, 2], "vec", "id", metric="COSINE", k=10)
+    got = {(r["query_id"], r["id"]): r["score"] for r in hits.collect()}
+    assert {q for q, _ in got} == {0}, got
+    assert all(s is not None for s in got.values())
+    # (b)+(c) L2 (ascending): the NULL-element and all-zero rows score
+    # fine under L2, but under COSINE the NULL-element row (3) and the
+    # zero row (4) both go NULL — with k > candidates they must STILL
+    # be excluded, and row 3 must never rank first.
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "query_id int, qvec array<double>")
+    for metric, expect in (("COSINE", {0, 1}), ("L2", {0, 1, 4})):
+        rows = sorted(knn_search(base, q, "vec", "id", metric=metric,
+                                 k=10).collect(), key=lambda r: r["rank"])
+        assert {r["id"] for r in rows} == expect, (metric, rows)
+        assert all(r["score"] is not None for r in rows), (metric, rows)
+        assert rows[0]["id"] != 3  # corrupt row must never rank #1
+    # grouping path: same exclusion through the per-group window
+    g = base.withColumn("cat", (F.col("id") % 2).cast("int"))
+    rows = knn_search(g, q, "vec", "id", metric="COSINE", k=10,
+                      group_by="cat", group_size=2).collect()
+    assert {r["id"] for r in rows} == {0, 1}, rows
+    assert all(r["score"] is not None for r in rows)
+
+
 def test_knn_search_multi_field_group_by(spark):
     """3.0 roadmap §2 'multi-field group_by': grouping on the (cat, sub)
     combination returns group_size best hits per combined group, groups

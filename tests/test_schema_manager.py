@@ -1298,3 +1298,28 @@ def test_text_embedding_external_provider_seam(mgr, spark):
             FieldSpec("v", "FLOAT_VECTOR", dim=4),
         ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t",
                                    "v")]).validate()
+    # a REGISTERED provider's declared output shape is enforced at
+    # validate time (r08 review #2): the dense hash_projection provider
+    # wired to a sparse field fails with a SchemaError naming the
+    # provider — not a Spark analysis error at the first insert
+    with pytest.raises(SchemaError, match="hash_projection"):
+        SchemaSpec("bad2", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("t", "VARCHAR"),
+            FieldSpec("v", "SPARSE_FLOAT_VECTOR"),
+        ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
+                                   params={"provider": "hash_projection",
+                                           "dim": 8})]).validate()
+    # and the sparse-declared custom provider rejects a dense field
+    register_embedding_provider(EmbeddingProvider(
+        name="test_fake_sparse",
+        batch_fn=lambda texts, p: [{} for _ in texts],
+        output_type="map<int,float>", metric="SPARSE_DOT"))
+    with pytest.raises(SchemaError, match="test_fake_sparse"):
+        SchemaSpec("bad3", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("t", "VARCHAR"),
+            FieldSpec("v", "FLOAT_VECTOR", dim=4),
+        ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
+                                   params={"provider":
+                                           "test_fake_sparse"})]).validate()

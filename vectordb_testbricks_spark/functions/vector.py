@@ -49,8 +49,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity (Milvus metric COSINE; higher = closer)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity (Milvus metric COSINE; higher = closer).
+
+    ``try_divide``, not ``/``: under ANSI (Spark 4 default) a zero-norm
+    (all-zero or empty) vector would raise DIVIDE_BY_ZERO and kill the
+    whole query — one corrupt row poisoning every search. NULL instead,
+    which ranking excludes (search._ranked), matching DuckDB's x/0 → NULL
+    so the oracle twin agrees row-for-row."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_normalize(a: Column) -> Column:
@@ -62,11 +68,16 @@ def l2_normalize(a: Column) -> Column:
     evaluated per element without common-subexpression hoisting, so the
     naive ``transform(a, x -> x / norm(a))`` re-evaluates the O(d) norm for
     every element — O(d²) per row (see datagen.gen_vector for the same
-    fix)."""
+    fix).
+
+    ``try_divide`` for the same reason as cosine_sim: a zero-norm stored
+    vector in an IVF build or embed-dedup input must not DIVIDE_BY_ZERO
+    the whole job under ANSI — it normalizes to NULL elements, scores
+    NULL downstream, and never ranks."""
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
-        lambda s: F.transform(a, lambda x: x / F.sqrt(s)))
+        lambda s: F.transform(a, lambda x: F.try_divide(x, F.sqrt(s))))
 
 
 def hamming_sign(a: Column, b: Column) -> Column:

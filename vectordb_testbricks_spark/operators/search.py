@@ -66,12 +66,19 @@ def _ranked(scored: DataFrame, id_col: str, asc: bool, k: int,
     and lets the rewrite skip the prune when k exceeds the partition size.
     Guarded by tests/test_plans.py (partial group-limit below the
     exchange)."""
-    order = [F.col("score").asc() if asc else F.col("score").desc(),
+    # NULL scores never rank: order NULLS LAST in BOTH directions (a bare
+    # .asc() is NULLS FIRST — a corrupt row would rank #1 under L2), and
+    # drop them ABOVE the window, where the predicate references the
+    # projected attribute and cannot be pushed back into the join to
+    # re-evaluate the metric expression (the r07 2× regression; filters
+    # on non-partition columns do not push through a Window).
+    order = [F.col("score").asc_nulls_last() if asc
+             else F.col("score").desc_nulls_last(),
              F.col(id_col).asc()]
     part = ["query_id", *(extra_partition or [])]
     w = Window.partitionBy(*part).orderBy(*order)
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            .filter((F.col("rank") <= k) & F.col("score").isNotNull()))
 
 
 def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
@@ -99,25 +106,33 @@ def knn_search(base: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
         base = base.filter(pred)  # pre-filter before ranking (V2)
     score, asc = score_expr(metric, F.col(vec_col), F.col("qvec"))
     keep = list(dict.fromkeys([id_col, *(output_fields or []), *gb]))
-    # nullable vectors (3.0 roadmap §4) never rank: a NULL vector is the
-    # only NULL-score source (queries are engine-built, never NULL), so
-    # exclude them on the BASE side before the join — a per-row null
-    # check on the stored column. r07 filtered score.isNotNull() AFTER
-    # scoring instead; predicate pushdown folded that into the join
-    # condition, and higher-order scores are never CSE'd, so the whole
-    # cosine aggregate evaluated TWICE per (row × query) — the measured
-    # 0.87s → 1.7s batched-nq16 regression (plan-guarded now).
+    # nullable vectors (3.0 roadmap §4) never rank. Both relation-side null
+    # checks are cheap per-row predicates evaluated BEFORE the join: the
+    # base side drops stored-NULL vectors, the (tiny) queries side drops
+    # NULL query vectors — e.g. search_by_pk on a PK whose stored vector is
+    # NULL. r07 filtered score.isNotNull() AFTER scoring instead; predicate
+    # pushdown folded that into the join condition, and higher-order scores
+    # are never CSE'd, so the whole cosine aggregate evaluated TWICE per
+    # (row × query) — the measured 0.87s → 1.7s batched-nq16 regression
+    # (plan-guarded now). Residual NULL-score sources the side filters
+    # can't see (NULL vector *elements*, 0/0 under COSINE) are excluded
+    # above the window in _ranked, where the predicate references the
+    # projected attribute and cannot push back through the Window.
     scored = (base.filter(F.col(vec_col).isNotNull())
-              .crossJoin(F.broadcast(queries))
+              .crossJoin(F.broadcast(
+                  queries.filter(F.col("qvec").isNotNull())))
               .select("query_id", *keep, score.alias("score")))
     if gb:
         # best `group_size` hits per (query, group) — the group key spreads
-        # the window shuffle evenly, no skew concentration
+        # the window shuffle evenly, no skew concentration. NULLS LAST +
+        # post-window isNotNull mirror _ranked (see its comment).
         per_group = Window.partitionBy("query_id", *gb).orderBy(
-            F.col("score").asc() if asc else F.col("score").desc(),
+            F.col("score").asc_nulls_last() if asc
+            else F.col("score").desc_nulls_last(),
             F.col(id_col).asc())
         best = (scored.withColumn("rank", F.row_number().over(per_group))
-                .filter(F.col("rank") <= group_size))
+                .filter((F.col("rank") <= group_size)
+                        & F.col("score").isNotNull()))
         # rank *groups* by their best hit, keep top-k groups (Milvus
         # group_by_field returns `limit` groups × group_size hits)
         gs = F.min("score") if asc else F.max("score")

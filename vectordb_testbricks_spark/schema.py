@@ -300,14 +300,36 @@ class SchemaSpec:
                 # seam in functions/providers.py) declares its own output
                 # shape — dense FLOAT_VECTOR for typical model endpoints
                 provider = (fn.params or {}).get("provider")
-                want = ("SPARSE_FLOAT_VECTOR",) \
-                    if provider in (None, "hashing") \
-                    else ("SPARSE_FLOAT_VECTOR", "FLOAT_VECTOR")
+                if provider in (None, "hashing"):
+                    want = ("SPARSE_FLOAT_VECTOR",)
+                else:
+                    # a registered provider declares its output shape —
+                    # check the exact dtype HERE so a dense provider
+                    # wired to a sparse field fails at create time with
+                    # a SchemaError, not at the first insert with an
+                    # opaque Spark analysis error. An unregistered name
+                    # can't be checked yet (providers register
+                    # process-globally, possibly after create): keep the
+                    # permissive either-vector check; the insert raises
+                    # unknown-provider before anything is written.
+                    from vectordb_testbricks_spark.functions.providers \
+                        import EMBEDDING_PROVIDERS
+                    p = EMBEDDING_PROVIDERS.get(provider)
+                    if p is not None:
+                        want = ("FLOAT_VECTOR",) \
+                            if p.output_type.startswith("array") \
+                            else ("SPARSE_FLOAT_VECTOR",)
+                    else:
+                        want = ("SPARSE_FLOAT_VECTOR", "FLOAT_VECTOR")
                 if out_dtype not in want:
                     raise SchemaError(
                         f"{self.name}: TEXT_EMBEDDING output field "
                         f"{fn.output_field!r} must be "
-                        f"{' or '.join(want)}")
+                        f"{' or '.join(want)}"
+                        + (f" (provider {provider!r} emits "
+                           f"{p.output_type})"
+                           if provider not in (None, "hashing")
+                           and p is not None else ""))
         if self.ttl_field is not None:
             fld = next((f for f in self.fields
                         if f.name == self.ttl_field), None)
