@@ -510,3 +510,55 @@ def test_synonym_filter_analyzer(spark):
                 {"filter": [{"type": "synonym", "synonyms": ["solo"]}]}):
         with _pt.raises(ValueError):
             analyzer_kwargs(bad)
+
+
+def test_synonym_file_dictionary(spark, tmp_path):
+    """Feature-inventory §5 analyzer resources ('synonym file'): a
+    synonym dictionary file (one comma-separated group per line, blank
+    lines and # comments skipped) resolves driver-side at
+    analyzer_kwargs time into the SAME inline expansion — identical
+    kwargs, identical tokens, composable with inline groups. Mapping
+    rules (a => b) and oversized dictionaries fail loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, py_tokenize, tokenize)
+    d = tmp_path / "syn.txt"
+    d.write_text("# pace words\nfast, quick, rapid\n\nbig,large\n")
+    ap_file = {"tokenizer": "standard",
+               "filter": ["lowercase",
+                          {"type": "synonym", "synonyms_path": str(d)}]}
+    ap_inline = {"tokenizer": "standard",
+                 "filter": ["lowercase",
+                            {"type": "synonym",
+                             "synonyms": ["fast,quick,rapid",
+                                          "big,large"]}]}
+    kw = analyzer_kwargs(ap_file)
+    assert kw == analyzer_kwargs(ap_inline)
+    r = spark.createDataFrame([("the RAPID dog",)], "t string").select(
+        tokenize(F.col("t"), **kw).alias("g")).collect()[0]
+    assert r.g == py_tokenize("the RAPID dog", **kw) == \
+        ["the", "fast", "quick", "rapid", "dog"]
+    # inline groups come FIRST, then the file's (first group wins ties)
+    mixed = analyzer_kwargs(
+        {"tokenizer": "standard",
+         "filter": ["lowercase",
+                    {"type": "synonym", "synonyms": ["rapid,swift"],
+                     "synonyms_path": str(d)}]})
+    assert py_tokenize("rapid", **mixed) == ["rapid", "swift"]
+    # loud failures: mapping syntax, oversized dictionary, missing file
+    (tmp_path / "map.txt").write_text("usa, united states => america\n")
+    with _pt.raises(ValueError, match="=>"):
+        analyzer_kwargs({"filter": [
+            {"type": "synonym",
+             "synonyms_path": str(tmp_path / "map.txt")}]})
+    (tmp_path / "huge.txt").write_text(
+        "\n".join(f"w{i}a,w{i}b" for i in range(501)))
+    with _pt.raises(ValueError, match="too large"):
+        analyzer_kwargs({"filter": [
+            {"type": "synonym",
+             "synonyms_path": str(tmp_path / "huge.txt")}]})
+    with _pt.raises(OSError):
+        analyzer_kwargs({"filter": [
+            {"type": "synonym",
+             "synonyms_path": str(tmp_path / "absent.txt")}]})

@@ -72,25 +72,52 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
                         f"stop_words must be a list of strings, got {sw!r}")
                 kwargs["stop_words"] = tuple(sw)
             elif isinstance(f, dict) and f.get("type") == "synonym":
-                # 3.0-roadmap inline synonym filter (feature-inventory
-                # doc §3 "synonym filter"; file-based dictionaries stay
-                # out of scope): comma-separated groups, expand
-                # semantics — every member of a group emits the whole
-                # group, so any two synonyms share all their tokens
-                groups = f.get("synonyms", ())
-                if isinstance(groups, str) or not all(
-                        isinstance(g, str) for g in groups):
+                # 3.0-roadmap synonym filter (feature-inventory doc §3
+                # "synonym filter"; §5 analyzer resources "synonym
+                # file"): comma-separated groups, expand semantics —
+                # every member of a group emits the whole group, so any
+                # two synonyms share all their tokens. Groups come
+                # inline (``synonyms``: list of "a,b,..." strings)
+                # and/or from a dictionary file (``synonyms_path``:
+                # one group per line, blank lines and '#' comments
+                # skipped) — the file resolves DRIVER-SIDE here, at
+                # declaration/compile time, so the execution plan is
+                # identical either way.
+                groups = list(f.get("synonyms", ()))
+                if any(not isinstance(g, str) for g in groups) \
+                        or isinstance(f.get("synonyms", ()), str):
                     raise ValueError(
                         f"synonyms must be a list of 'a,b,...' group "
-                        f"strings, got {groups!r}")
+                        f"strings, got {f.get('synonyms')!r}")
+                path = f.get("synonyms_path")
+                if path is not None:
+                    with open(path, encoding="utf-8") as fh:
+                        groups += [ln.strip() for ln in fh
+                                   if ln.strip()
+                                   and not ln.lstrip().startswith("#")]
                 parsed = []
                 for g in groups:
+                    if "=>" in g:
+                        raise ValueError(
+                            f"explicit-mapping synonym rules (a => b) "
+                            f"are not supported; use expand groups: "
+                            f"{g!r}")
                     members = tuple(m.strip() for m in g.split(",")
                                     if m.strip())
                     if len(members) < 2:
                         raise ValueError(
                             f"synonym group needs >= 2 members: {g!r}")
                     parsed.append(members)
+                # the expansion is a per-token literal when-chain —
+                # O(groups) plan nodes. Fine for real analyzer
+                # dictionaries (tens to hundreds of groups); a
+                # corpus-scale thesaurus belongs in a broadcast-join
+                # token pipeline, so fail loudly instead of building
+                # an unplannable expression
+                if len(parsed) > 500:
+                    raise ValueError(
+                        f"synonym dictionary too large for inline "
+                        f"expansion ({len(parsed)} groups > 500)")
                 kwargs["synonyms"] = tuple(parsed)
             else:
                 raise ValueError(f"unsupported analyzer filter {f!r}")
