@@ -224,11 +224,18 @@ _TM_NGRAM_EXPR = 'TEXT_MATCH(text, "vector") and source == "src1"'
 _TM_NGRAM_AZ = {"text": {"tokenizer": {"type": "ngram",
                                        "min_gram": 3, "max_gram": 3}}}
 _TM_SYN_EXPR = 'TEXT_MATCH(text, "tensor flink") and lang == "de"'
+# the groups come from a dictionary FILE (r08: feature-inventory §5
+# "synonym file" analyzer resource) — resolved driver-side by
+# analyzer_kwargs on BOTH lowerings, so the Spark branch and the DuckDB
+# twin read the same file and the driver row hash-checks the file path
 _TM_SYN_AZ = {"text": {"tokenizer": "standard",
                        "filter": ["lowercase",
                                   {"type": "synonym",
-                                   "synonyms": ["vector,tensor",
-                                                "spark,flink"]}]}}
+                                   "synonyms_path": os.path.join(
+                                       os.path.dirname(
+                                           os.path.abspath(__file__)),
+                                       "resources",
+                                       "synonyms_demo.txt")}]}}
 
 
 def q_like_ngram(spark, sf_dir):
@@ -248,7 +255,11 @@ def q_like_ngram(spark, sf_dir):
       bounded-gap nested-exists chain, oracled by the sqlgen lowering.
     - 'hl': the query-term highlighter — n_matches and the marked
       fragment strings (window=3, max_fragments=2, ' | '-joined) over a
-      doc_id%5 slice, rebuilt in DuckDB with index lambdas."""
+      doc_id%5 slice, rebuilt in DuckDB with index lambdas.
+    - 'tm_ngram'/'tm_syn': the roadmap analyzers — char-3-gram tokenizer
+      and the synonym filter, the latter sourced from a dictionary FILE
+      (resources/synonyms_demo.txt) so the §5 "synonym file" resource
+      path is itself behind this hash-checked row."""
     from vectordb_testbricks_spark.operators.ngram_index import (
         build_ngram_index, like_with_index)
     from vectordb_testbricks_spark.operators.textquality import (
