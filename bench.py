@@ -165,7 +165,14 @@ def _stages_since(spark, watermark: int) -> dict:
 
         return {
             "n_stages": len(new),
+            # runTime is task WALL-clock (inflates when another process
+            # owns the cores and tasks get descheduled); cpuTime is
+            # actual CPU-ns. run ≫ cpu → external contention; cpu
+            # itself inflated → the work really grew (JIT fallback,
+            # codegen loss). The pair is what separates the dd_minhash
+            # slow mode's two candidate causes.
             "executor_run_sec": round(tot("executorRunTime") / 1e3, 1),
+            "executor_cpu_sec": round(tot("executorCpuTime") / 1e9, 1),
             "executor_gc_sec": round(tot("jvmGcTime") / 1e3, 1),
             "shuffle_read_mb": tot("shuffleReadBytes") // mb,
             "shuffle_write_mb": tot("shuffleWriteBytes") // mb,
