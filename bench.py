@@ -310,6 +310,13 @@ def _run_draws(n_draws: int) -> None:
         name: [d[1].get("scale", {}).get(name, {}).get("warm_sec")
                for d in draws]
         for name in scale_names}
+    # ... and the full per-draw scale sections (runs + attempt_metrics):
+    # the first 3-draw artifact caught the dd_minhash slow mode in two
+    # NON-median draws and threw away exactly the run-vs-cpu metrics
+    # that discriminate its cause — the side file has room, keep them
+    med_detail["draw_scale_detail"] = {
+        name: [d[1].get("scale", {}).get(name) for d in draws]
+        for name in scale_names}
     _write_detail(med_detail)
     med_summary.update(suite)
     med_summary["draws"] = len(draws)
