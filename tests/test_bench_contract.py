@@ -1,0 +1,88 @@
+"""Bench artifact-contract unit tests (no Spark session needed).
+
+The driver's tail capture parses the FINAL stdout line of bench.py and
+records parsed:null if it exceeds ~2 KB or isn't JSON — round 5 lost its
+headline number exactly this way. These tests pin the shared
+_emit_final/_write_detail helpers both the single-draw and draws modes
+now go through (r08 review #6: a diverging copy let one mode overflow
+what the other guarded)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _capture_lines(capsys) -> list[str]:
+    return [ln for ln in capsys.readouterr().out.splitlines() if ln]
+
+
+def test_emit_final_is_compact_json(capsys):
+    out = {"metric": "headline_queries_total_wall_clock", "value": 1.5,
+           "unit": "sec", "queries": {"q1": 0.5, "q2": 1.0}, "sf": 0.01,
+           "tests_green": True, "tests_summary": "ok"}
+    bench._emit_final(dict(out))
+    line = _capture_lines(capsys)[-1]
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["value"] == 1.5 and parsed["queries"] == out["queries"]
+
+
+def test_emit_final_trims_oversized_payload(capsys):
+    # a per-query map too large for the tail window: the helper must
+    # drop it (keeping the headline total) rather than overflow
+    queries = {f"q_{i:04d}_with_a_rather_long_name": i / 7.0
+               for i in range(200)}
+    bench._emit_final({"metric": "m", "value": 2.25, "unit": "sec",
+                       "queries": queries,
+                       "tests_summary": "x" * 5000})
+    line = _capture_lines(capsys)[-1]
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["value"] == 2.25
+    assert "queries" not in parsed and "queries_note" in parsed
+    # free-text field is truncated FIRST (before the map is dropped)
+    assert len(parsed["tests_summary"]) <= 120
+
+
+def test_emit_final_trims_summary_before_queries(capsys):
+    # a long suite summary alone must not evict the per-query map
+    bench._emit_final({"metric": "m", "value": 1.0, "unit": "sec",
+                       "queries": {"q1": 0.1},
+                       "tests_summary": "y" * 5000})
+    parsed = json.loads(_capture_lines(capsys)[-1])
+    assert parsed["queries"] == {"q1": 0.1}
+    assert len(parsed["tests_summary"]) <= 120
+
+
+def test_write_detail_roundtrip(tmp_path, monkeypatch, capsys):
+    detail = {"kind": "bench_detail", "total_sec": 3.5,
+              "scale": {"e1": {"warm_sec": 1.0}}}
+    p = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(p))
+    bench._write_detail(detail)
+    # durable side file AND an earlier stdout JSON line carry the blob
+    assert json.loads(p.read_text()) == detail
+    assert json.loads(_capture_lines(capsys)[-1]) == detail
+
+
+def test_write_detail_survives_unwritable_path(tmp_path, monkeypatch,
+                                               capsys):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL",
+                       str(tmp_path / "no_such_dir" / "detail.json"))
+    bench._write_detail({"kind": "bench_detail"})  # must not raise
+    lines = _capture_lines(capsys)
+    # the stdout evidence line still prints after the warning
+    assert json.loads(lines[-1]) == {"kind": "bench_detail"}
+
+
+def test_headline_names_resolve():
+    """Every HEADLINE entry must resolve to a callable — either a
+    module-level per-variant function or a registry entry — so a
+    renamed query fails here instead of mid-bench after the gate."""
+    import __spark_entry__ as entrymod
+    registry = entrymod.queries()
+    for name in bench.HEADLINE:
+        fn = getattr(entrymod, name, None) or registry.get(name)
+        assert callable(fn), f"HEADLINE entry {name!r} does not resolve"
