@@ -54,8 +54,16 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
         # interpreted (measured: the minhash signature stage at 1M rows
         # degraded 15s → 47-72s only AFTER ~120 prior query executions).
         # 1g + explicit flushing keeps late plans JIT-compiled.
+        # SPARK_GRAFT_EXTRA_JVM_OPTS appends experiment flags (empty by
+        # default, so default sessions are byte-identical): used to A/B
+        # JIT hypotheses for the sticky ~10× slow mode — r08 measured
+        # executorCpuTime itself inflating 10× (not contention: run≈cpu
+        # in both modes) in 7 of 10 full-bench JVMs, the signature of
+        # hot methods deopt-flagged not-compilable after the varied
+        # headline-phase profiles (-XX:PerMethodRecompilationCutoff).
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+                ("-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                 + os.environ.get("SPARK_GRAFT_EXTRA_JVM_OPTS", "")).strip())
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
