@@ -178,6 +178,15 @@ def _stages_since(spark, watermark: int) -> dict:
             "shuffle_write_mb": tot("shuffleWriteBytes") // mb,
             "mem_spill_mb": tot("memoryBytesSpilled") // mb,
             "disk_spill_mb": tot("diskBytesSpilled") // mb,
+            # the 3 hottest stages by task wall-clock, so a slow draw
+            # names WHICH stage inflated instead of only the aggregate
+            "top_stages": [
+                {"id": s["stageId"],
+                 "run_sec": round((s.get("executorRunTime") or 0) / 1e3, 1),
+                 "cpu_sec": round((s.get("executorCpuTime") or 0) / 1e9, 1),
+                 "name": (s.get("name") or "")[:80]}
+                for s in sorted(new, key=lambda s:
+                                -(s.get("executorRunTime") or 0))[:3]],
         }
     except Exception:                             # noqa: BLE001
         return {}
