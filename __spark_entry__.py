@@ -567,27 +567,62 @@ def v_knn_topk15000(spark, sf_dir):
     return knn_search(base, qs, "embedding", "pk", metric="COSINE", k=15000)
 
 
+def _gen_docs_arrow(spark, n, uniq, words_per_doc=20, vocab=50_000):
+    """Seeded 20-word corpus for the dedup scale entries, generated by an
+    Arrow-batched numpy kernel: word_i(doc) = splitmix64(tid·W + i) %
+    vocab (tid folds ids ≥ uniq back onto their source doc, so docs
+    uniq..n are exact copies of 0..n−uniq). The splitmix64 finalizer
+    decorrelates words across (tid, i) exactly like the xxhash64
+    expression it replaces — an affine formula would hand every doc the
+    same stride orbit mod vocab and plant millions of accidental
+    near-dup pairs. Generated Python-side ON PURPOSE: the r08 HotSpot
+    slow mode strikes interpreted-HOF chains (transform/array_join), and
+    a generator expression sharing the kernel stage would re-expose the
+    scale entries to the 16× coin the Arrow kernels exist to dodge
+    (BASELINE.md r08)."""
+    wpd = words_per_doc
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        wordlist = [f"w{i}" for i in range(vocab)]
+        i_idx = np.arange(wpd, dtype=np.uint64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            tid = np.where(ids < uniq, ids, ids - uniq).astype(np.uint64)
+            x = tid[:, None] * np.uint64(wpd) + i_idx
+            # splitmix64 finalizer (public domain constant set)
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            w = (x % np.uint64(vocab)).tolist()
+            texts = [" ".join(wordlist[j] for j in row) for row in w]
+            yield pd.DataFrame({"doc_id": ids.tolist(), "text": texts})
+
+    return spark.range(n).mapInPandas(gen, "doc_id bigint, text string")
+
+
 def dd_minhash_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     """Bench-only scale evidence for the banded-LSH dedup design (the
     dd_minhash fixture is 5k rows; this runs the identical pipeline —
     shingle→16-minhash→4-band LSH→exact-Jaccard verify — over a seeded
     1M-doc corpus). Docs ``uniq``..``n`` are exact copies of docs
     0..(n−uniq), so the expected pair set is the n−uniq planted
-    duplicates; every stage is array-expression / bucket-join work, no
-    driver collection. Not a registry entry (no 1M-row DuckDB oracle in
-    the per-round budget) — correctness of the pipeline itself is oracled
-    by dd_minhash."""
+    duplicates; every stage is kernel / bucket-join work, no driver
+    collection. Since r09 the corpus AND the codes+signature stage are
+    Arrow/numpy (impl="arrow", _gen_docs_arrow) — the r08-localized
+    HotSpot slow mode lived in this entry's JVM HOF stage, and the
+    kernel path is immune by construction. Not a registry entry (no
+    1M-row DuckDB oracle in the per-round budget) — correctness of the
+    pipeline itself is oracled by dd_minhash (which runs the same
+    impl="arrow" default) and the Arrow==JVM identity tests."""
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
-    tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
-    # corpus words via xxhash64 (cheap JVM hash — the md5 budget belongs to
-    # the pipeline under test, not the generator), decorrelated per (tid, i)
-    words = F.transform(
-        F.sequence(F.lit(0), F.lit(19)),
-        lambda i: F.concat(F.lit("w"), F.pmod(
-            F.xxhash64(F.lit("mh1m"), tid, i), F.lit(50000)).cast("string")))
-    docs = spark.range(n).select(
-        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
-    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
+    docs = _gen_docs_arrow(spark, n, uniq)
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7,
+                             impl="arrow")
 
 
 def dd_minhash_10m(spark, sf_dir):
@@ -611,19 +646,25 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     0..(n−uniq), so the expected pair set is the 100k planted duplicates
     (J = 1 ≥ 0.7); random 20-word docs over a 50k vocab make natural
     collisions negligible. Same corpus generator as dd_minhash_1m so the
-    two dedup scale entries are comparable. Not a registry entry (no
-    1M-row DuckDB oracle in the per-round budget) — correctness of the
-    pipeline itself is oracled by dd_ngram_jaccard."""
+    two dedup scale entries are comparable (Arrow/numpy since r09, same
+    slow-mode rationale). Not a registry entry (no 1M-row DuckDB oracle
+    in the per-round budget) — correctness of the pipeline itself is
+    oracled by dd_ngram_jaccard."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
-    tid = F.when(F.col("id") < uniq, F.col("id")).otherwise(F.col("id") - uniq)
-    words = F.transform(
-        F.sequence(F.lit(0), F.lit(19)),
-        lambda i: F.concat(F.lit("w"), F.pmod(
-            F.xxhash64(F.lit("mh1m"), tid, i), F.lit(50000)).cast("string")))
-    docs = spark.range(n).select(
-        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    docs = _gen_docs_arrow(spark, n, uniq)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7,
-                               max_df=50, min_shared=2)
+                               max_df=50, min_shared=2, impl="arrow")
+
+
+def dd_ngram_10m(spark, sf_dir):
+    """Stretch scale evidence (judge r08 #4): the AllPairs/PPJoin n-gram
+    Jaccard pipeline one decade further — 10M docs with 1M planted exact
+    duplicates. The design claim under test: the df-capped (max_df=50),
+    rarity-prefix-filtered posting table keeps candidate fan-out
+    posting-bounded, so cost grows ~linearly with the corpus rather than
+    with pairs. Run once in a fresh subprocess JVM by bench.py's stretch
+    block — detail artifact only, headline total untouched."""
+    return dd_ngram_1m(spark, sf_dir, n=10_000_000, uniq=9_000_000)
 
 
 def v_ivf_1m(spark, sf_dir):
@@ -809,20 +850,38 @@ def v_sparse_1m(spark, sf_dir, n=1_000_000, vocab=30_000, nnz=16):
     doc id's keys are (id*17 + j*1877) % vocab for j<16 — distinct within
     a doc, uniform across it — so every query key has ~n·nnz/vocab
     matching docs and the result is exactly nq×k rows. Warehouse
-    reclaimed after the 40-row result materializes."""
+    reclaimed after the 40-row result materializes.
+
+    Since r09 the corpus maps are generated by a numpy kernel and the
+    postings build runs impl="arrow" (arrow_kernels.sparse_postings_arrow)
+    — this entry's postings-build stage was the second r08-localized
+    victim of the sticky per-JVM HotSpot slow mode on interpreted-HOF
+    chains (transform/map_from_arrays/explode at 16× CPU in ~50% of
+    JVMs); the Arrow path is immune by construction and bit-identical
+    (tests/test_arrow_kernels.py). The persisted layout, pruning plan
+    and search path are unchanged."""
     import shutil
     import tempfile
     from vectordb_testbricks_spark.operators.ann_index import (
         build_sparse_inverted, read_sparse_inverted, sparse_inverted_search,
         write_sparse_inverted)
-    keys = F.transform(F.sequence(F.lit(0), F.lit(nnz - 1)),
-                       lambda j: ((F.col("id") * 17 + j * 1877) % vocab)
-                       .cast("int"))
-    vals = F.transform(F.sequence(F.lit(0), F.lit(nnz - 1)),
-                       lambda j: ((F.col("id") + j) % 10 + 1).cast("double"))
-    base = spark.range(n).select(
-        F.col("id").alias("pk"), F.map_from_arrays(keys, vals).alias("svec"))
-    model = build_sparse_inverted(base, "svec", "pk", n_buckets=64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        j = np.arange(nnz, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            keys = ((ids[:, None] * 17 + j * 1877) % vocab).astype(np.int32)
+            vals = ((ids[:, None] + j) % 10 + 1).astype(np.float64)
+            yield pd.DataFrame({
+                "pk": ids.tolist(),
+                "svec": [dict(zip(k, v))
+                         for k, v in zip(keys.tolist(), vals.tolist())]})
+
+    base = spark.range(n).mapInPandas(gen, "pk bigint, svec map<int,double>")
+    model = build_sparse_inverted(base, "svec", "pk", n_buckets=64,
+                                  impl="arrow")
     tmp = tempfile.mkdtemp(prefix="vts_sparse1m_")
     try:
         path = tmp + "/idx"

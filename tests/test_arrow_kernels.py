@@ -1,0 +1,219 @@
+"""Identity tests for the Arrow-batched numpy kernels (r09, judge r08
+task 1): each kernel must be a bit-for-bit twin of its JVM expression
+path — the kernels exist to dodge the per-JVM HotSpot slow mode on
+interpreted-HOF chains (BASELINE.md r08), never to change results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EDGE_DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick  brown FOX"),          # case fold + run of spaces
+    (3, None),                            # NULL text
+    (4, ""),                              # empty text
+    (5, "###!!!"),                        # no alnum at all
+    (6, "one two"),                       # shorter than shingle_n
+    (7, "a b c d e f g h i j k l m n o p"),
+    (8, "dup dup dup dup dup"),           # heavy repetition
+    (9, "Ünïcode tøkens stay stable"),    # non-ascii split points
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    return spark.createDataFrame(EDGE_DOCS, "doc_id bigint, text string")
+
+
+def _collect_map(df, key, *cols):
+    return {r[key]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+class TestMinhashKernel:
+    @pytest.mark.parametrize("shingle_n", [3, 2, None])
+    def test_codes_and_sigs_identical_to_jvm(self, spark, edge_docs,
+                                             shingle_n):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            minhash_codes_sigs)
+        from vectordb_testbricks_spark.operators.dedup import (
+            NUM_HASHES, _token_codes, signatures_from_codes)
+        jvm_codes = _token_codes(edge_docs, "doc_id", "text", shingle_n)
+        jvm = _collect_map(
+            signatures_from_codes(jvm_codes, "doc_id")
+            .join(jvm_codes, "doc_id"), "doc_id", "codes", "sig")
+        ar = _collect_map(
+            minhash_codes_sigs(edge_docs, "doc_id", "text",
+                               NUM_HASHES, shingle_n),
+            "doc_id", "codes", "sig")
+        assert jvm == ar
+
+    def test_fixture_corpus_identical(self, spark, tables):
+        """Full documents fixture: every code array and signature equal."""
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            minhash_codes_sigs)
+        from vectordb_testbricks_spark.operators.dedup import (
+            NUM_HASHES, _token_codes, signatures_from_codes)
+        docs = tables["documents"].df.select("doc_id", "text")
+        jvm_codes = _token_codes(docs, "doc_id", "text", 3)
+        jvm = _collect_map(
+            signatures_from_codes(jvm_codes, "doc_id")
+            .join(jvm_codes, "doc_id"), "doc_id", "codes", "sig")
+        ar = _collect_map(
+            minhash_codes_sigs(docs, "doc_id", "text", NUM_HASHES, 3),
+            "doc_id", "codes", "sig")
+        assert jvm == ar
+
+    def test_pipeline_pairs_identical(self, spark, tables):
+        """End-to-end minhash_lsh_dedup: impl='arrow' and impl='jvm'
+        return the same verified pair set with the same Jaccard."""
+        from vectordb_testbricks_spark.operators.dedup import (
+            minhash_lsh_dedup)
+        docs = tables["documents"].df.select("doc_id", "text")
+        doubled = docs.unionByName(docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+
+        def pairs(impl):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in minhash_lsh_dedup(
+                    doubled, "doc_id", "text", threshold=0.7,
+                    impl=impl).collect())
+
+        a, j = pairs("arrow"), pairs("jvm")
+        assert a == j
+        assert len(a) > 0
+
+    def test_unknown_impl_raises(self, spark, edge_docs):
+        from vectordb_testbricks_spark.operators.dedup import (
+            minhash_lsh_dedup)
+        with pytest.raises(ValueError, match="unknown minhash impl"):
+            minhash_lsh_dedup(edge_docs, "doc_id", "text",
+                              impl="vectorized").collect()
+
+
+class TestNgramKernelPath:
+    def test_ngram_pairs_identical(self, spark, tables):
+        from vectordb_testbricks_spark.operators.dedup import (
+            ngram_jaccard_pairs)
+        docs = tables["documents"].df.select("doc_id", "text")
+        doubled = docs.unionByName(docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+
+        def pairs(impl):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    doubled, "doc_id", "text", n=3, threshold=0.7,
+                    max_df=50, min_shared=2, impl=impl).collect())
+
+        a, j = pairs("arrow"), pairs("jvm")
+        assert a == j
+        assert len(a) > 0
+
+    def test_unknown_impl_raises(self, spark, edge_docs):
+        from vectordb_testbricks_spark.operators.dedup import (
+            ngram_jaccard_pairs)
+        with pytest.raises(ValueError, match="unknown ngram impl"):
+            ngram_jaccard_pairs(edge_docs, "doc_id", "text",
+                                impl="simd").collect()
+
+
+SPARSE_ROWS = [
+    (1, {0: 1.0, 5: 2.5, 9: -0.75}),
+    (2, {5: 0.25}),
+    (3, {}),                              # empty map -> no postings
+    (4, None),                            # NULL map -> no postings
+    (5, {7: 4.0, 2: 1.25, 11: 3.5, 0: 0.5}),
+]
+
+
+class TestSparsePostingsKernel:
+    def test_postings_identical_int_keys(self, spark):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            sparse_postings_arrow)
+        from vectordb_testbricks_spark.operators.search import (
+            sparse_postings)
+        base = spark.createDataFrame(SPARSE_ROWS,
+                                     "pk bigint, svec map<int,double>")
+        jvm = sorted(map(tuple, sparse_postings(
+            base, "svec", "pk").collect()))
+        ar = sorted(map(tuple, sparse_postings_arrow(
+            base, "svec", "pk").collect()))
+        assert jvm == ar
+
+    def test_postings_identical_string_keys(self, spark):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            sparse_postings_arrow)
+        from vectordb_testbricks_spark.operators.search import (
+            sparse_postings)
+        rows = [(1, {"alpha": 1.5, "beta": -2.0}), (2, None),
+                (3, {"beta": 0.25})]
+        base = spark.createDataFrame(rows,
+                                     "pk bigint, svec map<string,double>")
+        jvm = sorted(map(tuple, sparse_postings(
+            base, "svec", "pk").collect()))
+        ar = sorted(map(tuple, sparse_postings_arrow(
+            base, "svec", "pk").collect()))
+        assert jvm == ar
+
+    def test_non_map_column_raises(self, spark):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            sparse_postings_arrow)
+        base = spark.createDataFrame([(1, "x")], "pk bigint, svec string")
+        with pytest.raises(TypeError, match="MapType"):
+            sparse_postings_arrow(base, "svec", "pk")
+
+    def test_build_search_identity(self, spark):
+        """build_sparse_inverted impl='arrow' serves identical results to
+        impl='jvm' AND to the brute-force map scan (the declared
+        semantics)."""
+        from vectordb_testbricks_spark.operators.ann_index import (
+            build_sparse_inverted, sparse_inverted_search)
+        from vectordb_testbricks_spark.operators.search import (
+            sparse_search_many)
+        base = spark.createDataFrame(
+            [(i, {int(k): float((i + k) % 7 + 1)
+                  for k in range((i * 3) % 5 + 1)})
+             for i in range(200)],
+            "pk bigint, svec map<int,double>")
+        qmaps = [{0: 1.0, 2: 0.5}, {1: 2.0, 3: 1.0, 4: 0.25}]
+
+        def hits(df):
+            return sorted((r["query_id"], r["pk"], round(r["score"], 6),
+                           r["rank"]) for r in df.collect())
+
+        brute = hits(sparse_search_many(base, qmaps, "svec", "pk", k=10))
+        for impl in ("arrow", "jvm"):
+            model = build_sparse_inverted(base, "svec", "pk",
+                                          n_buckets=8, impl=impl)
+            assert hits(sparse_inverted_search(model, qmaps, k=10)) == brute
+
+    def test_unknown_impl_raises(self, spark):
+        from vectordb_testbricks_spark.operators.ann_index import (
+            build_sparse_inverted)
+        base = spark.createDataFrame([(1, {0: 1.0})],
+                                     "pk bigint, svec map<int,double>")
+        with pytest.raises(ValueError, match="unknown sparse impl"):
+            build_sparse_inverted(base, "svec", "pk", impl="gpu")
+
+
+class TestScaleCorpusGen:
+    def test_planted_duplicates_and_determinism(self, spark):
+        import __spark_entry__ as E
+        docs = E._gen_docs_arrow(spark, 2000, 1800)
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert len(rows) == 2000
+        # ids >= uniq are exact copies of their source docs
+        for i in range(1800, 2000):
+            assert rows[i] == rows[i - 1800]
+        # deterministic across invocations
+        rows2 = {r["doc_id"]: r["text"]
+                 for r in E._gen_docs_arrow(spark, 2000, 1800).collect()}
+        assert rows == rows2
+        # 20 words per doc from the w<idx> vocab
+        w = rows[0].split(" ")
+        assert len(w) == 20 and all(t.startswith("w") for t in w)
+        # distinct docs are actually distinct (decorrelated generator —
+        # an affine word formula would alias docs onto shared orbits)
+        assert len(set(rows.values())) == 1800

@@ -285,14 +285,36 @@ SPARSE_BUCKET_COL = "_bucket"
 
 
 def build_sparse_inverted(base: DataFrame, map_col: str, id_col: str,
-                          n_buckets: int = 64) -> SparseInvModel:
+                          n_buckets: int = 64,
+                          impl: str | None = None) -> SparseInvModel:
     """Explode a SPARSE_FLOAT_VECTOR column into bucketed postings. The
     bucket is crc32(key) % n_buckets — computable driver-side
     (search.sparse_bucket_py), so a query prunes partition dirs from its
-    literal keys before any IO."""
+    literal keys before any IO.
+
+    ``impl`` picks the explode stage: ``"jvm"`` (default, env
+    ``SPARK_GRAFT_SPARSE_IMPL``) is the Column explode;
+    ``"arrow"`` is the Arrow-batched kernel
+    (arrow_kernels.sparse_postings_arrow) — identical postings (asserted
+    in tests), immune to the per-JVM HotSpot slow mode that hit this
+    stage's HOF eval chain at 1M+ rows (BASELINE.md r08). The scale
+    entries build with "arrow"; the fixture-scale registry entry keeps
+    "jvm" so its per-round timing/plan comparison stays stable. Bucket
+    assignment stays a flat codegen crc32 expression in both modes."""
+    import os
     from vectordb_testbricks_spark.operators.search import (
         sparse_bucket_expr, sparse_postings)
-    posts = sparse_postings(base, map_col, id_col).withColumn(
+    impl = impl or os.environ.get("SPARK_GRAFT_SPARSE_IMPL", "jvm")
+    if impl == "arrow":
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            sparse_postings_arrow)
+        posts = sparse_postings_arrow(base, map_col, id_col)
+    elif impl == "jvm":
+        posts = sparse_postings(base, map_col, id_col)
+    else:
+        raise ValueError(f"unknown sparse impl {impl!r} "
+                         f"(expected 'arrow' or 'jvm')")
+    posts = posts.withColumn(
         SPARSE_BUCKET_COL, sparse_bucket_expr("key", n_buckets))
     return SparseInvModel(postings=posts, key_col="key", id_col=id_col,
                           weight_col="weight", n_buckets=n_buckets)

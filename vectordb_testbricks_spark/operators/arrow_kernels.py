@@ -1,0 +1,182 @@
+"""Arrow-batched numpy kernels for the two HOF-heavy hot paths.
+
+Round-8 instrumentation localized a sticky per-JVM HotSpot pathology to
+exactly one stage per scale entry: the interpreted higher-order-function
+eval chain (ArrayTransform/aggregate) of (a) the MinHash codes+signature
+materialization and (b) the sparse postings build ran at ~16x CPU in
+~50% of JVM launches — same stage id, identical plan, every other stage
+in the same JVM normal (BASELINE.md r08 section; refuted A/B probes
+included the decisive ``wholeStage=false`` floor run). These kernels
+re-express those two computations as ``mapInPandas`` numpy/hashlib code:
+Arrow-batched (never row-at-a-time Python UDFs), embarrassingly parallel
+(zero shuffles — the kernels are per-row work), and immune to JVM JIT
+state by construction.
+
+Exactness contract: each kernel is a bit-for-bit twin of its JVM
+expression path (tokenize regex, md5-derived 60-bit codes mod
+P = 2^31-1, the affine hash family of dedup.hash_params, NULL/empty-text
+edge semantics) — asserted by identity tests in
+tests/test_arrow_kernels.py and, for the MinHash pipeline, by the
+driver's DuckDB oracle row (dd_minhash runs the Arrow path by default).
+
+Reference parity: the signatures these kernels produce feed the same
+banded-LSH dedup surface SURVEY.md S2 maps from the reference's
+validator family (milvus_client/common/data.py:78-131 checksum shapes);
+the postings kernel feeds the SPARSE_INVERTED_INDEX physical tier
+(manifests/schema_matrix_2_6.yaml:63,80).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
+    """Per-batch worker: (ids, texts) -> (codes list, sig list) with the
+    JVM path's exact semantics. Pure Python/numpy; importable so the
+    test suite can probe it without a Spark session."""
+    import hashlib
+
+    import numpy as np
+
+    from vectordb_testbricks_spark.functions.text import py_tokenize
+
+    n_hash = len(a_vec)
+    codes_out: list = []
+    flat_parts: list = []
+    offsets: list = []
+    rowkind: list = []            # "np" rows get vectorized sigs
+    pos = 0
+    for text in texts:
+        if text is None:
+            # JVM: split(NULL) -> NULL toks. With shingling, the
+            # when/otherwise wrapper turns that into [array_join(NULL)]
+            # = [NULL] -> codes [NULL]; WITHOUT shingling,
+            # transform(NULL) stays NULL -> codes NULL. Either way
+            # array_min over NULL/[NULL] is NULL per hash -> sig
+            # [NULL]*n.
+            codes_out.append([None] if shingle_n else None)
+            rowkind.append("null")
+            continue
+        toks = py_tokenize(text)
+        if shingle_n is None:
+            units = toks
+        elif len(toks) >= shingle_n:
+            units = [" ".join(toks[i:i + shingle_n])
+                     for i in range(len(toks) - shingle_n + 1)]
+        else:
+            # docs shorter than n shingle to their full join (so every
+            # doc has >= 1 shingle) — functions.text.shingles
+            units = [" ".join(toks)]
+        if not units:
+            # shingle_n=None on an empty token list: transform([]) -> []
+            # -> codes []; array_min(transform([], ..)) is NULL per hash
+            codes_out.append([])
+            rowkind.append("empty")
+            continue
+        cs = np.unique(np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16) % p
+             for u in units),
+            dtype=np.int64, count=len(units)))
+        codes_out.append(cs.tolist())
+        flat_parts.append(cs)
+        offsets.append(pos)
+        pos += len(cs)
+        rowkind.append("np")
+    sigs_np = None
+    if flat_parts:
+        flat = np.concatenate(flat_parts)
+        # (N, H): c*a + b fits int64 (c < 2^31, a <= 2H+1, b < 2^31)
+        vals = (flat[:, None] * a_vec + b_vec) % p
+        sigs_np = np.minimum.reduceat(vals, np.asarray(offsets), axis=0)
+    sig_out: list = []
+    k = 0
+    for kind in rowkind:
+        if kind == "np":
+            sig_out.append(sigs_np[k].tolist())
+            k += 1
+        else:
+            sig_out.append([None] * n_hash)
+    return codes_out, sig_out
+
+
+def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16,
+                       shingle_n: int | None = 3) -> DataFrame:
+    """(id, codes, sig) — the MinHash codes+signature materialization as
+    one Arrow-batched kernel pass.
+
+    Twin of ``dedup._token_codes`` + ``dedup.signatures_from_codes``:
+    same tokenizer (functions.text.py_tokenize == tokenize), same shingle
+    rule (short docs emit their full join), same md5-derived 60-bit codes
+    mod P, same affine family (dedup.hash_params), same NULL-text edges
+    (codes [NULL], sig [NULL]*n). The affine min-reduction is vectorized
+    numpy over the batch's flattened code arrays (``minimum.reduceat``);
+    only the md5 of each distinct shingle is a per-string C call.
+    """
+    from vectordb_testbricks_spark.operators.dedup import P, hash_params
+
+    params = hash_params(num_hashes)
+    a_list = [a for a, _ in params]
+    b_list = [b for _, b in params]
+    spark_id_type = dict(zip(docs.schema.names,
+                             [f.dataType for f in docs.schema.fields]))
+    out_schema = T.StructType([
+        T.StructField(id_col, spark_id_type[id_col]),
+        T.StructField("codes", T.ArrayType(T.LongType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        a_vec = np.asarray(a_list, dtype=np.int64)
+        b_vec = np.asarray(b_list, dtype=np.int64)
+        for pdf in batches:
+            codes, sigs = _minhash_rows(
+                pdf[text_col].tolist(), shingle_n, a_vec, b_vec, P)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": codes, "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def sparse_postings_arrow(base: DataFrame, map_col: str, id_col: str,
+                          key_col: str = "key",
+                          weight_col: str = "weight") -> DataFrame:
+    """Explode a SPARSE_FLOAT_VECTOR (MapType) column into inverted
+    postings ``(id, key, weight)`` — the Arrow twin of
+    ``search.sparse_postings`` (same output schema, same row set; NULL
+    maps contribute no postings, exactly like ``F.explode``). The
+    per-row dict iteration happens in Python over Arrow batches; the
+    downstream bucket expression / partitioned write are unchanged."""
+    mt = base.schema[map_col].dataType
+    if not isinstance(mt, T.MapType):
+        raise TypeError(f"{map_col} must be a MapType column, got {mt}")
+    out_schema = T.StructType([
+        T.StructField(id_col, base.schema[id_col].dataType),
+        T.StructField(key_col, mt.keyType),
+        T.StructField(weight_col, T.DoubleType()),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids: list = []
+            keys: list = []
+            weights: list = []
+            for i, m in zip(pdf[id_col], pdf[map_col]):
+                if m is None:
+                    continue
+                items = m.items() if isinstance(m, dict) else m
+                for k, w in items:
+                    ids.append(i)
+                    keys.append(k)
+                    weights.append(w)
+            yield pd.DataFrame(
+                {id_col: ids, key_col: keys, weight_col: weights})
+
+    return base.select(id_col, map_col).mapInPandas(gen, out_schema)

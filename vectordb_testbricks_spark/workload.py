@@ -333,6 +333,82 @@ def run_async_searches(spark, tasks, max_workers: int = 4,
                              wall_clock_sec=time.monotonic() - t_start)
 
 
+@dataclass
+class SustainedReport:
+    """Steady-state serving metrics — the reference's headline operating
+    point is concurrency-10 closed-loop driving for a fixed duration
+    (go_bench/config.yaml:1-26: concurrency 10, 600 s runs), with the
+    QPS/latency metric set of search_permanently.py:36-96."""
+    n_searches: int
+    failures: int
+    duration_sec: float
+    latency: dict          # validators.percentile_stats shape, seconds
+
+    @property
+    def qps(self) -> float:
+        return self.n_searches / max(self.duration_sec, 1e-9)
+
+
+def run_sustained_searches(spark, make_task, workers: int = 10,
+                           duration_sec: float = 60.0) -> SustainedReport:
+    """Closed-loop sustained-throughput driver: ``workers`` threads each
+    loop build-plan → collect until the deadline, mirroring the
+    reference's sustained benchmark shape (go_bench drives concurrency
+    10 for 600 s; search_permanently.py:285-363 is the same closed loop
+    with a bounded pending queue). Spark's scheduler interleaves the
+    concurrent jobs across the shared executor pool — same mechanism as
+    :func:`run_async_searches`, without per-task job groups (nothing is
+    cancelled; the loop just stops submitting at the deadline, so total
+    wall clock is duration + one in-flight search).
+
+    ``make_task(worker_idx, seq)`` returns the search DataFrame for that
+    worker's ``seq``-th iteration (vary query vectors/filters per call to
+    avoid measuring one cached result). Failures are counted and the loop
+    continues — sustained throughput under sporadic errors is exactly
+    what the reference's success-rate metric observes. Latencies are
+    per-search submit→collect seconds."""
+    import threading
+    import time
+
+    from vectordb_testbricks_spark.validators import percentile_stats
+
+    lock = threading.Lock()
+    latencies: list[float] = []
+    failures = [0]
+    t_start = time.monotonic()
+    deadline = t_start + duration_sec
+
+    def worker(widx: int) -> None:
+        seq = 0
+        while time.monotonic() < deadline:
+            t0 = time.monotonic()
+            try:
+                make_task(widx, seq).collect()
+                dt = time.monotonic() - t0
+                with lock:
+                    latencies.append(dt)
+            except Exception:                     # noqa: BLE001
+                with lock:
+                    failures[0] += 1
+            seq += 1
+
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True,
+                                name=f"sustained-w{w}")
+               for w in range(workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        # generous join bound: the deadline stops new submissions; one
+        # in-flight search per worker may still be draining
+        t.join(duration_sec + 120.0)
+    elapsed = time.monotonic() - t_start
+    return SustainedReport(
+        n_searches=len(latencies), failures=failures[0],
+        duration_sec=elapsed,
+        latency={k: round(v, 4) for k, v in
+                 percentile_stats(latencies).items()})
+
+
 # --------------------------------------------- C9: serviceability wait
 
 def wait_for_serviceable(mgr: CollectionManager, name: str,
