@@ -1323,3 +1323,68 @@ def test_text_embedding_external_provider_seam(mgr, spark):
         ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
                                    params={"provider":
                                            "test_fake_sparse"})]).validate()
+
+
+def test_text_embedding_provider_dim_validation(mgr, spark):
+    """r08 ADVICE: a dense provider's emitted width is checked against
+    the output field's declared dim at CREATE time — explicitly via
+    params['dim'], and implicitly via the provider's default_dim."""
+    import pytest
+
+    # explicit params dim mismatching the field dim
+    with pytest.raises(SchemaError, match="dim=16"):
+        SchemaSpec("dimbad", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("t", "VARCHAR"),
+            FieldSpec("v", "FLOAT_VECTOR", dim=16),
+        ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
+                                   params={"provider": "hash_projection",
+                                           "dim": 8})]).validate()
+    # no params dim: hash_projection's default_dim=8 vs a dim-16 field
+    with pytest.raises(SchemaError, match="dim=8"):
+        SchemaSpec("dimbad2", [
+            FieldSpec("id", "INT64", primary=True),
+            FieldSpec("t", "VARCHAR"),
+            FieldSpec("v", "FLOAT_VECTOR", dim=16),
+        ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
+                                   params={"provider":
+                                           "hash_projection"})]).validate()
+    # matching widths validate fine
+    SchemaSpec("dimok", [
+        FieldSpec("id", "INT64", primary=True),
+        FieldSpec("t", "VARCHAR"),
+        FieldSpec("v", "FLOAT_VECTOR", dim=16),
+    ], functions=[FunctionSpec("e", "TEXT_EMBEDDING", "t", "v",
+                               params={"provider": "hash_projection",
+                                       "dim": 16})]).validate()
+
+
+def test_text_embedding_search_rejects_none_query(mgr, spark):
+    """r08 ADVICE: a None query text raises a ValueError naming the
+    position, not an opaque createDataFrame error."""
+    import pytest
+    spec = SchemaSpec("noneq", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=64),
+        FieldSpec("vec", "FLOAT_VECTOR", dim=8),
+    ], functions=[FunctionSpec("emb", "TEXT_EMBEDDING", "text", "vec",
+                               params={"provider": "hash_projection",
+                                       "dim": 8})])
+    mgr.create_collection(spec)
+    mgr.insert("noneq", spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string")
+        .withColumn("vec", F.lit(None).cast("array<float>")))
+    with pytest.raises(ValueError, match=r"position.* \[1\] is None"):
+        mgr.text_embedding_search("noneq", ["ok", None], k=1)
+    # the built-in hashing path rejects the same way
+    spec2 = SchemaSpec("noneq2", [
+        FieldSpec("doc_id", "INT64", primary=True),
+        FieldSpec("text", "VARCHAR", max_length=64),
+        FieldSpec("sv", "SPARSE_FLOAT_VECTOR"),
+    ], functions=[FunctionSpec("emb", "TEXT_EMBEDDING", "text", "sv")])
+    mgr.create_collection(spec2)
+    mgr.insert("noneq2", spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string")
+        .withColumn("sv", F.lit(None).cast("map<int,float>")))
+    with pytest.raises(ValueError, match=r"position \[0\] is None"):
+        mgr.text_embedding_search("noneq2", [None], k=1)

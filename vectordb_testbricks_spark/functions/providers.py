@@ -46,6 +46,13 @@ class EmbeddingProvider:
     batch_fn: Callable[[list, dict], list]
     output_type: str = "array<float>"
     metric: str = "COSINE"
+    #: dense providers: the vector width emitted when ``params`` carries
+    #: no ``dim`` override — lets SchemaSpec.validate() check the output
+    #: field's declared dim at CREATE time (a dim-16 field silently
+    #: storing 8-wide vectors was the r08 ADVICE finding). None = width
+    #: not statically known (validation then only checks an explicit
+    #: params["dim"]).
+    default_dim: int | None = None
 
 
 EMBEDDING_PROVIDERS: dict[str, EmbeddingProvider] = {}
@@ -114,4 +121,5 @@ register_embedding_provider(EmbeddingProvider(
     batch_fn=_hash_projection_batch,
     output_type="array<float>",
     metric="COSINE",
+    default_dim=8,
 ))

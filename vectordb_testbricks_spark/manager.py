@@ -997,6 +997,17 @@ class CollectionManager:
         params = fn.params or {}
         texts = [query_texts] if isinstance(query_texts, str) \
             else list(query_texts)
+        # a None query text featurizes to a None vector, which the
+        # non-nullable queries_df schema rejects with an opaque
+        # createDataFrame error deep in Spark (and the hashing twin would
+        # AttributeError on .lower()) — name the culprit up front
+        # (r08 ADVICE)
+        bad = [i for i, t in enumerate(texts) if t is None]
+        if bad:
+            raise ValueError(
+                f"{name}: query text at position"
+                f"{'s' if len(bad) > 1 else ''} {bad} is None — "
+                f"text_embedding_search needs non-null query strings")
         provider = params.get("provider")
         if provider is not None and provider != "hashing":
             # external-model seam: embed the query texts with the SAME

@@ -330,6 +330,24 @@ class SchemaSpec:
                            f"{p.output_type})"
                            if provider not in (None, "hashing")
                            and p is not None else ""))
+                if (provider not in (None, "hashing")
+                        and p is not None and out_dtype == "FLOAT_VECTOR"):
+                    # dense width check at CREATE time (r08 ADVICE): a
+                    # dim-16 field fed by a provider emitting 8-wide
+                    # vectors would otherwise store mis-shaped rows
+                    # silently — params["dim"] overrides the provider's
+                    # declared default width
+                    out_field = next(f for f in self.fields
+                                     if f.name == fn.output_field)
+                    fn_dim = (fn.params or {}).get("dim", p.default_dim)
+                    if (out_field.dim is not None and fn_dim is not None
+                            and int(fn_dim) != int(out_field.dim)):
+                        raise SchemaError(
+                            f"{self.name}: TEXT_EMBEDDING provider "
+                            f"{provider!r} emits dim={fn_dim} vectors but "
+                            f"output field {fn.output_field!r} declares "
+                            f"dim={out_field.dim}; set params['dim'] or "
+                            f"fix the field dim")
         if self.ttl_field is not None:
             fld = next((f for f in self.fields
                         if f.name == self.ttl_field), None)
