@@ -217,3 +217,52 @@ class TestScaleCorpusGen:
         # distinct docs are actually distinct (decorrelated generator —
         # an affine word formula would alias docs onto shared orbits)
         assert len(set(rows.values())) == 1800
+
+
+class TestJaccardKernel:
+    def test_jaccard_identical_to_jvm(self, spark, tables):
+        """jaccard_pairs impl='arrow' == impl='jvm' on real candidate
+        pairs over the doubled fixture corpus (exact doubles at J=1 plus
+        partial overlaps from LSH collisions)."""
+        from vectordb_testbricks_spark.operators.dedup import (
+            _token_codes, jaccard_pairs, lsh_candidate_pairs,
+            signatures_from_codes)
+        docs = tables["documents"].df.select("doc_id", "text")
+        doubled = docs.unionByName(docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+        codes = _token_codes(doubled, "doc_id", "text", 3)
+        cands = lsh_candidate_pairs(
+            signatures_from_codes(codes, "doc_id"), "doc_id")
+
+        def rows(impl):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+                for r in jaccard_pairs(codes, cands, "doc_id",
+                                       impl=impl).collect())
+
+        a, j = rows("arrow"), rows("jvm")
+        assert a == j and len(a) > 0
+
+    def test_jaccard_null_and_partial(self, spark):
+        """NULL code arrays yield NULL jaccard in both impls; partial
+        overlaps agree to the exact double."""
+        from vectordb_testbricks_spark.operators.dedup import jaccard_pairs
+        codes = spark.createDataFrame(
+            [(1, [10, 20, 30]), (2, [20, 30, 40, 50]), (3, None),
+             (4, [10, 20, 30])],
+            "doc_id bigint, codes array<bigint>")
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint")
+
+        def rows(impl):
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in jaccard_pairs(codes, pairs, "doc_id",
+                                       impl=impl).collect())
+
+        a, j = rows("arrow"), rows("jvm")
+        assert a == j
+        got = {(x, y): v for x, y, v in a}
+        assert got[(1, 2)] == 2 / 5.0
+        assert got[(1, 3)] is None
+        assert got[(1, 4)] == 1.0

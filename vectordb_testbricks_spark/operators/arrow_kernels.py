@@ -144,6 +144,46 @@ def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def jaccard_arrow(joined: DataFrame, a_col: str = "ca",
+                  b_col: str = "cb") -> DataFrame:
+    """Exact Jaccard over two code-array columns as an Arrow-batched
+    kernel: input rows carry the joined candidate pair with both docs'
+    code arrays; output replaces them with a ``jaccard`` double.
+
+    Twin of the JVM expression in ``dedup.jaccard_pairs``
+    (``size(array_intersect)/size(array_union)`` with NULL-array rows
+    yielding NULL): codes are distinct per doc by construction, so set
+    intersection/union sizes match Spark's array semantics exactly, incl.
+    a NULL *element* matching a NULL element (Spark's array_intersect is
+    null-safe-equal; Python sets treat None the same way). The division
+    is one IEEE double op — bit-identical across engines. This is the
+    third kernel of the r08 slow-mode escape: at 10M docs the verify
+    stage's interpreted collection-expression eval showed the same
+    graded per-JVM CPU inflation (807 vs 364 CPU-s, identical plan)."""
+    out_fields = [f for f in joined.schema.fields
+                  if f.name not in (a_col, b_col)]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("jaccard", T.DoubleType())])
+    keep = [f.name for f in out_fields]
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            jac = []
+            for ca, cb in zip(pdf[a_col], pdf[b_col]):
+                if ca is None or cb is None:
+                    jac.append(None)
+                    continue
+                sa, sb = set(ca), set(cb)
+                u = len(sa | sb)
+                jac.append(len(sa & sb) / u if u else None)
+            out = pdf[keep].copy()
+            out["jaccard"] = pd.Series(jac, index=pdf.index, dtype=object)
+            yield out
+
+    return joined.mapInPandas(gen, out_schema)
+
+
 def sparse_postings_arrow(base: DataFrame, map_col: str, id_col: str,
                           key_col: str = "key",
                           weight_col: str = "weight") -> DataFrame:
