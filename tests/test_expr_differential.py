@@ -421,7 +421,14 @@ def test_text_match_matches_duckdb(dft):
             {"name": {"tokenizer": "standard",
                       "filter": ["lowercase",
                                  {"type": "synonym",
-                                  "synonyms": ["item,x", "17,y"]}]}}):
+                                  "synonyms": ["item,x", "17,y"]}]}},
+            # dict/CJK FMM tokenizer (r09): ordered-alternation regex on
+            # both engines — "item-12" segments to the dictionary word,
+            # punct drops, alnum runs survive — leftmost-first
+            # alternation parity between java.util.regex and RE2 is
+            # exactly what this case guards
+            {"name": {"tokenizer": {"type": "dict",
+                                    "words": ["item", "em-1"]}}}):
         for e in cases:
             node = parse(e)
             pred = compile_expr(e, df, enable_text_match=True,

@@ -562,3 +562,75 @@ def test_synonym_file_dictionary(spark, tmp_path):
         analyzer_kwargs({"filter": [
             {"type": "synonym",
              "synonyms_path": str(tmp_path / "absent.txt")}]})
+
+
+def test_dict_tokenizer_cjk_standin(spark, tmp_path, duck):
+    """CJK analyzer stand-in (feature-inventory §3 lists jieba/pinyin;
+    this is the public-knowledge dictionary FMM segmenter): longest
+    dictionary word wins at each position, OOV non-ascii chars emit as
+    unigrams, ascii runs stay word tokens, ascii + CJK punctuation
+    drops. Verified identical across ALL THREE lowerings (Spark
+    regexp_extract_all, Python re twin, DuckDB RE2 twin) and end-to-end
+    through TEXT_MATCH with a per-field dict analyzer."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, fmm_pattern, py_tokenize, tokenize)
+    ap = {"tokenizer": {"type": "dict",
+                        "words": ["北京", "北京大学", "天安门", "天安"]}}
+    kw = analyzer_kwargs(ap)
+    texts = ["我爱北京大学和天安门广场 hello World42，测试。",
+             "天安门 north 北京大学 south!",
+             "no cjk at all — just ascii",
+             "",
+             None]
+    # longest-match + unigram fallback + punct drop
+    assert py_tokenize(texts[0], **kw) == [
+        "我", "爱", "北京大学", "和", "天安门", "广", "场",
+        "hello", "world42", "测", "试"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id bigint, body string")
+    got = {r.id: r.g for r in df.select(
+        "id", tokenize(F.col("body"), **kw).alias("g")).collect()}
+    pat = fmm_pattern(kw["dict_words"], kw["lowercase"])
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+            continue
+        assert got[i] == py_tokenize(t, **kw), t
+        d = duck.execute(
+            "SELECT regexp_extract_all(lower(?), ?)", [t, pat]
+        ).fetchone()[0]
+        assert got[i] == d, t
+    # TEXT_MATCH analyzes the query with the field's dict analyzer:
+    # "北京大学" is one token (longest match), so it hits rows 0 and 1
+    pred = compile_expr('TEXT_MATCH(body, "北京大学")', df,
+                        enable_text_match=True, analyzers={"body": ap})
+    assert sorted(r.id for r in df.filter(pred).collect()) == [0, 1]
+    # "北京" alone is NOT a token of rows containing 北京大学 (FMM took
+    # the longer word), so it matches nothing
+    pred2 = compile_expr('TEXT_MATCH(body, "北京")', df,
+                         enable_text_match=True, analyzers={"body": ap})
+    assert df.filter(pred2).count() == 0
+    # file dictionary: one word per line, comments skipped — resolved
+    # at declaration time like the synonym file dictionaries
+    dic = tmp_path / "cjk.dic"
+    dic.write_text("# demo dictionary\n北京\n天安门\n\n", encoding="utf-8")
+    kw2 = analyzer_kwargs({"tokenizer": {"type": "dict",
+                                         "dict_path": str(dic)}})
+    assert py_tokenize("去北京看天安门", **kw2) == [
+        "去", "北京", "看", "天安门"]
+    # stop filter composes after segmentation
+    kw3 = analyzer_kwargs({
+        "tokenizer": {"type": "dict", "words": ["北京"]},
+        "filter": ["lowercase", {"type": "stop", "stop_words": ["的"]}]})
+    assert py_tokenize("我的北京", **kw3) == ["我", "北京"]
+    # validation: empty wordlist, oversized wordlist, ngram combo,
+    # non-list words
+    for bad in ({"tokenizer": {"type": "dict"}},
+                {"tokenizer": {"type": "dict", "words": "北京"}},
+                {"tokenizer": {"type": "dict",
+                               "words": [f"w{i}" for i in range(2001)]}}):
+        with _pt.raises(ValueError):
+            analyzer_kwargs(bad)

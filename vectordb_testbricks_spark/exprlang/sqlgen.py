@@ -137,8 +137,18 @@ class _Emitter:
             base, split_re = f"lower({_ident(field.name)})", TOKEN_SPLIT_RE
         else:
             base, split_re = _ident(field.name), TOKEN_SPLIT_RE_CASED
-        toks = (f"list_filter(string_split_regex({base}, "
-                f"{_lit(split_re)}), _t -> _t != '')")
+        if kw.get("dict_words"):
+            # dict/CJK tokenizer twin: the SAME ordered-alternation FMM
+            # pattern (one source of truth, functions.text.fmm_pattern);
+            # RE2's leftmost-first alternation matches java.util.regex
+            # here (differentially tested)
+            from vectordb_testbricks_spark.functions.text import (
+                fmm_pattern)
+            pat = fmm_pattern(kw["dict_words"], kw["lowercase"])
+            toks = f"regexp_extract_all({base}, {_lit(pat)})"
+        else:
+            toks = (f"list_filter(string_split_regex({base}, "
+                    f"{_lit(split_re)}), _t -> _t != '')")
         if kw["stop_words"]:
             sw = ", ".join(_lit(w) for w in kw["stop_words"])
             toks = f"list_filter({toks}, _t -> _t NOT IN ({sw}))"

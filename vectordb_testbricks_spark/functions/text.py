@@ -37,6 +37,49 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
         raise ValueError(f"unsupported analyzer type {p['type']!r}")
     tk = p.get("tokenizer", "standard")
     ngram: tuple[int, int] | None = None
+    dict_words: tuple[str, ...] = ()
+    if isinstance(tk, dict) and tk.get("type") == "dict":
+        # CJK analyzer stand-in (feature-inventory doc §3 lists
+        # jieba/pinyin; those need external tokenizer models, so this is
+        # the public-knowledge dictionary segmenter): forward maximum
+        # matching over a wordlist — at each position the longest
+        # dictionary word wins, out-of-dictionary non-ascii chars emit
+        # as single-char tokens (the standard CJK unigram fallback),
+        # ascii alnum runs stay standard word tokens, and ascii + CJK
+        # punctuation is dropped. Implemented as ONE ordered-alternation
+        # regex (longest-first), which all three lowerings execute with
+        # identical leftmost-first semantics (java.util.regex, RE2,
+        # Python re — verified by the differential tests). Words come
+        # inline (``words``) and/or one-per-line from ``dict_path``
+        # (blank lines and '#' comments skipped), resolved DRIVER-SIDE
+        # at declaration time like the synonym file dictionaries.
+        words = list(tk.get("words", ()))
+        if any(not isinstance(w, str) for w in words) \
+                or isinstance(tk.get("words", ()), str):
+            raise ValueError(
+                f"dict tokenizer words must be a list of strings, "
+                f"got {tk.get('words')!r}")
+        path = tk.get("dict_path")
+        if path is not None:
+            with open(path, encoding="utf-8") as fh:
+                words += [ln.strip() for ln in fh
+                          if ln.strip()
+                          and not ln.lstrip().startswith("#")]
+        words = [w for w in words if w]
+        if not words:
+            raise ValueError("dict tokenizer needs a non-empty wordlist "
+                             "(words and/or dict_path)")
+        # the alternation is one regex — O(words) pattern size. Fine for
+        # real segmentation dictionaries (hundreds to low thousands of
+        # entries); a corpus-scale lexicon belongs in a broadcast-join
+        # token pipeline, so fail loudly instead of building an
+        # unmatchable pattern (the synonym-file 500-group posture)
+        if len(words) > 2000:
+            raise ValueError(
+                f"dict tokenizer wordlist too large for one alternation "
+                f"pattern ({len(words)} words > 2000)")
+        dict_words = tuple(words)
+        tk = "standard"     # the split regex is unused on the dict path
     if isinstance(tk, dict):
         # 3.0-roadmap ngram tokenizer (feature-inventory doc §3 "ngram
         # tokenizer + token chars"): character n-grams WITHIN alnum runs
@@ -56,7 +99,7 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
     elif tk != "standard":
         raise ValueError(f"unsupported tokenizer {tk!r}")
     kwargs: dict = {"lowercase": True, "stop_words": (), "ngram": ngram,
-                    "synonyms": ()}
+                    "synonyms": (), "dict_words": dict_words}
     if "filter" in p:
         kwargs["lowercase"] = False
         for f in p["filter"]:
@@ -121,16 +164,50 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
                 kwargs["synonyms"] = tuple(parsed)
             else:
                 raise ValueError(f"unsupported analyzer filter {f!r}")
+    if kwargs["dict_words"] and kwargs["ngram"]:
+        raise ValueError(
+            "dict tokenizer does not compose with the ngram tokenizer "
+            "(a segmenter already defines the token boundaries)")
     if kwargs["lowercase"]:
         kwargs["synonyms"] = tuple(
             tuple(m.lower() for m in g) for g in kwargs["synonyms"])
+        kwargs["dict_words"] = tuple(
+            w.lower() for w in kwargs["dict_words"])
     return kwargs
+
+
+# character classes the FMM fallback must NOT emit as single-char
+# tokens: all of ascii (alnum runs are matched by their own branch;
+# ascii punctuation/whitespace drops) plus the CJK symbol/punctuation
+# block U+3000-303F and the halfwidth/fullwidth forms U+FF00-FFEF.
+# The ascii range uses the \xNN ESCAPE syntax (shared by java.util.regex,
+# RE2 and Python re) — a literal NUL character would break the DuckDB
+# twin, whose pattern is inlined into SQL text; the CJK endpoints are
+# printable and stay literal characters
+_FMM_DROP = r"\x00-\x7f" + "　-〿＀-￯"
+_RE_SPECIALS = set("\\.^$|?*+()[]{}")
+
+
+def fmm_pattern(dict_words: tuple[str, ...], lowercase: bool) -> str:
+    """Forward-maximum-matching pattern for the dict tokenizer: ordered
+    alternation of the dictionary (longest first — leftmost-first regex
+    engines then implement greedy longest-match segmentation), an ascii
+    alnum-run branch, and a single-non-ascii-char unigram fallback.
+    One source of truth for all three lowerings (Spark
+    regexp_extract_all, the sqlgen DuckDB twin, py_tokenize)."""
+    alts = []
+    for w in sorted(dict_words, key=lambda w: (-len(w), w)):
+        alts.append("".join(f"\\{ch}" if ch in _RE_SPECIALS else ch
+                            for ch in w))
+    run = "[a-z0-9]+" if lowercase else "[a-zA-Z0-9]+"
+    return "(?:" + "|".join([*alts, run, f"[^{_FMM_DROP}]"]) + ")"
 
 
 def tokenize(c: Column, *, lowercase: bool = True,
              stop_words: tuple[str, ...] = (),
              ngram: tuple[int, int] | None = None,
-             synonyms: tuple[tuple[str, ...], ...] = ()) -> Column:
+             synonyms: tuple[tuple[str, ...], ...] = (),
+             dict_words: tuple[str, ...] = ()) -> Column:
     """Standard-analyzer-style tokenization (reference enable_analyzer fields,
     schema_matrix_2_6.yaml:52; BM25 input), with the analyzer_params knobs:
     ``lowercase`` toggles case folding (the split regex widens to keep
@@ -145,7 +222,14 @@ def tokenize(c: Column, *, lowercase: bool = True,
     share all their tokens; with the ngram tokenizer configured, grams
     are emitted from the expanded words."""
     base = F.lower(c) if lowercase else c
-    toks = F.split(base, TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED)
+    if dict_words:
+        # dict/CJK tokenizer: extraction, not splitting — the FMM
+        # pattern's matches ARE the tokens (empties impossible)
+        toks = F.regexp_extract_all(
+            base, F.lit(fmm_pattern(dict_words, lowercase)), 0)
+    else:
+        toks = F.split(base,
+                       TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED)
     if stop_words:
         toks = F.filter(toks,
                         lambda t: (t != "") & ~t.isin(*stop_words))
@@ -204,16 +288,22 @@ def materialized_tokens(docs, id_col: str, text_col: str,
 def py_tokenize(text: str, *, lowercase: bool = True,
                 stop_words: tuple[str, ...] = (),
                 ngram: tuple[int, int] | None = None,
-                synonyms: tuple[tuple[str, ...], ...] = ()) -> list[str]:
+                synonyms: tuple[tuple[str, ...], ...] = (),
+                dict_words: tuple[str, ...] = ()) -> list[str]:
     """Driver-side twin of :func:`tokenize` for literal query strings
     (TEXT_MATCH predicates, ad-hoc analyzers) — same split regex, same
     fold/stop/synonym/ngram semantics, so a term analyzed in Python
     matches the tokens the Column path produced."""
     import re as _re
     base = text.lower() if lowercase else text
-    pat = TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED
-    words = [t for t in _re.split(pat, base)
-             if t != "" and t not in stop_words]
+    if dict_words:
+        words = [t for t in _re.findall(
+            fmm_pattern(dict_words, lowercase), base)
+            if t not in stop_words]
+    else:
+        pat = TOKEN_SPLIT_RE if lowercase else TOKEN_SPLIT_RE_CASED
+        words = [t for t in _re.split(pat, base)
+                 if t != "" and t not in stop_words]
     if synonyms:
         expanded = []
         for t in words:
@@ -278,7 +368,8 @@ def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
                                lowercase: bool = True,
                                stop_words: tuple[str, ...] = (),
                                ngram: tuple[int, int] | None = None,
-                               synonyms: tuple = ()) -> dict:
+                               synonyms: tuple = (),
+                               dict_words: tuple[str, ...] = ()) -> dict:
     """Driver-side twin of :func:`hashed_sparse_embedding` for query
     featurization: same tokenizer twin (py_tokenize, ngram included),
     same zlib.crc32 bucket hash (== Spark's crc32 over utf-8), same L2
@@ -288,7 +379,8 @@ def py_hashed_sparse_embedding(text: str, n_buckets: int = 1024, *,
     import zlib
     counts: dict[int, float] = {}
     for t in py_tokenize(text, lowercase=lowercase, stop_words=stop_words,
-                         ngram=ngram, synonyms=synonyms):
+                         ngram=ngram, synonyms=synonyms,
+                         dict_words=dict_words):
         b = zlib.crc32(t.encode("utf-8")) % n_buckets
         counts[b] = counts.get(b, 0.0) + 1.0
     norm = math.sqrt(sum(v * v for v in counts.values()))
