@@ -7,8 +7,12 @@ object the driver's tail capture can always parse —
    "queries": {name: sec, ...}, "sf": <sf>, "tests_green": bool,
    "tests_summary": "..."}
 The verbose evidence blocks (per-query latency percentiles, 1M-row scale
-entries, concurrency QPS) are printed as an EARLIER JSON line and written
-durably to BENCH_DETAIL.json ($SPARK_GRAFT_BENCH_DETAIL to override) —
+entries, concurrency/sustained QPS) are printed as an EARLIER JSON line
+and written durably to a side file: BENCH_RUN.json for single-draw runs
+(the per-round driver invocation), BENCH_DETAIL.json only in the
+median-of-N evidence mode (SPARK_GRAFT_BENCH_DRAWS>1) so a driver run
+never clobbers the committed artifact; $SPARK_GRAFT_BENCH_DETAIL
+overrides either —
 round 5's single ~5.5 KB line outgrew the driver's ~4 KB tail window and
 recorded as parsed:null, losing the round's headline number.
 
@@ -210,7 +214,7 @@ _ARROW_KERNEL_ENTRIES = ("dd_minhash_1m", "dd_ngram_1m", "v_sparse_1m")
 def _classify_attempt(entry: str, m: dict) -> str:
     run = m.get("executor_run_sec")
     cpu = m.get("executor_cpu_sec")
-    if not run or cpu is None:
+    if run is None or cpu is None:
         return "no stage metrics (UI off or watermark read failed)"
     ratio = run / max(cpu, 1e-9)
     if entry in _STREAMING_ENTRIES:
@@ -553,6 +557,7 @@ def main() -> None:
             "workers": 10, "nq": 1,
             "duration_sec": round(rep.duration_sec, 1),
             "searches": rep.n_searches, "failures": rep.failures,
+            "stragglers": rep.stragglers,
             "qps": round(rep.qps, 2),
             "latency_sec": rep.latency,
         }

@@ -266,3 +266,42 @@ class TestJaccardKernel:
         assert got[(1, 2)] == 2 / 5.0
         assert got[(1, 3)] is None
         assert got[(1, 4)] == 1.0
+
+    def test_jaccard_null_elements_match_nullsafe(self, spark):
+        """Review r09 #1: codes arrays CONTAINING a null arrive in
+        pandas as float64 NaN arrays — the kernel must normalize them
+        so a NULL element null-safe-matches a NULL element, exactly
+        like Spark's array_intersect (two NULL-text docs pair at
+        jaccard 1.0 on both impls)."""
+        from vectordb_testbricks_spark.operators.dedup import (
+            jaccard_pairs, minhash_lsh_dedup)
+        codes = spark.createDataFrame(
+            [(1, [None]), (2, [None]), (3, [None, 7]), (4, [7, 9])],
+            "doc_id bigint, codes array<bigint>")
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (3, 4)], "id_a bigint, id_b bigint")
+
+        def rows(impl):
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in jaccard_pairs(codes, pairs, "doc_id",
+                                       impl=impl).collect())
+
+        a, j = rows("arrow"), rows("jvm")
+        assert a == j
+        got = {(x, y): v for x, y, v in a}
+        assert got[(1, 2)] == 1.0          # [NULL] vs [NULL]
+        assert got[(1, 3)] == 0.5          # [NULL] vs [NULL, 7]
+        assert got[(3, 4)] == 1 / 3.0      # [NULL,7] vs [7,9]
+        # end-to-end: two NULL-text docs must pair identically on the
+        # DEFAULT (arrow) path and the jvm path
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real text here")],
+            "doc_id bigint, text string")
+        for impl in ("arrow", "jvm"):
+            got_pairs = sorted(
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_dedup(docs, "doc_id", "text",
+                                           threshold=0.7,
+                                           impl=impl).collect())
+            assert got_pairs == [(1, 2)], impl

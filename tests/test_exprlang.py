@@ -634,3 +634,25 @@ def test_dict_tokenizer_cjk_standin(spark, tmp_path, duck):
                                "words": [f"w{i}" for i in range(2001)]}}):
         with _pt.raises(ValueError):
             analyzer_kwargs(bad)
+
+
+def test_dict_tokenizer_keeps_halfwidth_katakana_and_fullwidth_alnum(
+        spark, duck):
+    """Review r09 #5: halfwidth katakana and fullwidth letters/digits
+    are text, not punctuation — they must emit as unigram fallback
+    tokens; fullwidth punctuation still drops. All three lowerings."""
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, fmm_pattern, py_tokenize, tokenize)
+    kw = analyzer_kwargs({"tokenizer": {"type": "dict", "words": ["北京"]}})
+    text = "ｶﾀｶﾅ１２３ＡＢ：北京！ok"
+    want = ["ｶ", "ﾀ", "ｶ", "ﾅ", "１", "２", "３", "ａ", "ｂ",
+            "北京", "ok"]
+    assert py_tokenize(text, **kw) == want
+    df = spark.createDataFrame([(text,)], "body string")
+    got = df.select(tokenize(F.col("body"), **kw).alias("g")).collect()[0]
+    assert got["g"] == want
+    pat = fmm_pattern(kw["dict_words"], kw["lowercase"])
+    d = duck.execute("SELECT regexp_extract_all(lower(?), ?)",
+                     [text, pat]).fetchone()[0]
+    assert d == want

@@ -164,10 +164,8 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
                 kwargs["synonyms"] = tuple(parsed)
             else:
                 raise ValueError(f"unsupported analyzer filter {f!r}")
-    if kwargs["dict_words"] and kwargs["ngram"]:
-        raise ValueError(
-            "dict tokenizer does not compose with the ngram tokenizer "
-            "(a segmenter already defines the token boundaries)")
+    # (dict + ngram cannot co-occur: both derive from the single
+    # `tokenizer` value, so the config shape itself forbids the combo)
     if kwargs["lowercase"]:
         kwargs["synonyms"] = tuple(
             tuple(m.lower() for m in g) for g in kwargs["synonyms"])
@@ -178,13 +176,18 @@ def analyzer_kwargs(analyzer_params: dict | None) -> dict:
 
 # character classes the FMM fallback must NOT emit as single-char
 # tokens: all of ascii (alnum runs are matched by their own branch;
-# ascii punctuation/whitespace drops) plus the CJK symbol/punctuation
-# block U+3000-303F and the halfwidth/fullwidth forms U+FF00-FFEF.
-# The ascii range uses the \xNN ESCAPE syntax (shared by java.util.regex,
-# RE2 and Python re) — a literal NUL character would break the DuckDB
-# twin, whose pattern is inlined into SQL text; the CJK endpoints are
-# printable and stay literal characters
-_FMM_DROP = r"\x00-\x7f" + "　-〿＀-￯"
+# ascii punctuation/whitespace drops), the CJK symbol/punctuation block
+# U+3000-303F, and the PUNCTUATION sub-ranges of the halfwidth/fullwidth
+# forms block — NOT the whole U+FF00-FFEF block: fullwidth digits
+# (Ｕ+FF10-FF19), fullwidth letters (FF21-FF3A, FF41-FF5A) and halfwidth
+# katakana (FF66-FF9F) are real text and must fall through to the
+# unigram branch (review r09 #5). The ascii range uses the \xNN ESCAPE
+# syntax (shared by java.util.regex, RE2 and Python re) — a literal NUL
+# character would break the DuckDB twin, whose pattern is inlined into
+# SQL text; the non-ascii endpoints are printable and stay literal
+# characters: ！-／ (FF01-FF0F), ：-＠ (FF1A-FF20), ［-｀ (FF3B-FF40),
+# ｛-･ (FF5B-FF65), ￠-￯ (FFE0-FFEF currency/arrows/specials).
+_FMM_DROP = r"\x00-\x7f" + "　-〿！-／：-＠［-｀｛-･￠-￯"
 _RE_SPECIALS = set("\\.^$|?*+()[]{}")
 
 

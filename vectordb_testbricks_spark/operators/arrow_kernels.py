@@ -105,9 +105,14 @@ def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
 
 def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 16,
-                       shingle_n: int | None = 3) -> DataFrame:
+                       shingle_n: int | None = 3,
+                       with_sigs: bool = True) -> DataFrame:
     """(id, codes, sig) — the MinHash codes+signature materialization as
-    one Arrow-batched kernel pass.
+    one Arrow-batched kernel pass. ``with_sigs=False`` outputs
+    (id, codes) only and skips the affine min-reduction entirely —
+    column pruning cannot reach inside mapInPandas, so a codes-only
+    consumer (the ngram pipeline) must opt out explicitly or it pays
+    the (N, num_hashes) hash matrix for nothing (review r09 #2).
 
     Twin of ``dedup._token_codes`` + ``dedup.signatures_from_codes``:
     same tokenizer (functions.text.py_tokenize == tokenize), same shingle
@@ -119,16 +124,18 @@ def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
     """
     from vectordb_testbricks_spark.operators.dedup import P, hash_params
 
-    params = hash_params(num_hashes)
+    params = hash_params(num_hashes) if with_sigs else []
     a_list = [a for a, _ in params]
     b_list = [b for _, b in params]
     spark_id_type = dict(zip(docs.schema.names,
                              [f.dataType for f in docs.schema.fields]))
-    out_schema = T.StructType([
+    fields = [
         T.StructField(id_col, spark_id_type[id_col]),
         T.StructField("codes", T.ArrayType(T.LongType())),
-        T.StructField("sig", T.ArrayType(T.LongType())),
-    ])
+    ]
+    if with_sigs:
+        fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    out_schema = T.StructType(fields)
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
@@ -138,8 +145,10 @@ def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             codes, sigs = _minhash_rows(
                 pdf[text_col].tolist(), shingle_n, a_vec, b_vec, P)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": codes, "sig": sigs})
+            out = {id_col: pdf[id_col], "codes": codes}
+            if with_sigs:
+                out["sig"] = sigs
+            yield pd.DataFrame(out)
 
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
@@ -155,26 +164,38 @@ def jaccard_arrow(joined: DataFrame, a_col: str = "ca",
     yielding NULL): codes are distinct per doc by construction, so set
     intersection/union sizes match Spark's array semantics exactly, incl.
     a NULL *element* matching a NULL element (Spark's array_intersect is
-    null-safe-equal; Python sets treat None the same way). The division
-    is one IEEE double op — bit-identical across engines. This is the
-    third kernel of the r08 slow-mode escape: at 10M docs the verify
-    stage's interpreted collection-expression eval showed the same
-    graded per-JVM CPU inflation (807 vs 364 CPU-s, identical plan)."""
+    null-safe-equal). Arrow→pandas converts an ``array<bigint>`` that
+    CONTAINS a null into a float64 array whose null is NaN — and
+    ``NaN != NaN`` would silently unmatch what the JVM null-safe-matches
+    (review r09 #1, caught by executing both impls on [NULL] codes) —
+    so elements normalize to int/None before the set ops (float64 holds
+    the <2^31 codes exactly; int() restores identity with null-free
+    int64 batches). The division is one IEEE double op — bit-identical
+    across engines. This is the third kernel of the r08 slow-mode
+    escape: at 10M docs the verify stage's interpreted
+    collection-expression eval showed the same graded per-JVM CPU
+    inflation (807 vs 364 CPU-s, identical plan)."""
     out_fields = [f for f in joined.schema.fields
                   if f.name not in (a_col, b_col)]
     out_schema = T.StructType(
         out_fields + [T.StructField("jaccard", T.DoubleType())])
     keep = [f.name for f in out_fields]
 
+    def codes_set(a):
+        if a is None:
+            return None
+        return {None if v is None or (isinstance(v, float) and v != v)
+                else int(v) for v in a}
+
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
         for pdf in batches:
             jac = []
             for ca, cb in zip(pdf[a_col], pdf[b_col]):
-                if ca is None or cb is None:
+                sa, sb = codes_set(ca), codes_set(cb)
+                if sa is None or sb is None:
                     jac.append(None)
                     continue
-                sa, sb = set(ca), set(cb)
                 u = len(sa | sb)
                 jac.append(len(sa & sb) / u if u else None)
             out = pdf[keep].copy()

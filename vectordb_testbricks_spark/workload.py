@@ -343,6 +343,10 @@ class SustainedReport:
     failures: int
     duration_sec: float
     latency: dict          # validators.percentile_stats shape, seconds
+    #: workers still executing a hung search when the post-deadline
+    #: grace expired — nonzero means the steady-state numbers were
+    #: snapshotted with a foreign job still live (treat with suspicion)
+    stragglers: int = 0
 
     @property
     def qps(self) -> float:
@@ -397,16 +401,24 @@ def run_sustained_searches(spark, make_task, workers: int = 10,
                for w in range(workers)]
     for t in threads:
         t.start()
+    # ONE shared grace bound after the deadline (not per-thread — ten
+    # hung workers must not stack ten grace windows): the deadline stops
+    # new submissions, one in-flight search per worker may still drain
+    bound = deadline + 120.0
     for t in threads:
-        # generous join bound: the deadline stops new submissions; one
-        # in-flight search per worker may still be draining
-        t.join(duration_sec + 120.0)
+        t.join(max(0.0, bound - time.monotonic()))
+    stragglers = sum(1 for t in threads if t.is_alive())
     elapsed = time.monotonic() - t_start
+    # snapshot under the lock: a straggler past the grace is still
+    # appending, and the report must be a consistent cut
+    with lock:
+        lat = list(latencies)
+        fail = failures[0]
     return SustainedReport(
-        n_searches=len(latencies), failures=failures[0],
-        duration_sec=elapsed,
+        n_searches=len(lat), failures=fail,
+        duration_sec=elapsed, stragglers=stragglers,
         latency={k: round(v, 4) for k, v in
-                 percentile_stats(latencies).items()})
+                 percentile_stats(lat).items()})
 
 
 # --------------------------------------------- C9: serviceability wait
