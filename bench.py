@@ -235,7 +235,9 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
     subprocess JVM (new driver, new session, zero JIT state) runs the
     entry once and reports its wall clock (and row count when
     ``want_rows``). Returns None if the subprocess fails — cold evidence
-    is optional, never bench-fatal."""
+    is optional, never bench-fatal — but the failure REASON is printed
+    (r09: a stretch subprocess that timed out during a host slow window
+    left a silent hole in the committed artifact)."""
     import subprocess
     import sys
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -252,6 +254,7 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
         r = subprocess.run([sys.executable, "-c", code], cwd=repo,
                            capture_output=True, text=True, timeout=900)
     except subprocess.TimeoutExpired:
+        print(f"# cold_proc {name}: TIMEOUT after 900s", flush=True)
         return None
     for line in reversed((r.stdout or "").splitlines()):
         if line.startswith("COLDPROC "):
@@ -259,6 +262,8 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
             if want_rows:
                 return float(parts[1]), int(parts[2])
             return float(parts[1])
+    print(f"# cold_proc {name}: FAILED rc={r.returncode} "
+          f"stderr_tail={((r.stderr or '')[-300:])!r}", flush=True)
     return None
 
 
@@ -382,6 +387,14 @@ def _run_draws(n_draws: int) -> None:
         name: [d[1].get("scale", {}).get(name) for d in draws]
         for name in scale_names}
     med_detail["draw_sustained"] = [d[1].get("sustained") for d in draws]
+    # stretch across ALL draws too (r09): the median draw's stretch
+    # alone left a hole when one subprocess timed out in a host slow
+    # window — per-draw values expose both the miss and the spread
+    stretch_names = sorted({name for _, det in draws
+                            for name in (det.get("stretch") or {})})
+    med_detail["draw_stretch"] = {
+        name: [d[1].get("stretch", {}).get(name) for d in draws]
+        for name in stretch_names}
     _write_detail(med_detail, default_name="BENCH_DETAIL.json")
     med_summary.update(suite)
     med_summary["draws"] = len(draws)
