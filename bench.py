@@ -499,14 +499,17 @@ def main() -> None:
     # queries into one plan beats thread-pooling independent plans.
     # Disable with SPARK_GRAFT_BENCH_CONCURRENCY=0.
     from vectordb_testbricks_spark.operators.search import knn_search
+
+    def _knn_nq(ids):
+        # shared search-plan builder for the concurrency AND sustained
+        # blocks: nq = len(ids) cosine top-10 over the embeddings table
+        emb, q = entrymod._emb_queries(spark, sf_dir, ids=ids)
+        return knn_search(emb, q, "embedding", "vec_id",
+                          metric="COSINE", k=10)
+
     concurrency: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0":
         from vectordb_testbricks_spark.workload import run_async_searches
-
-        def _knn_nq(ids):
-            emb, q = entrymod._emb_queries(spark, sf_dir, ids=ids)
-            return knn_search(emb, q, "embedding", "vec_id",
-                              metric="COSINE", k=10)
 
         _knn_nq((0,)).count()        # plan warm-up outside the timed region
         rep = run_async_searches(
@@ -558,10 +561,9 @@ def main() -> None:
         from vectordb_testbricks_spark.workload import run_sustained_searches
 
         def _sustained_task(widx: int, seq: int):
-            emb, q = entrymod._emb_queries(
-                spark, sf_dir, ids=((widx * 97 + seq * 13) % 256,))
-            return knn_search(emb, q, "embedding", "vec_id",
-                              metric="COSINE", k=10)
+            # rotate query vectors so the loop never re-measures one
+            # cached result; the plan shape is the shared _knn_nq
+            return _knn_nq(((widx * 97 + seq * 13) % 256,))
 
         _sustained_task(0, 0).count()   # plan-path warm-up, untimed
         rep = run_sustained_searches(spark, _sustained_task, workers=10,

@@ -324,6 +324,17 @@ def py_tokenize(text: str, *, lowercase: bool = True,
             for i in range(len(w) - n + 1)]
 
 
+def py_shingles(tokens: list[str], n: int) -> list[str]:
+    """Driver/kernel-side twin of :func:`shingles`: word n-grams as
+    space-joined strings, with documents shorter than ``n`` tokens
+    yielding their full token join as the single shingle (so every doc
+    has >= 1 shingle) — the same rule the Column path applies."""
+    if len(tokens) >= n:
+        return [" ".join(tokens[i:i + n])
+                for i in range(len(tokens) - n + 1)]
+    return [" ".join(tokens)]
+
+
 def hashed_sparse_embedding(toks: Column, n_buckets: int = 1024) -> Column:
     """TEXT_EMBEDDING function-field built-in provider (3.0-roadmap §6
     "Function / Model Provider"): the hashing-trick featurizer — each

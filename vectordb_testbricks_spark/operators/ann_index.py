@@ -301,19 +301,15 @@ def build_sparse_inverted(base: DataFrame, map_col: str, id_col: str,
     entries build with "arrow"; the fixture-scale registry entry keeps
     "jvm" so its per-round timing/plan comparison stays stable. Bucket
     assignment stays a flat codegen crc32 expression in both modes."""
-    import os
+    from vectordb_testbricks_spark.operators.arrow_kernels import (
+        resolve_impl, sparse_postings_arrow)
     from vectordb_testbricks_spark.operators.search import (
         sparse_bucket_expr, sparse_postings)
-    impl = impl or os.environ.get("SPARK_GRAFT_SPARSE_IMPL", "jvm")
+    impl = resolve_impl(impl, "SPARK_GRAFT_SPARSE_IMPL", "jvm", "sparse")
     if impl == "arrow":
-        from vectordb_testbricks_spark.operators.arrow_kernels import (
-            sparse_postings_arrow)
         posts = sparse_postings_arrow(base, map_col, id_col)
-    elif impl == "jvm":
-        posts = sparse_postings(base, map_col, id_col)
     else:
-        raise ValueError(f"unknown sparse impl {impl!r} "
-                         f"(expected 'arrow' or 'jvm')")
+        posts = sparse_postings(base, map_col, id_col)
     posts = posts.withColumn(
         SPARSE_BUCKET_COL, sparse_bucket_expr("key", n_buckets))
     return SparseInvModel(postings=posts, key_col="key", id_col=id_col,

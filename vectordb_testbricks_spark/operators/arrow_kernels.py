@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def resolve_impl(impl: str | None, env_var: str, default: str,
+                 label: str) -> str:
+    """Shared impl-switch resolution for the kernelized operators:
+    explicit arg wins, then the env var, then the operator's default;
+    anything but 'arrow'/'jvm' raises naming the operator."""
+    import os
+    impl = impl or os.environ.get(env_var, default)
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"unknown {label} impl {impl!r} "
+                         f"(expected 'arrow' or 'jvm')")
+    return impl
+
+
 def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
     """Per-batch worker: (ids, texts) -> (codes list, sig list) with the
     JVM path's exact semantics. Pure Python/numpy; importable so the
@@ -42,7 +55,8 @@ def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
 
     import numpy as np
 
-    from vectordb_testbricks_spark.functions.text import py_tokenize
+    from vectordb_testbricks_spark.functions.text import (
+        py_shingles, py_tokenize)
 
     n_hash = len(a_vec)
     codes_out: list = []
@@ -62,15 +76,7 @@ def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
             rowkind.append("null")
             continue
         toks = py_tokenize(text)
-        if shingle_n is None:
-            units = toks
-        elif len(toks) >= shingle_n:
-            units = [" ".join(toks[i:i + shingle_n])
-                     for i in range(len(toks) - shingle_n + 1)]
-        else:
-            # docs shorter than n shingle to their full join (so every
-            # doc has >= 1 shingle) — functions.text.shingles
-            units = [" ".join(toks)]
+        units = toks if shingle_n is None else py_shingles(toks, shingle_n)
         if not units:
             # shingle_n=None on an empty token list: transform([]) -> []
             # -> codes []; array_min(transform([], ..)) is NULL per hash
@@ -127,10 +133,8 @@ def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
     params = hash_params(num_hashes) if with_sigs else []
     a_list = [a for a, _ in params]
     b_list = [b for _, b in params]
-    spark_id_type = dict(zip(docs.schema.names,
-                             [f.dataType for f in docs.schema.fields]))
     fields = [
-        T.StructField(id_col, spark_id_type[id_col]),
+        T.StructField(id_col, docs.schema[id_col].dataType),
         T.StructField("codes", T.ArrayType(T.LongType())),
     ]
     if with_sigs:
