@@ -223,6 +223,13 @@ _PHRASE_EXPR = 'PHRASE_MATCH(text, "batch window spark", 3)'
 _TM_NGRAM_EXPR = 'TEXT_MATCH(text, "vector") and source == "src1"'
 _TM_NGRAM_AZ = {"text": {"tokenizer": {"type": "ngram",
                                        "min_gram": 3, "max_gram": 3}}}
+_TM_DICT_EXPR = 'TEXT_MATCH(text, "spark stream") and n_chars > 150'
+# CJK-analyzer stand-in on the ascii corpus: dictionary FMM with a
+# multi-word entry — longest-match fuses adjacent "spark stream" into
+# ONE token (compound segmentation), so the match set is the exact
+# bigram, not every doc containing "spark"
+_TM_DICT_AZ = {"text": {"tokenizer": {
+    "type": "dict", "words": ["spark stream", "stream", "spark"]}}}
 _TM_SYN_EXPR = 'TEXT_MATCH(text, "tensor flink") and lang == "de"'
 # the groups come from a dictionary FILE (r08: feature-inventory §5
 # "synonym file" analyzer resource) — resolved driver-side by
@@ -259,7 +266,12 @@ def q_like_ngram(spark, sf_dir):
     - 'tm_ngram'/'tm_syn': the roadmap analyzers — char-3-gram tokenizer
       and the synonym filter, the latter sourced from a dictionary FILE
       (resources/synonyms_demo.txt) so the §5 "synonym file" resource
-      path is itself behind this hash-checked row."""
+      path is itself behind this hash-checked row.
+    - 'tm_dict' (r09): the dictionary FMM tokenizer (the CJK analyzer
+      stand-in, feature-inventory §3 jieba/pinyin seam) — the
+      multi-word dictionary entry "spark stream" fuses into one token
+      wherever adjacent, so TEXT_MATCH hits the exact bigram only;
+      the oracle lowers the same analyzer through the sqlgen twin."""
     from vectordb_testbricks_spark.operators.ngram_index import (
         build_ngram_index, like_with_index)
     from vectordb_testbricks_spark.operators.textquality import (
@@ -297,6 +309,12 @@ def q_like_ngram(spark, sf_dir):
                 .select(F.lit("tm_syn").alias("kind"), F.col("doc_id"),
                         F.lit(1).cast("bigint").alias("n"),
                         F.col("lang").alias("info")))
+    tmd_rows = (docs.filter(compile_expr(_TM_DICT_EXPR, docs,
+                                         enable_text_match=True,
+                                         analyzers=_TM_DICT_AZ))
+                .select(F.lit("tm_dict").alias("kind"), F.col("doc_id"),
+                        F.lit(1).cast("bigint").alias("n"),
+                        F.col("lang").alias("info")))
     hl = highlight_matches(docs.filter(F.col("doc_id") % 5 == 0),
                            "doc_id", "text", "spark",
                            window=3, max_fragments=2)
@@ -306,6 +324,7 @@ def q_like_ngram(spark, sf_dir):
         F.array_join("fragments", " | ").alias("info"))
     return (like_rows.unionByName(tm_rows).unionByName(ph_rows)
             .unionByName(tmn_rows).unionByName(tms_rows)
+            .unionByName(tmd_rows)
             .unionByName(hl_rows).orderBy("kind", "doc_id"))
 
 
@@ -322,6 +341,8 @@ def _sql_q_like_ngram() -> str:
     tmn = to_sql(parse(_TM_NGRAM_EXPR), columns=cols,
                  analyzers=_TM_NGRAM_AZ)
     tms = to_sql(parse(_TM_SYN_EXPR), columns=cols, analyzers=_TM_SYN_AZ)
+    tmd = to_sql(parse(_TM_DICT_EXPR), columns=cols,
+                 analyzers=_TM_DICT_AZ)
     toks = TOKS_SQL.format(col="text")
     start = "least(greatest(p - 3, 1), greatest(len(toks) - 6, 1))"
     mark = ("t -> CASE WHEN t = 'spark' THEN '<em>' || t || '</em>' "
@@ -345,6 +366,8 @@ UNION ALL
 SELECT 'tm_ngram', doc_id, 1, lang FROM documents WHERE {tmn}
 UNION ALL
 SELECT 'tm_syn', doc_id, 1, lang FROM documents WHERE {tms}
+UNION ALL
+SELECT 'tm_dict', doc_id, 1, lang FROM documents WHERE {tmd}
 UNION ALL
 SELECT 'hl', doc_id, CAST(len(pos) AS BIGINT),
        -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is '';
