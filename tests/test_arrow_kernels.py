@@ -31,7 +31,9 @@ def _collect_map(df, key, *cols):
 
 
 class TestMinhashKernel:
-    @pytest.mark.parametrize("shingle_n", [3, 2, None])
+    # shingle_n=0 pins the ADVICE r09 twin fix: both paths must switch
+    # on truthiness (raw tokens), not `is None`
+    @pytest.mark.parametrize("shingle_n", [3, 2, None, 0])
     def test_codes_and_sigs_identical_to_jvm(self, spark, edge_docs,
                                              shingle_n):
         from vectordb_testbricks_spark.operators.arrow_kernels import (
@@ -155,6 +157,23 @@ class TestSparsePostingsKernel:
             base, "svec", "pk").collect()))
         ar = sorted(map(tuple, sparse_postings_arrow(
             base, "svec", "pk").collect()))
+        assert jvm == ar
+
+    def test_postings_identical_float_values(self, spark):
+        """ADVICE r09: the kernel must preserve the map's declared value
+        type — map<int,float> emits FLOAT postings on both paths, with
+        identical schemas and identical float32 values."""
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            sparse_postings_arrow)
+        from vectordb_testbricks_spark.operators.search import (
+            sparse_postings)
+        rows = [(1, {3: 1.5, 7: -0.1}), (2, None), (3, {9: 0.2})]
+        base = spark.createDataFrame(rows, "pk bigint, svec map<int,float>")
+        jvm_df = sparse_postings(base, "svec", "pk")
+        ar_df = sparse_postings_arrow(base, "svec", "pk")
+        assert jvm_df.schema == ar_df.schema
+        jvm = sorted(map(tuple, jvm_df.collect()))
+        ar = sorted(map(tuple, ar_df.collect()))
         assert jvm == ar
 
     def test_non_map_column_raises(self, spark):

@@ -656,3 +656,35 @@ def test_dict_tokenizer_keeps_halfwidth_katakana_and_fullwidth_alnum(
     d = duck.execute("SELECT regexp_extract_all(lower(?), ?)",
                      [text, pat]).fetchone()[0]
     assert d == want
+
+
+def test_dict_tokenizer_ascii_word_precedence(spark, duck):
+    """ADVICE r09: ascii dict words take precedence over run
+    tokenization — words=('spark',) tokenizes 'sparks' as
+    ['spark', 's'] (FMM applied uniformly; an RE2-compatible boundary
+    guard does not exist because RE2 has no lookahead). Documented in
+    fmm_pattern; pinned here across all three lowerings."""
+    from pyspark.sql import functions as F
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, fmm_pattern, py_tokenize, tokenize)
+    kw = analyzer_kwargs({"tokenizer": {
+        "type": "dict", "words": ["spark stream", "stream", "spark"]}})
+    cases = {
+        "sparks": ["spark", "s"],
+        "Spark streaming": ["spark stream", "ing"],
+        # a dict word strictly INSIDE a run does not win — leftmost-first
+        # starts the run branch at position 0 and it consumes the run
+        "restream": ["restream"],
+        "plain words": ["plain", "words"],
+    }
+    pat = fmm_pattern(kw["dict_words"], kw["lowercase"])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id bigint, body string")
+    got = {r.id: r.g for r in df.select(
+        "id", tokenize(F.col("body"), **kw).alias("g")).collect()}
+    for i, (text, want) in enumerate(cases.items()):
+        assert py_tokenize(text, **kw) == want, text
+        assert got[i] == want, text
+        d = duck.execute("SELECT regexp_extract_all(lower(?), ?)",
+                         [text, pat]).fetchone()[0]
+        assert d == want, text

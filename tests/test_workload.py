@@ -218,3 +218,52 @@ def test_async_search_more_tasks_than_workers(spark, tables):
     report = W.run_async_searches(spark, tasks, max_workers=3)
     assert report.successes == 24
     assert threading.active_count() <= before + 3
+
+
+def test_sustained_searches_basic(spark, tables):
+    """Closed-loop sustained driver: counts every completed search,
+    zero failures/stragglers on a healthy workload."""
+    emb = tables["embeddings"].df.select("vec_id").limit(50)
+
+    def mk(widx, seq):
+        return emb.filter(F.col("vec_id") % 3 == (widx + seq) % 3)
+    rep = W.run_sustained_searches(spark, mk, workers=3, duration_sec=2.0)
+    assert rep.failures == 0 and rep.stragglers == 0
+    assert rep.n_searches >= 3          # each worker completes >=1 loop
+    assert rep.qps > 0 and rep.latency["n"] == rep.n_searches
+
+
+def test_sustained_searches_cancels_stragglers(spark, tables):
+    """ADVICE r09: a search still hung when the grace expires is
+    cancelled via its worker's job group — the report flags it and no
+    foreign Spark job keeps running on the shared session."""
+    import time
+
+    from pyspark.sql import types as T
+    emb = tables["embeddings"].df.select("vec_id").limit(4)
+
+    def slow(batches):
+        for pdf in batches:
+            time.sleep(0.2)            # interruptible per-batch sleeps
+            yield pdf
+
+    def mk(widx, seq):
+        df = emb.mapInPandas(slow, T.StructType(
+            [T.StructField("vec_id", T.LongType())]))
+        # ~40 chained passes so one search far outlives deadline+grace
+        for _ in range(40):
+            df = df.mapInPandas(slow, df.schema)
+        return df
+
+    t0 = time.monotonic()
+    rep = W.run_sustained_searches(spark, mk, workers=2,
+                                   duration_sec=0.3, grace_sec=1.5)
+    wall = time.monotonic() - t0
+    assert rep.stragglers == 2
+    assert wall < 30.0                  # bounded: not 40 x 0.2s x retries
+    # the session stays usable after cancellation
+    assert emb.count() == 4
+    # give cancellation a beat, then assert no sustained job is active
+    time.sleep(2.0)
+    tracker = spark.sparkContext.statusTracker()
+    assert not tracker.getActiveJobsIds()

@@ -197,7 +197,19 @@ def fmm_pattern(dict_words: tuple[str, ...], lowercase: bool) -> str:
     engines then implement greedy longest-match segmentation), an ascii
     alnum-run branch, and a single-non-ascii-char unigram fallback.
     One source of truth for all three lowerings (Spark
-    regexp_extract_all, the sqlgen DuckDB twin, py_tokenize)."""
+    regexp_extract_all, the sqlgen DuckDB twin, py_tokenize).
+
+    Ascii dict words take PRECEDENCE over run tokenization: the
+    dictionary alternatives sit before the alnum-run branch, so
+    words=('spark',) tokenizes 'sparks' as ['spark', 's'] — FMM
+    segmentation applied uniformly, exactly like a CJK dict word
+    matching inside a longer CJK sequence. (A dict word strictly INSIDE
+    a run does not win — leftmost-first starts the run branch at the
+    run's first char and it consumes the whole run: 'restream' stays
+    ['restream'].) This is deliberate and identical across all three
+    engines; a trailing word-boundary guard would need lookahead, which
+    RE2 (the DuckDB lowering) does not support (ADVICE r09: documented
+    precedence, pinned by test)."""
     alts = []
     for w in sorted(dict_words, key=lambda w: (-len(w), w)):
         alts.append("".join(f"\\{ch}" if ch in _RE_SPECIALS else ch

@@ -76,7 +76,10 @@ def _minhash_rows(texts, shingle_n, a_vec, b_vec, p):
             rowkind.append("null")
             continue
         toks = py_tokenize(text)
-        units = toks if shingle_n is None else py_shingles(toks, shingle_n)
+        # truthiness, not `is None`: the JVM twin (_token_codes) switches
+        # on `if shingle_n`, so shingle_n=0 must also mean raw tokens here
+        # (ADVICE r09: `is None` emitted width-0 shingles for 0)
+        units = py_shingles(toks, shingle_n) if shingle_n else toks
         if not units:
             # shingle_n=None on an empty token list: transform([]) -> []
             # -> codes []; array_min(transform([], ..)) is NULL per hash
@@ -223,8 +226,13 @@ def sparse_postings_arrow(base: DataFrame, map_col: str, id_col: str,
         raise TypeError(f"{map_col} must be a MapType column, got {mt}")
     out_schema = T.StructType([
         T.StructField(id_col, base.schema[id_col].dataType),
-        T.StructField(key_col, mt.keyType),
-        T.StructField(weight_col, T.DoubleType()),
+        # map keys are never null — F.explode marks them non-nullable
+        T.StructField(key_col, mt.keyType, False),
+        # the map's declared value type/nullability, not a hardcoded
+        # double: the JVM twin's F.explode preserves them, and a
+        # map<int,float> input must emit float postings on both paths
+        # (ADVICE r09)
+        T.StructField(weight_col, mt.valueType, mt.valueContainsNull),
     ])
 
     def gen(batches: Iterator) -> Iterator:

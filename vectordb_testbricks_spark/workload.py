@@ -354,16 +354,23 @@ class SustainedReport:
 
 
 def run_sustained_searches(spark, make_task, workers: int = 10,
-                           duration_sec: float = 60.0) -> SustainedReport:
+                           duration_sec: float = 60.0,
+                           grace_sec: float = 120.0) -> SustainedReport:
     """Closed-loop sustained-throughput driver: ``workers`` threads each
     loop build-plan → collect until the deadline, mirroring the
     reference's sustained benchmark shape (go_bench drives concurrency
     10 for 600 s; search_permanently.py:285-363 is the same closed loop
     with a bounded pending queue). Spark's scheduler interleaves the
     concurrent jobs across the shared executor pool — same mechanism as
-    :func:`run_async_searches`, without per-task job groups (nothing is
-    cancelled; the loop just stops submitting at the deadline, so total
-    wall clock is duration + one in-flight search).
+    :func:`run_async_searches`. The loop stops submitting at the
+    deadline (total wall clock is duration + one in-flight search), and
+    workers run under per-thread job groups so a search still hung when
+    the post-deadline grace expires is CANCELLED, not abandoned — an
+    abandoned daemon thread would keep a foreign Spark job looping on
+    the shared session while bench.py's later scale entries are being
+    timed (ADVICE r09). Cancellation needs pinned-thread mode
+    (per-thread job groups); unpinned sessions keep the old
+    abandon-only behavior.
 
     ``make_task(worker_idx, seq)`` returns the search DataFrame for that
     worker's ``seq``-th iteration (vary query vectors/filters per call to
@@ -373,18 +380,31 @@ def run_sustained_searches(spark, make_task, workers: int = 10,
     per-search submit→collect seconds."""
     import threading
     import time
+    import uuid
+
+    from py4j.clientserver import ClientServer
 
     from vectordb_testbricks_spark.validators import percentile_stats
 
+    sc = spark.sparkContext
+    pinned = isinstance(sc._gateway, ClientServer)
+    run_id = uuid.uuid4().hex[:8]
     lock = threading.Lock()
     latencies: list[float] = []
     failures = [0]
+    stop = threading.Event()      # post-grace kill switch for stragglers
     t_start = time.monotonic()
     deadline = t_start + duration_sec
 
     def worker(widx: int) -> None:
+        if pinned:
+            # per-thread group: every job this worker submits is
+            # cancellable without touching the other workers' jobs
+            sc.setJobGroup(f"sustained-{run_id}-w{widx}",
+                           f"sustained search worker {widx}",
+                           interruptOnCancel=True)
         seq = 0
-        while time.monotonic() < deadline:
+        while time.monotonic() < deadline and not stop.is_set():
             t0 = time.monotonic()
             try:
                 make_task(widx, seq).collect()
@@ -392,22 +412,36 @@ def run_sustained_searches(spark, make_task, workers: int = 10,
                 with lock:
                     latencies.append(dt)
             except Exception:                     # noqa: BLE001
+                if stop.is_set():
+                    # a cancellation we requested is not a workload
+                    # failure — the worker just exits
+                    return
                 with lock:
                     failures[0] += 1
             seq += 1
 
     threads = [threading.Thread(target=worker, args=(w,), daemon=True,
-                                name=f"sustained-w{w}")
+                                name=f"sustained-{run_id}-w{w}")
                for w in range(workers)]
     for t in threads:
         t.start()
     # ONE shared grace bound after the deadline (not per-thread — ten
     # hung workers must not stack ten grace windows): the deadline stops
     # new submissions, one in-flight search per worker may still drain
-    bound = deadline + 120.0
+    bound = deadline + grace_sec
     for t in threads:
         t.join(max(0.0, bound - time.monotonic()))
     stragglers = sum(1 for t in threads if t.is_alive())
+    if stragglers:
+        # grace expired with searches still hung: flip the stop flag
+        # (bars any further iteration) and cancel the stragglers' job
+        # groups so their Spark jobs die instead of contending with
+        # whatever the caller times next
+        stop.set()
+        if pinned:
+            for w, t in enumerate(threads):
+                if t.is_alive():
+                    sc.cancelJobGroup(f"sustained-{run_id}-w{w}")
     elapsed = time.monotonic() - t_start
     # snapshot under the lock: a straggler past the grace is still
     # appending, and the report must be a consistent cut
