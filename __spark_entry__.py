@@ -1529,6 +1529,31 @@ bm25_scored AS (SELECT {gcols}, SUM(contrib) AS score FROM comp GROUP BY {gcols}
 
 _SQL_BM25_SCORED = _sql_bm25_scored(TOKS_SQL)
 
+# V7 'dict' mode (judge r10 task 7): BM25 scoring over COMPOUND
+# segmentation — the dict FMM analyzer fuses adjacent "spark stream"
+# into ONE term, so tf/df/dl (and therefore the k1/b score surface) are
+# computed over fused tokens, pinning the scoring path the 'tm_dict'
+# branch only pins for segmentation. The oracle reuses the shared
+# scoring CTE with the FMM regexp tokenizer twin (one pattern source of
+# truth, functions.text.fmm_pattern — same lowering sqlgen uses).
+BM25_DICT_ANALYZER = {"tokenizer": {
+    "type": "dict", "words": ["spark stream", "stream", "spark"]}}
+BM25_DICT_QUERY = "spark stream join"
+
+
+def _toks_dict_sql() -> str:
+    from vectordb_testbricks_spark.functions.text import (
+        analyzer_kwargs, fmm_pattern)
+    kw = analyzer_kwargs(BM25_DICT_ANALYZER)
+    pat = fmm_pattern(kw["dict_words"], kw["lowercase"]).replace("'", "''")
+    return "regexp_extract_all(lower({col}), '" + pat + "')"
+
+
+TOKS_DICT_SQL = _toks_dict_sql()
+_DICT_QTERMS_CTE = ("qterms AS (SELECT unnest("
+                    f"{TOKS_DICT_SQL.format(col=repr(BM25_DICT_QUERY))})"
+                    " AS term)")
+
 
 # ingest-time BM25 tables per sf_dir — in Milvus the BM25 function field is
 # server-computed at insert (schema_matrix_2_6.yaml:65-69); the search path
@@ -1612,7 +1637,10 @@ def v_bm25_modes(spark, sf_dir):
     the query tokenization both honor the declared analyzer, so stopword
     removal shifts dl/avgdl and therefore scores), and through the
     manager-maintained ingest-time sidecar (the server-computed function
-    field production path — must score identically to 'standard')."""
+    field production path — must score identically to 'standard'), and
+    (r10) under the dict FMM analyzer — compound segmentation reaching
+    the SCORING math: "spark stream" is one term with its own tf/df,
+    and every doc's dl shrinks where the compound fused."""
     from vectordb_testbricks_spark.operators.bm25 import bm25_search
     std = (v_bm25(spark, sf_dir)
            .select(F.lit("standard").alias("analyzer"),
@@ -1630,7 +1658,14 @@ def v_bm25_modes(spark, sf_dir):
                        F.col("doc_id"),
                        F.round("score", 4).alias("score"),
                        F.col("rank").cast("bigint").alias("rank")))
-    return std.unionByName(stop).unionByName(managed)
+    tf_d, stats_d = _bm25_tables(spark, sf_dir, BM25_DICT_ANALYZER)
+    dct = (bm25_search(docs, BM25_DICT_QUERY, "doc_id", "text", k=10,
+                       tf_df=tf_d, stats=stats_d,
+                       analyzer=BM25_DICT_ANALYZER)
+           .select(F.lit("dict").alias("analyzer"), "query_id", "doc_id",
+                   F.round("score", 4).alias("score"),
+                   F.col("rank").cast("bigint").alias("rank")))
+    return std.unionByName(stop).unionByName(managed).unionByName(dct)
 
 
 SQL_V_BM25_MODES = f"""
@@ -1648,6 +1683,15 @@ FROM ranked WHERE rank <= 10)
 UNION ALL
 SELECT 'managed' AS analyzer, query_id, doc_id, score, rank
 FROM ({SQL_V_BM25})
+UNION ALL
+SELECT 'dict' AS analyzer, query_id, doc_id, score, rank
+FROM (
+WITH {_sql_bm25_scored(TOKS_DICT_SQL, qterms_cte=_DICT_QTERMS_CTE)},
+ranked AS (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25_scored)
+SELECT 0 AS query_id, doc_id, ROUND(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10)
 """
 
 
