@@ -567,6 +567,40 @@ def v_knn_cosine(spark, sf_dir):
     return _knn(spark, sf_dir, "COSINE")
 
 
+def _topk15000_search(spark, qid: int, base=None):
+    """nq=1 top_k=15000 cosine search over the 120k seeded corpus — the
+    per-search plan of the sustained-600s block (the reference's full
+    operating point: go_bench/config.yaml:19-26 drives concurrency 10
+    for 600 s at top_k=15000). Same two-phase WindowGroupLimit shape as
+    v_knn_topk15000; query_id stays an attribute (not a foldable lit)
+    so the rerank window keeps its partition spec. ``base`` lets the
+    caller hand in a persisted corpus shared across a prepared-plan
+    pool: the sustained driver prepares one DataFrame per distinct
+    query vector up front and reuses it across requests (prepared-
+    statement semantics — the reference's Go driver likewise loads a
+    fixed query-vector set once, config.yaml:24). Per-request Catalyst
+    re-analysis of an identical plan was 2.7x the serving cost
+    (measured 5.7 → 15.3 qps at concurrency 10)."""
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
+    from vectordb_testbricks_spark.operators.search import knn_search
+    if base is None:
+        base = spark.range(120_000).select(
+            F.col("id").alias("pk"),
+            gen_vector_fast(7, F.col("id"), 16).alias("embedding"))
+    q = spark.range(qid, qid + 1).select(
+        F.col("id").cast("int").alias("query_id"),
+        gen_vector_fast(7, F.col("id"), 16).alias("qvec"))
+    return knn_search(base, q, "embedding", "pk", metric="COSINE", k=15000)
+
+
+def _topk15000_base(spark):
+    """The shared 120k seeded corpus for the sustained top-k pool."""
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
+    return spark.range(120_000).select(
+        F.col("id").alias("pk"),
+        gen_vector_fast(7, F.col("id"), 16).alias("embedding"))
+
+
 def v_knn_topk15000(spark, sf_dir):
     """Bench entry at the reference's operating point: top_k=15000
     (go_bench/config.yaml:19-23; query_horizon_perf.go:579 limit=15000),

@@ -9,10 +9,12 @@ object the driver's tail capture can always parse —
 The verbose evidence blocks (per-query latency percentiles, 1M-row scale
 entries, concurrency/sustained QPS) are printed as an EARLIER JSON line
 and written durably to a side file: BENCH_RUN.json for single-draw runs
-(the per-round driver invocation), BENCH_DETAIL.json only in the
-median-of-N evidence mode (SPARK_GRAFT_BENCH_DRAWS>1) so a driver run
-never clobbers the committed artifact; $SPARK_GRAFT_BENCH_DETAIL
-overrides either —
+(the per-round driver invocation); the median-of-N evidence mode
+(SPARK_GRAFT_BENCH_DRAWS>1) STAGES to BENCH_EVIDENCE.tmp.json and only
+writes the committed artifact BENCH_DETAIL.json when explicitly promoted
+with SPARK_GRAFT_BENCH_PROMOTE=1 (r10: an unpromoted later evidence run
+clobbered the curated artifact via the snapshot commit);
+$SPARK_GRAFT_BENCH_DETAIL overrides either —
 round 5's single ~5.5 KB line outgrew the driver's ~4 KB tail window and
 recorded as parsed:null, losing the round's headline number.
 
@@ -132,6 +134,50 @@ def _jvm_health(spark) -> dict:
         return {}
 
 
+def _host_probe() -> dict:
+    """Point-in-time HOST counters (judge r09 task 2: measure host slow
+    windows instead of inferring them from co-variance): 1-minute
+    loadavg from /proc/loadavg and the busy/total CPU jiffies from
+    /proc/stat's aggregate cpu line. Never bench-fatal."""
+    out = {}
+    try:
+        with open("/proc/loadavg") as f:
+            out["load1"] = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        total = sum(vals)
+        # busy = everything but idle(3) and iowait(4)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        out["busy_jiffies"] = total - idle
+        out["total_jiffies"] = total
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def _host_load(p0: dict, p1: dict) -> dict:
+    """Measured host activity across an interval, from two _host_probe
+    snapshots: average busy CORES (whole machine, all processes) plus
+    the loadavg endpoints. busy_cores ≫ what this bench's own work
+    accounts for = a measured external slow window; the classification
+    strings cite these numbers instead of co-variance argument."""
+    out = {}
+    if "load1" in p0 and "load1" in p1:
+        out["load1_start"] = p0["load1"]
+        out["load1_end"] = p1["load1"]
+    if "total_jiffies" in p0 and "total_jiffies" in p1:
+        dt = p1["total_jiffies"] - p0["total_jiffies"]
+        db = p1["busy_jiffies"] - p0["busy_jiffies"]
+        ncpu = os.cpu_count() or 1
+        if dt > 0:
+            # total jiffies advance ncpu * HZ per second, so busy/total
+            # * ncpu = average busy cores over the interval
+            out["busy_cores_avg"] = round(ncpu * db / dt, 1)
+            out["ncpu"] = ncpu
+    return out
+
+
 def _max_stage_id(spark):
     """Watermark for per-attempt stage aggregation. Returns ``None`` when
     the REST read fails or the UI is off (callers skip stage metrics),
@@ -214,20 +260,29 @@ _ARROW_KERNEL_ENTRIES = ("dd_minhash_1m", "dd_ngram_1m", "v_sparse_1m")
 def _classify_attempt(entry: str, m: dict) -> str:
     run = m.get("executor_run_sec")
     cpu = m.get("executor_cpu_sec")
+    # measured host context (judge r09 task 2): every classification
+    # cites the numbers recorded for THIS attempt's interval, so a slow
+    # window is a measured fact, not a co-variance inference
+    hl = m.get("host_load") or {}
+    host = ""
+    if "busy_cores_avg" in hl:
+        host = (f"; measured host: {hl['busy_cores_avg']}/{hl['ncpu']} "
+                f"cores busy, load1 {hl.get('load1_start')}→"
+                f"{hl.get('load1_end')}")
     if run is None or cpu is None:
-        return "no stage metrics (UI off or watermark read failed)"
+        return "no stage metrics (UI off or watermark read failed)" + host
     ratio = run / max(cpu, 1e-9)
     if entry in _STREAMING_ENTRIES:
         return (f"streaming: run/cpu={ratio:.1f} is trigger-interval "
-                f"waiting — exempt from the contention rule")
+                f"waiting — exempt from the contention rule" + host)
     if entry in _ARROW_KERNEL_ENTRIES and ratio > 3:
         return (f"arrow-kernel: run/cpu={ratio:.1f} is JVM tasks waiting "
                 f"on Python workers — expected shape, check top_stages "
-                f"cpu for real work growth")
+                f"cpu for real work growth" + host)
     if ratio > 3:
         return (f"run/cpu={ratio:.1f} wall-dominated: external "
-                f"contention suspect (cores owned elsewhere)")
-    return f"cpu-bound: run/cpu={ratio:.1f} (normal)"
+                f"contention suspect (cores owned elsewhere)" + host)
+    return f"cpu-bound: run/cpu={ratio:.1f} (normal)" + host
 
 
 def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
@@ -241,14 +296,38 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
     import subprocess
     import sys
     repo = os.path.dirname(os.path.abspath(__file__))
+    # the subprocess probes HOST load around its own timed region (judge
+    # r09 task 2): loadavg + /proc/stat busy-core average for exactly the
+    # interval being measured — the primary measured-slow-window signal —
+    # plus proc_cpu_sec = python driver rusage + JVM getProcessCpuTime
+    # (Arrow-kernel python workers are grandchildren and excluded; the
+    # host counters cover them). wall vs host busy_cores separates "work
+    # grew" from "machine was busy".
     code = (
-        "import time\n"
+        "import json, os, resource, time\n"
+        "import bench\n"
         "import __spark_entry__ as E\n"
         "from vectordb_testbricks_spark.session import get_spark\n"
         "spark = get_spark('bench_cold')\n"
-        f"t0 = time.perf_counter()\n"
+        "p0 = bench._host_probe()\n"
+        "t0 = time.perf_counter()\n"
         f"n = E.{name}(spark, {sf_dir!r}).count()\n"
-        "print('COLDPROC', round(time.perf_counter() - t0, 3), n,"
+        "wall = time.perf_counter() - t0\n"
+        "p1 = bench._host_probe()\n"
+        "hl = bench._host_load(p0, p1)\n"
+        "try:\n"
+        "    osb = spark._jvm.java.lang.management.ManagementFactory"
+        ".getOperatingSystemMXBean()\n"
+        "    jvm_cpu = osb.getProcessCpuTime() / 1e9\n"
+        "except Exception:\n"
+        "    jvm_cpu = 0.0\n"
+        "spark.stop()\n"
+        "ru_s = resource.getrusage(resource.RUSAGE_SELF)\n"
+        "ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)\n"
+        "hl['proc_cpu_sec'] = round(ru_s.ru_utime + ru_s.ru_stime"
+        " + ru_c.ru_utime + ru_c.ru_stime + jvm_cpu, 1)\n"
+        "hl['wall_sec'] = round(wall, 3)\n"
+        "print('COLDPROC', round(wall, 3), n, json.dumps(hl),"
         " flush=True)\n")
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=repo,
@@ -258,9 +337,15 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
         return None
     for line in reversed((r.stdout or "").splitlines()):
         if line.startswith("COLDPROC "):
-            parts = line.split()
+            parts = line.split(maxsplit=3)
+            host_load = {}
+            if len(parts) > 3:
+                try:
+                    host_load = json.loads(parts[3])
+                except json.JSONDecodeError:
+                    pass
             if want_rows:
-                return float(parts[1]), int(parts[2])
+                return float(parts[1]), int(parts[2]), host_load
             return float(parts[1])
     print(f"# cold_proc {name}: FAILED rc={r.returncode} "
           f"stderr_tail={((r.stderr or '')[-300:])!r}", flush=True)
@@ -387,6 +472,8 @@ def _run_draws(n_draws: int) -> None:
         name: [d[1].get("scale", {}).get(name) for d in draws]
         for name in scale_names}
     med_detail["draw_sustained"] = [d[1].get("sustained") for d in draws]
+    med_detail["draw_host_load"] = [d[1].get("host_load_headline")
+                                    for d in draws]
     # stretch across ALL draws too (r09): the median draw's stretch
     # alone left a hole when one subprocess timed out in a host slow
     # window — per-draw values expose both the miss and the spread
@@ -395,7 +482,23 @@ def _run_draws(n_draws: int) -> None:
     med_detail["draw_stretch"] = {
         name: [d[1].get("stretch", {}).get(name) for d in draws]
         for name in stretch_names}
-    _write_detail(med_detail, default_name="BENCH_DETAIL.json")
+    # staging-then-promote (judge r10 task 1): evidence runs write
+    # BENCH_EVIDENCE.tmp.json by default; the committed artifact
+    # BENCH_DETAIL.json is only written when the run is EXPLICITLY
+    # promoted (SPARK_GRAFT_BENCH_PROMOTE=1) — so a later, noisier
+    # evidence rerun (or an end-of-round snapshot committing whatever is
+    # on disk) can no longer clobber the curated median-of-3 that
+    # SURVEY.md quotes. tests/test_bench_contract.py additionally fails
+    # the suite when SURVEY's quoted draw totals diverge from the HEAD
+    # artifact.
+    promote = os.environ.get("SPARK_GRAFT_BENCH_PROMOTE", "0") == "1"
+    _write_detail(med_detail,
+                  default_name=("BENCH_DETAIL.json" if promote
+                                else "BENCH_EVIDENCE.tmp.json"))
+    if not promote:
+        print("# evidence staged to BENCH_EVIDENCE.tmp.json "
+              "(set SPARK_GRAFT_BENCH_PROMOTE=1 to write "
+              "BENCH_DETAIL.json)", flush=True)
     med_summary.update(suite)
     med_summary["draws"] = len(draws)
     _emit_final(med_summary)
@@ -466,24 +569,40 @@ def main() -> None:
     # median either way). Costs ~12 s per bench.
     noisy = {"v_rrf_fusion", "v_weighted_fusion", "dd_minhash",
              "dd_ngram_jaccard", "mm_decode", "v_sparse_dot"}
+    # sub-second noise policy (judge r09 task 6, documented in
+    # BASELINE.md): entries whose median lands under 0.4 s get their
+    # repeat count raised to >=5 — at that latency, host scheduling
+    # noise is a large fraction of the measurement and 3-run medians
+    # produced phantom >10% "regressions" on byte-unchanged plans. The
+    # per-entry min/max band is recorded in `latency` either way;
+    # round-over-round comparison of a sub-second entry is a regression
+    # only when the medians fall outside each other's recorded band.
+    sub_second_repeat = max(5, repeat)
     timings: dict[str, float] = {}
     latency: dict[str, dict] = {}
+    hp_head0 = _host_probe()
     for name in HEADLINE:
         fn = qmap[name]
         runs = []
-        for _ in range(max(repeat, 5) if name in noisy and repeat > 1
-                       else repeat):
+        want = (max(repeat, 5) if name in noisy and repeat > 1
+                else repeat)
+        while len(runs) < want:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - t0)
+            if (len(runs) == want and repeat > 1
+                    and sorted(runs)[len(runs) // 2] < 0.4):
+                want = max(want, sub_second_repeat)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", flush=True)
+        print(f"# {name}: {timings[name]:.3f}s rows={n} n_runs={len(runs)}",
+              flush=True)
         if repeat > 1:
             from vectordb_testbricks_spark.validators import percentile_stats
             latency[name] = {k: round(v, 4) for k, v in
                              percentile_stats(runs).items()}
+    head_host = _host_load(hp_head0, _host_probe())
 
     # concurrent-QPS entry: the reference's headline serving metric is
     # QPS under a concurrent worker pool (search_permanently.py:36-96,
@@ -586,6 +705,65 @@ def main() -> None:
               f"p50={rep.latency.get('p50')} p99={rep.latency.get('p99')} "
               f"failures={rep.failures}", flush=True)
 
+    # the reference's FULL sustained operating point (judge r09 task 3):
+    # closed-loop concurrency 10 for 600 s at top_k=15000 with rotating
+    # query vectors (go_bench/config.yaml:19-26). Off by default — this
+    # is a one-shot committed-evidence run, not a per-round cost; enable
+    # with SPARK_GRAFT_BENCH_SUSTAINED600_SEC=600. Writes its own
+    # artifact (BENCH_SUSTAINED600.json) so the evidence survives
+    # independent of which detail file this run targets.
+    sustained600: dict = {}
+    s600_sec = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_SUSTAINED600_SEC", "0"))
+    if s600_sec > 0:
+        from vectordb_testbricks_spark.workload import run_sustained_searches
+
+        # prepared-plan pool: one persisted corpus + 100 distinct query
+        # vectors, each search reusing its prepared DataFrame (the
+        # reference driver loads a fixed query-vector set once,
+        # config.yaml:24; per-request Catalyst re-analysis of the same
+        # plan measured as 2.7x the serving cost). Execution — jobs,
+        # scoring, window, 15000-row collect — is per-request.
+        base15k = entrymod._topk15000_base(spark).persist()
+        base15k.count()
+        pool = [entrymod._topk15000_search(spark, (i * 997) % 120_000,
+                                           base=base15k)
+                for i in range(100)]
+
+        def _s600_task(widx: int, seq: int):
+            return pool[(widx * 7 + seq * 13) % len(pool)]
+
+        _s600_task(0, 0).count()        # plan warm-up, untimed
+        hp0 = _host_probe()
+        rep = run_sustained_searches(spark, _s600_task, workers=10,
+                                     duration_sec=s600_sec)
+        total_ops = rep.n_searches + rep.failures
+        sustained600 = {
+            "workers": 10, "nq": 1, "top_k": 15000,
+            "duration_sec": round(rep.duration_sec, 1),
+            "searches": rep.n_searches, "failures": rep.failures,
+            "stragglers": rep.stragglers,
+            "success_rate": round(rep.n_searches / total_ops, 6)
+            if total_ops else None,
+            "qps": round(rep.qps, 2),
+            "latency_sec": rep.latency,
+            "host_load": _host_load(hp0, _host_probe()),
+        }
+        print(f"# sustained600: {rep.n_searches} searches in "
+              f"{rep.duration_sec:.1f}s = {rep.qps:.2f} qps @ k=15000, "
+              f"p50={rep.latency.get('p50')} p99={rep.latency.get('p99')} "
+              f"failures={rep.failures} stragglers={rep.stragglers}",
+              flush=True)
+        try:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(repo, "BENCH_SUSTAINED600.json"),
+                      "w") as f:
+                json.dump(sustained600, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:
+            print(f"# sustained600 artifact not written: {e}", flush=True)
+        base15k.unpersist()
+
     # (Concurrency + sustained measured BEFORE the scale/stretch block on
     # purpose: the 1M/10M entries leave the long-lived JVM with GC debt
     # that depressed a trailing concurrency measurement 4x — r07 runs
@@ -642,10 +820,12 @@ def main() -> None:
                 time.sleep(1.0)
                 spark._jvm.System.gc()
                 h0 = _jvm_health(spark)
+                hp0 = _host_probe()
                 sid = _max_stage_id(spark)
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(round(time.perf_counter() - t0, 3))
+                hp1 = _host_probe()
                 h1 = _jvm_health(spark)
                 # sid None = the watermark READ failed — skip rather than
                 # aggregate every stage since app start (which would
@@ -665,6 +845,7 @@ def main() -> None:
                 # reader never mis-applies the contention rule to a
                 # streaming entry's trigger waits or an Arrow kernel's
                 # worker waits
+                m["host_load"] = _host_load(hp0, hp1)
                 m["entry"] = name
                 m["classification"] = _classify_attempt(name, m)
                 attempt_metrics.append(m)
@@ -706,9 +887,10 @@ def main() -> None:
                      "v_ivf_persisted_10m", "dd_ngram_10m"):
             cp = _cold_proc_run(name, sf_dir, want_rows=True)
             if cp is not None:
-                stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1]}
+                stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1],
+                                 "host_load": cp[2]}
                 print(f"# stretch {name}: {cp[0]:.3f}s cold-process "
-                      f"rows={cp[1]}", flush=True)
+                      f"rows={cp[1]} host={json.dumps(cp[2])}", flush=True)
             else:
                 print(f"# stretch {name}: subprocess failed/timeout",
                       flush=True)
@@ -719,7 +901,8 @@ def main() -> None:
     # verbose evidence → earlier stdout line + durable side file; the
     # driver's tail capture only needs to survive long enough to keep the
     # compact final line intact.
-    detail: dict = {"kind": "bench_detail", "sf": sf, "total_sec": total}
+    detail: dict = {"kind": "bench_detail", "sf": sf, "total_sec": total,
+                    "host_load_headline": head_host}
     if latency:
         detail["latency"] = latency
         detail["qps"] = {name: round(1.0 / max(s["avg"], 1e-9), 2)
@@ -732,6 +915,8 @@ def main() -> None:
         detail["concurrency"] = concurrency
     if sustained:
         detail["sustained"] = sustained
+    if sustained600:
+        detail["sustained_600s"] = sustained600
     _write_detail(detail)
 
     final = {
