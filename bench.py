@@ -285,7 +285,8 @@ def _classify_attempt(entry: str, m: dict) -> str:
     return f"cpu-bound: run/cpu={ratio:.1f} (normal)" + host
 
 
-def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
+def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False,
+                   timeout_sec: int = 900):
     """True process-cold measurement of one scale entry: a fresh
     subprocess JVM (new driver, new session, zero JIT state) runs the
     entry once and reports its wall clock (and row count when
@@ -331,9 +332,11 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False):
         " flush=True)\n")
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=repo,
-                           capture_output=True, text=True, timeout=900)
+                           capture_output=True, text=True,
+                           timeout=timeout_sec)
     except subprocess.TimeoutExpired:
-        print(f"# cold_proc {name}: TIMEOUT after 900s", flush=True)
+        print(f"# cold_proc {name}: TIMEOUT after {timeout_sec}s",
+              flush=True)
         return None
     for line in reversed((r.stdout or "").splitlines()):
         if line.startswith("COLDPROC "):
@@ -883,9 +886,16 @@ def main() -> None:
     # total untouched. Disable with SPARK_GRAFT_BENCH_STRETCH=0.
     stretch: dict = {}
     if stretch_on:
-        for name in ("dd_minhash_10m", "v_sparse_10m",
-                     "v_ivf_persisted_10m", "dd_ngram_10m"):
-            cp = _cold_proc_run(name, sf_dir, want_rows=True)
+        stretch_names = ["dd_minhash_10m", "v_sparse_10m",
+                         "v_ivf_persisted_10m", "dd_ngram_10m"]
+        if os.environ.get("SPARK_GRAFT_BENCH_STRETCH_100M") == "1":
+            # third decade (judge r09 task 5) — one-shot committed
+            # evidence, ~15-25 min fresh-JVM, off per-round
+            stretch_names.append("dd_minhash_100m")
+        for name in stretch_names:
+            cp = _cold_proc_run(name, sf_dir, want_rows=True,
+                                timeout_sec=(2400 if name.endswith("_100m")
+                                             else 900))
             if cp is not None:
                 stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1],
                                  "host_load": cp[2]}

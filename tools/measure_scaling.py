@@ -1,0 +1,87 @@
+"""One-shot measurement harness for the BASELINE.md scaling model
+(judge r09 task 5): run each dedup/ANN scale entry at 1M and 10M in a
+fresh subprocess JVM with the Spark UI on, and record wall clock, rows,
+shuffle read/write volume, executor cpu/run seconds, and host load —
+the measured per-doc coefficients the 100 TB projection is built from.
+
+Usage: python tools/measure_scaling.py [entry ...]
+Writes SCALING_MODEL.json at the repo root (one section per entry/size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENTRIES = {
+    "dd_minhash": ("dd_minhash_1m", "dd_minhash_10m"),
+    "dd_ngram": ("dd_ngram_1m", "dd_ngram_10m"),
+    "v_sparse": ("v_sparse_1m", "v_sparse_10m"),
+}
+
+_CODE = """
+import json, time
+import bench
+import __spark_entry__ as E
+from vectordb_testbricks_spark.session import get_spark
+import os
+os.environ["SPARK_GRAFT_UI"] = "1"
+spark = get_spark("scaling_probe")
+p0 = bench._host_probe()
+sid = bench._max_stage_id(spark)
+t0 = time.perf_counter()
+n = E.{name}(spark, "/root/testdata/sf0.1").count()
+wall = round(time.perf_counter() - t0, 3)
+m = bench._stages_since(spark, sid) if sid is not None else {{}}
+m["host_load"] = bench._host_load(p0, bench._host_probe())
+m["wall_sec"] = wall
+m["rows"] = n
+print("SCALING", json.dumps(m), flush=True)
+"""
+
+
+def measure(name: str) -> dict | None:
+    code = _CODE.format(name=name)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                           capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"# {name}: TIMEOUT", flush=True)
+        return None
+    for line in reversed((r.stdout or "").splitlines()):
+        if line.startswith("SCALING "):
+            return json.loads(line[len("SCALING "):])
+    print(f"# {name}: FAILED rc={r.returncode} "
+          f"stderr={(r.stderr or '')[-300:]!r}", flush=True)
+    return None
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    out_path = os.path.join(REPO, "SCALING_MODEL.json")
+    results: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    for family, names in ENTRIES.items():
+        if only and family not in only:
+            continue
+        for name in names:
+            m = measure(name)
+            if m is not None:
+                results[name] = m
+                print(f"# {name}: wall={m['wall_sec']}s rows={m['rows']} "
+                      f"shuffle_w={m.get('shuffle_write_mb')}MB "
+                      f"cpu={m.get('executor_cpu_sec')}s "
+                      f"host={m.get('host_load')}", flush=True)
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+                f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
