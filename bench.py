@@ -286,7 +286,8 @@ def _classify_attempt(entry: str, m: dict) -> str:
 
 
 def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False,
-                   timeout_sec: int = 900):
+                   timeout_sec: int = 900,
+                   extra_env: dict | None = None):
     """True process-cold measurement of one scale entry: a fresh
     subprocess JVM (new driver, new session, zero JIT state) runs the
     entry once and reports its wall clock (and row count when
@@ -330,10 +331,14 @@ def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False,
         "hl['wall_sec'] = round(wall, 3)\n"
         "print('COLDPROC', round(wall, 3), n, json.dumps(hl),"
         " flush=True)\n")
+    env = None
+    if extra_env:
+        env = dict(os.environ)
+        env.update(extra_env)
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=repo,
                            capture_output=True, text=True,
-                           timeout=timeout_sec)
+                           timeout=timeout_sec, env=env)
     except subprocess.TimeoutExpired:
         print(f"# cold_proc {name}: TIMEOUT after {timeout_sec}s",
               flush=True)
@@ -893,9 +898,16 @@ def main() -> None:
             # evidence, ~15-25 min fresh-JVM, off per-round
             stretch_names.append("dd_minhash_100m")
         for name in stretch_names:
+            is_100m = name.endswith("_100m")
+            # the 100M decade needs the box's real heap: the per-round
+            # 16g default OOM'd it (measured r10); the 10M entries keep
+            # the default so their decade numbers stay comparable
+            env_100m = ({"SPARK_GRAFT_DRIVER_MEM": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM_100M", "80g")} if is_100m
+                else None)
             cp = _cold_proc_run(name, sf_dir, want_rows=True,
-                                timeout_sec=(2400 if name.endswith("_100m")
-                                             else 900))
+                                timeout_sec=(2400 if is_100m else 900),
+                                extra_env=env_100m)
             if cp is not None:
                 stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1],
                                  "host_load": cp[2]}
