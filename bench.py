@@ -482,6 +482,12 @@ def _run_draws(n_draws: int) -> None:
     med_detail["draw_sustained"] = [d[1].get("sustained") for d in draws]
     med_detail["draw_host_load"] = [d[1].get("host_load_headline")
                                     for d in draws]
+    # per-draw headline medians + latency bands (judge r09 task 6): the
+    # sub-second noise policy is checkable only if consecutive draws'
+    # medians AND the min/max bands they must fall inside are both in
+    # the committed artifact, not just the median draw's
+    med_detail["draw_queries"] = [d[0].get("queries") for d in draws]
+    med_detail["draw_latency"] = [d[1].get("latency") for d in draws]
     # stretch across ALL draws too (r09): the median draw's stretch
     # alone left a hole when one subprocess timed out in a host slow
     # window — per-draw values expose both the miss and the spread

@@ -1,0 +1,91 @@
+"""Sub-second noise-band report (judge r09 task 6).
+
+Measured finding (r10, encoded in the BASELINE.md policy): within one
+JVM a 3-5-run min/max band is tight, but across FRESH JVMs whole-draw-
+correlated shifts move every entry's median together by up to ~2x even
+on a quiet host (draw_host_load busy_cores ~6/32) — so the band that
+makes regression calls trustworthy is the CROSS-DRAW median band
+(min/max of each entry's per-draw medians, committed in the artifact's
+`draw_queries`), not the within-JVM repeat band.
+
+Usage:
+  python tools/check_noise_band.py [detail.json]
+      — print each entry's cross-draw median band + relative spread.
+  python tools/check_noise_band.py OLD.json NEW.json
+      — regression report: flag entries whose NEW committed median
+        falls outside OLD's cross-draw band (and vice versa); entries
+        >=1 s additionally use the plain >10%-median rule between the
+        two committed (median-draw) values.
+
+Exit 0 always — a report for review, not a CI gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _bands(detail: dict) -> dict[str, tuple[float, float]]:
+    dq = detail.get("draw_queries")
+    if dq:
+        names = set(dq[0])
+        for q in dq[1:]:
+            names &= set(q)
+        return {n: (min(q[n] for q in dq), max(q[n] for q in dq))
+                for n in names}
+    # pre-r10 artifact: only the median draw's within-JVM latency band
+    lat = detail.get("latency") or {}
+    return {n: (s["min"], s["max"]) for n, s in lat.items()}
+
+
+def _committed(detail: dict) -> dict[str, float]:
+    dq = detail.get("draw_queries")
+    if dq:
+        totals = detail.get("draw_totals")
+        if totals and len(totals) == len(dq):
+            return dq[len(dq) // 2]      # draws stored sorted by total
+    return {n: s["p50"] for n, s in (detail.get("latency") or {}).items()}
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = sys.argv[1:]
+    if len(args) <= 1:
+        path = args[0] if args else os.path.join(repo, "BENCH_DETAIL.json")
+        with open(path) as f:
+            d = json.load(f)
+        bands = _bands(d)
+        for n in sorted(bands, key=lambda n: -(bands[n][1] - bands[n][0])
+                        / max(bands[n][0], 1e-9)):
+            lo, hi = bands[n]
+            print(f"{n}: band {lo:.3f}-{hi:.3f} "
+                  f"(spread {(hi - lo) / max(lo, 1e-9) * 100:.0f}%)")
+        return
+    with open(args[0]) as f:
+        old = json.load(f)
+    with open(args[1]) as f:
+        new = json.load(f)
+    ob, nb = _bands(old), _bands(new)
+    oc, nc = _committed(old), _committed(new)
+    flagged = 0
+    for n in sorted(set(ob) & set(nb) & set(oc) & set(nc)):
+        o_med, n_med = oc[n], nc[n]
+        if max(o_med, n_med) >= 1.0:
+            if abs(n_med - o_med) / max(o_med, 1e-9) > 0.10:
+                flagged += 1
+                print(f">10% {n}: {o_med:.3f} -> {n_med:.3f}")
+            continue
+        in_old = ob[n][0] <= n_med <= ob[n][1]
+        in_new = nb[n][0] <= o_med <= nb[n][1]
+        if not (in_old or in_new):
+            flagged += 1
+            print(f"BAND {n}: {o_med:.3f} -> {n_med:.3f} outside both "
+                  f"cross-draw bands [{ob[n][0]:.3f}-{ob[n][1]:.3f}] / "
+                  f"[{nb[n][0]:.3f}-{nb[n][1]:.3f}]")
+    print(f"{flagged} entries outside the documented noise bands")
+
+
+if __name__ == "__main__":
+    main()
