@@ -581,16 +581,20 @@ def _topk15000_search(spark, qid: int, base=None):
     fixed query-vector set once, config.yaml:24). Per-request Catalyst
     re-analysis of an identical plan was 2.7x the serving cost
     (measured 5.7 → 15.3 qps at concurrency 10)."""
-    from vectordb_testbricks_spark.datagen import gen_vector_fast
     from vectordb_testbricks_spark.operators.search import knn_search
     if base is None:
-        base = spark.range(120_000).select(
-            F.col("id").alias("pk"),
-            gen_vector_fast(7, F.col("id"), 16).alias("embedding"))
-    q = spark.range(qid, qid + 1).select(
+        base = _topk15000_base(spark)
+    return knn_search(base, _topk15000_query(spark, qid), "embedding",
+                      "pk", metric="COSINE", k=15000)
+
+
+def _topk15000_query(spark, qid: int):
+    """(query_id, qvec) side for corpus row ``qid`` — seeded datagen
+    re-derives the vector from (seed, pk), no corpus scan."""
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
+    return spark.range(qid, qid + 1).select(
         F.col("id").cast("int").alias("query_id"),
         gen_vector_fast(7, F.col("id"), 16).alias("qvec"))
-    return knn_search(base, q, "embedding", "pk", metric="COSINE", k=15000)
 
 
 def _topk15000_base(spark):

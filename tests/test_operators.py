@@ -1471,3 +1471,28 @@ def test_embedding_near_dups_unblocked_guard(spark):
     # explicit opt-in lifts it too
     embedding_near_dups(base, "vec_id", "embedding",
                         allow_all_pairs_rows=1000).count()
+
+
+def test_prepare_search_pool_prepared_plans_match_adhoc(spark, tables):
+    """prepare_search_pool: pooled prepared plans return exactly the
+    ad-hoc knn_search results on re-execution (the pool only skips
+    Catalyst re-analysis, never changes semantics), and a pooled
+    DataFrame is safely re-collectable."""
+    from vectordb_testbricks_spark.functions.vector import to_double_array
+    from vectordb_testbricks_spark.operators.search import (
+        knn_search, prepare_search_pool)
+    emb = tables["embeddings"].df
+    sides = [emb.filter(F.col("vec_id") == i)
+             .select(F.col("vec_id").cast("int").alias("query_id"),
+                     to_double_array(F.col("embedding")).alias("qvec"))
+             for i in (0, 3)]
+    pool = prepare_search_pool(emb, sides, "embedding", "vec_id",
+                               metric="COSINE", k=5)
+    assert len(pool) == 2
+    for side, prepared in zip(sides, pool):
+        adhoc = knn_search(emb, side, "embedding", "vec_id",
+                           metric="COSINE", k=5)
+        want = sorted(map(tuple, adhoc.collect()))
+        assert sorted(map(tuple, prepared.collect())) == want
+        # re-execution of the same prepared plan stays identical
+        assert sorted(map(tuple, prepared.collect())) == want

@@ -52,6 +52,34 @@ def queries_df(spark, vectors: list[list[float]]) -> DataFrame:
     )
 
 
+def prepare_search_pool(base: DataFrame, query_sides: list[DataFrame],
+                        vec_col: str, id_col: str, **knn_kwargs
+                        ) -> list[DataFrame]:
+    """Prepared-statement pool for closed-loop serving: one analyzed
+    ``knn_search`` DataFrame per query side, built ONCE and re-executed
+    per request. A DataFrame caches its analyzed/optimized plan across
+    actions, so re-collecting a pooled plan skips Catalyst entirely
+    while execution (jobs, scoring, the two-phase top-k, result
+    collection) stays per-request.
+
+    Why this exists (measured, r10, concurrency 10 at the reference's
+    top_k=15000 operating point, go_bench/config.yaml:19-26): building
+    a fresh DataFrame per request spends ~2.7× the serving cost in
+    per-request Catalyst re-analysis of an identical plan — 5.7 QPS
+    ad-hoc vs 15.3 QPS pooled on the same corpus and queries. The
+    reference's Go driver similarly loads a fixed query-vector set once
+    and reuses it for the whole run (config.yaml:24).
+
+    Callers typically pass ``queries_df(spark, [v])`` per vector (or
+    any (query_id, qvec) relation) and persist ``base`` when it is
+    recomputed per scan. For ad-hoc queries whose vectors are unknown
+    up front, batching into one nq=B ``knn_search`` plan remains the
+    throughput path; this pool is for the fixed-query-set closed-loop
+    shape."""
+    return [knn_search(base, q, vec_col, id_col, **knn_kwargs)
+            for q in query_sides]
+
+
 def _ranked(scored: DataFrame, id_col: str, asc: bool, k: int,
             extra_partition: list[str] | None = None) -> DataFrame:
     """Per-query top-k via a ranked window.
