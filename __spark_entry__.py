@@ -742,6 +742,38 @@ def dd_ngram_10m(spark, sf_dir):
     return dd_ngram_1m(spark, sf_dir, n=10_000_000, uniq=9_000_000)
 
 
+def v_knn_1m(spark, sf_dir, n=1_000_000, impl="arrow"):
+    """Bench-only scale evidence for the dense brute-force kNN kernel
+    (r10, operators/arrow_kernels.knn_search_arrow): exact COSINE
+    top-100 for nq=4 corpus queries over 1M seeded 16-dim vectors —
+    the identical plan family every search entry uses, with the scoring
+    + map-side partial top-k in the Arrow kernel instead of the
+    interpreted ``aggregate``/``zip_with`` HOF chain (the same
+    expression class the r08 HotSpot slow mode lived in; the kernel is
+    immune by construction and measured ~1.9× faster warm at this
+    shape: 2.1 s JVM vs 1.1 s kernel). Query vectors are corpus rows
+    re-derived from (seed, pk), so top-1 ground truth is the query
+    itself and rows == nq × k exactly. Not a registry entry — the
+    kernel's bit-for-bit identity to the JVM path (rows, scores, ranks,
+    NULL/NaN/inf/tie edges, all four metrics) is pinned by
+    tests/test_arrow_kernels.py::TestKnnKernel."""
+    from vectordb_testbricks_spark.datagen import gen_vector_fast
+    from vectordb_testbricks_spark.materialize import shared_persist
+    from vectordb_testbricks_spark.operators.search import knn_search
+    base = shared_persist(spark.range(n).select(
+        F.col("id").alias("pk"),
+        gen_vector_fast(11, F.col("id"), 16).alias("embedding")))
+    qs = None
+    for qid, pk0 in enumerate((0, n // 4, n // 2, 3 * n // 4)):
+        one = spark.range(pk0, pk0 + 1).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            to_double_array(gen_vector_fast(11, F.col("id"), 16))
+            .alias("qvec"))
+        qs = one if qs is None else qs.unionByName(one)
+    return knn_search(base, qs, "embedding", "pk", metric="COSINE",
+                      k=100, impl=impl)
+
+
 def v_ivf_1m(spark, sf_dir):
     """Bench-only scale evidence for the IVF design (the v_ivf_cosine
     fixture is 2k vectors): build the index over 1M seeded 16-dim vectors

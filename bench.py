@@ -254,7 +254,8 @@ def _stages_since(spark, watermark: int) -> dict:
 # (judge r08 #7: the r08 tail's streaming stages showed run 262.8s /
 # cpu 3.2s and would read as contention under the bare run>>cpu rule).
 _STREAMING_ENTRIES = ("st_stream_1m", "st_sessionize_1m")
-_ARROW_KERNEL_ENTRIES = ("dd_minhash_1m", "dd_ngram_1m", "v_sparse_1m")
+_ARROW_KERNEL_ENTRIES = ("dd_minhash_1m", "dd_ngram_1m", "v_sparse_1m",
+                         "v_knn_1m")
 
 
 def _classify_attempt(entry: str, m: dict) -> str:
@@ -826,7 +827,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         for name in ("dd_minhash_1m", "dd_ngram_1m", "v_ivf_1m",
                      "v_ivf_persisted_1m", "dd_embed_1m", "v_bm25_1m",
-                     "v_sparse_1m", "st_stream_1m", "st_sessionize_1m"):
+                     "v_sparse_1m", "v_knn_1m",
+                     "st_stream_1m", "st_sessionize_1m"):
             if scale_only and name not in scale_only:
                 continue
             fn = getattr(entrymod, name)

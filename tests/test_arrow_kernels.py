@@ -324,3 +324,77 @@ class TestJaccardKernel:
                                            threshold=0.7,
                                            impl=impl).collect())
             assert got_pairs == [(1, 2)], impl
+
+
+class TestKnnKernel:
+    """Identity suite for the dense-scoring kernel (r10): rows, scores,
+    and ranks bit-identical to the JVM HOF expression path."""
+
+    @pytest.mark.parametrize("metric", ["COSINE", "L2", "IP", "HAMMING"])
+    def test_fixture_identical_all_metrics(self, spark, tables, metric):
+        from vectordb_testbricks_spark.functions.vector import (
+            to_double_array)
+        from vectordb_testbricks_spark.operators.search import knn_search
+        emb = tables["embeddings"].df
+        q = (emb.filter(F.col("vec_id").isin([0, 5, 9]))
+             .select(F.col("vec_id").alias("query_id"),
+                     to_double_array(F.col("embedding")).alias("qvec")))
+        jvm = knn_search(emb, q, "embedding", "vec_id", metric=metric,
+                         k=7, impl="jvm")
+        ar = knn_search(emb, q, "embedding", "vec_id", metric=metric,
+                        k=7, impl="arrow")
+        assert sorted(map(tuple, jvm.collect())) == \
+            sorted(map(tuple, ar.collect()))
+
+    def test_edges_identical(self, spark):
+        """NULL vector, NULL element, zero-norm (COSINE try_divide ->
+        NULL), NaN element (ranks, NaN greatest), +inf, exact ties
+        (id tie-break), and a filtered search."""
+        rows = [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [1.0, 0.0, 0.0], "a"),       # exact tie with pk 1
+            (3, None, "b"),                  # NULL vector
+            (4, [1.0, None, 0.0], "b"),      # NULL element
+            (5, [0.0, 0.0, 0.0], "a"),       # zero norm
+            (6, [float("nan"), 1.0, 0.0], "a"),   # NaN scores rank
+            (7, [float("inf"), 1.0, 0.0], "b"),   # inf scores
+            (8, [0.5, 0.5, 0.0], "a"),
+        ]
+        base = spark.createDataFrame(
+            rows, "pk bigint, v array<double>, tag string")
+        q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                                  "query_id int, qvec array<double>")
+        from vectordb_testbricks_spark.operators.search import knn_search
+        for metric in ("COSINE", "L2", "IP", "HAMMING"):
+            for flt in (None, 'tag == "a"'):
+                jvm = knn_search(base, q, "v", "pk", metric=metric, k=8,
+                                 flt=flt, output_fields=["tag"],
+                                 impl="jvm").collect()
+                ar = knn_search(base, q, "v", "pk", metric=metric, k=8,
+                                flt=flt, output_fields=["tag"],
+                                impl="arrow").collect()
+                def key(rs):
+                    return [(r["query_id"], r["pk"], r["tag"], r["rank"],
+                             repr(r["score"])) for r in rs]
+                assert sorted(key(jvm)) == sorted(key(ar)), (metric, flt)
+
+    def test_null_query_vector_and_null_query_element(self, spark, tables):
+        from vectordb_testbricks_spark.operators.search import knn_search
+        emb = tables["embeddings"].df
+        dim = len(emb.select("embedding").first()[0])
+        q = spark.createDataFrame(
+            [(0, None), (1, [1.0] * (dim - 1) + [None])],
+            f"query_id int, qvec array<double>")
+        for impl in ("jvm", "arrow"):
+            got = knn_search(emb, q, "embedding", "vec_id",
+                             metric="COSINE", k=3, impl=impl).collect()
+            assert got == [], impl
+
+    def test_unknown_impl_raises(self, spark, tables):
+        from vectordb_testbricks_spark.operators.search import knn_search
+        emb = tables["embeddings"].df
+        with pytest.raises(ValueError, match="knn"):
+            knn_search(emb, emb.limit(1).select(
+                F.lit(0).alias("query_id"),
+                F.col("embedding").alias("qvec")),
+                "embedding", "vec_id", impl="bogus")

@@ -253,3 +253,249 @@ def sparse_postings_arrow(base: DataFrame, map_col: str, id_col: str,
                 {id_col: ids, key_col: keys, weight_col: weights})
 
     return base.select(id_col, map_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------- dense kNN kernel
+
+def _seq_sum(mat):
+    """Left-to-right fold over the dim axis — the exact summation ORDER
+    of the JVM twin (``F.aggregate``'s sequential lambda: ((0.0 + p0) +
+    p1) + ...). numpy's own reductions use pairwise summation, which can
+    differ in the last ulp and would break the bit-for-bit contract."""
+    import numpy as np
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j]
+    return acc
+
+
+def _dense_scores(mat, q, metric):
+    """(B, d) float64 rows vs one length-d float64 query, with the JVM
+    expression tree's exact op order per metric (functions/vector.py):
+    IP = fold(x*y); L2 = fold((x-y)^2); COSINE =
+    try_divide(fold(x*y), sqrt(fold(x*x)) * sqrt(fold(y*y)));
+    HAMMING = sum over sign-bit disagreement. Returns (scores float64,
+    null_mask) — null_mask marks COSINE zero-denominator rows (the
+    try_divide -> NULL edge); arithmetic NaN/inf flow through as
+    values, exactly like the JVM."""
+    import numpy as np
+    m = metric.upper()
+    if m == "IP":
+        return _seq_sum(mat * q[None, :]), None
+    if m == "L2":
+        d = mat - q[None, :]
+        return _seq_sum(d * d), None
+    if m == "COSINE":
+        dots = _seq_sum(mat * q[None, :])
+        na = np.sqrt(_seq_sum(mat * mat))
+        nq = float(np.sqrt(_seq_sum((q * q)[None, :])[0]))
+        denom = na * nq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = dots / denom
+        return scores, denom == 0.0
+    if m == "HAMMING":
+        # Spark orders NaN greater than any double, so the JVM's
+        # `x >= 0` is TRUE for NaN elements; numpy says False — OR in
+        # the isnan mask to match. Integer score, like the JVM's
+        # bigint fold.
+        sa = (mat >= 0) | np.isnan(mat)
+        sq = (q >= 0) | np.isnan(q)
+        bits = sa != sq[None, :]
+        return bits.sum(axis=1).astype(np.int64), None
+    raise ValueError(f"unsupported metric {metric!r}")
+
+
+def _topk_local(ids, scores, k, asc):
+    """Indices of the k best rows under Spark's EXACT ranking order
+    (search._ranked): score asc/desc with NaN greatest in both
+    directions (Spark's double total order), ties broken by id
+    ascending. NULL scores must be dropped by the caller."""
+    import numpy as np
+    isnan = (np.isnan(scores) if scores.dtype.kind == "f"
+             else np.zeros(len(scores), dtype=bool))
+    if asc:
+        primary = np.where(isnan, np.inf, scores)
+        secondary = isnan.astype(np.int8)         # real +inf before NaN
+    else:
+        primary = np.where(isnan, -np.inf, -scores)
+        secondary = (~isnan).astype(np.int8)      # NaN before real +inf
+    order = np.lexsort((ids, secondary, primary))
+    return order[:k]
+
+
+def knn_scores_arrow(base, queries_rows, vec_col: str, id_col: str,
+                     metric: str, k: int,
+                     output_fields: list[str] | None = None):
+    """Per-partition partial top-k of brute-force dense scoring as an
+    Arrow-batched numpy kernel — the fourth kernel of the slow-mode
+    family: the JVM scoring path is an interpreted ``aggregate``/
+    ``zip_with`` HOF chain (HOFs never enter whole-stage codegen), the
+    same expression class the r08-localized HotSpot slow mode lived in.
+
+    Emits (query_id, id, [output_fields...], score) with AT MOST
+    nq x k rows per input partition — the same map-side bound the
+    WindowGroupLimit Partial gives the JVM plan; callers finish with
+    search._ranked for the exact global window (identical scores in,
+    identical rows and ranks out).
+
+    Exactness contract (tests/test_arrow_kernels.py): scores are
+    bit-for-bit the JVM expression values — float64 products in the
+    JVM's sequential fold order (:func:`_seq_sum`), IEEE sqrt/divide,
+    COSINE's try_divide zero-denominator -> NULL; rows whose vector is
+    NULL or contains a NULL element score NULL and never rank. Arrow ->
+    pandas turns a null ELEMENT inside a float array into NaN —
+    indistinguishable from a real NaN value, which ranks (NaN is
+    greatest in Spark's double order) while NULL must not — so the
+    null-element mask is computed JVM-side (``exists(v, isnull)``, a
+    cheap codegen predicate) and shipped through the batch.
+
+    ``queries_rows`` is the collected tiny query side
+    ([(query_id, qvec), ...] — nq is small by the same contract that
+    lets the JVM path broadcast it). Queries whose qvec is NULL or
+    contains a NULL element score NULL everywhere (zip_with semantics)
+    and are skipped wholesale.
+    """
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    keep = list(dict.fromkeys([id_col, *(output_fields or [])]))
+    qid_type = None
+    qs = []
+    for row in queries_rows:
+        qid, qvec = row[0], row[1]
+        if qvec is None or any(v is None for v in qvec):
+            continue
+        qs.append((qid, np.asarray([float(v) for v in qvec],
+                                   dtype=np.float64)))
+    fields = [T.StructField("query_id", T.IntegerType())]
+    for name in keep:
+        fields.append(T.StructField(name, base.schema[name].dataType))
+    # HAMMING's JVM fold is a bigint sum; the float metrics are double
+    fields.append(T.StructField(
+        "score", T.LongType() if metric.upper() == "HAMMING"
+        else T.DoubleType()))
+    # pandas -> Arrow converts a float64 NaN into a NULL — but a NaN
+    # score is a real value that RANKS (greatest) while NULL must not,
+    # so the NaN-ness ships as a flag and the caller rebuilds the NaN
+    fields.append(T.StructField("_nan", T.BooleanType()))
+    out_schema = T.StructType(fields)
+    asc = metric.upper() in ("L2", "HAMMING")
+
+    src = base.select(
+        *keep, F.col(vec_col).alias("_vec"),
+        (F.col(vec_col).isNull()
+         | F.coalesce(F.exists(vec_col, lambda x: x.isNull()),
+                      F.lit(False))).alias("_null_vec"))
+
+    def gen(batches):
+        import pandas as pd
+        # per-query accumulators across this partition's batches; re-
+        # pruned to k whenever they grow past 4k so memory stays O(nq*k)
+        acc = {qid: [] for qid, _ in qs}   # qid -> list of (ids, keeps, scores)
+
+        def prune(qid, final=False):
+            parts = acc[qid]
+            if not parts:
+                return None
+            ids = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[2] for p in parts])
+            keeps = [np.concatenate([p[1][i] for p in parts])
+                     for i in range(len(keep) - 1)]
+            take = _topk_local(ids, scores, k, asc)
+            pruned = (ids[take], [c[take] for c in keeps], scores[take])
+            acc[qid] = [pruned]
+            return pruned if final else None
+
+        for pdf in batches:
+            null_vec = pdf["_null_vec"].to_numpy(dtype=bool)
+            vecs = pdf["_vec"].tolist()
+            ids_all = pdf[keep[0]].to_numpy()
+            keeps_all = [pdf[c].to_numpy() for c in keep[1:]]
+            if not qs:
+                continue
+            d = len(qs[0][1])
+            ok = np.fromiter(
+                ((not nv) and v is not None and len(v) == d
+                 and not (isinstance(v, np.ndarray) and v.dtype == object)
+                 for nv, v in zip(null_vec, vecs)),
+                dtype=bool, count=len(vecs))
+            if not ok.any():
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v, o in zip(vecs, ok) if o])
+            ids = ids_all[ok]
+            keeps = [c[ok] for c in keeps_all]
+            for qid, q in qs:
+                if len(q) != d:
+                    continue
+                scores, nullm = _dense_scores(mat, q, metric.upper())
+                if nullm is not None and nullm.any():
+                    good = ~nullm
+                    s_ids, s_scores = ids[good], scores[good]
+                    s_keeps = [c[good] for c in keeps]
+                else:
+                    s_ids, s_scores, s_keeps = ids, scores, keeps
+                if not len(s_ids):
+                    continue
+                take = _topk_local(s_ids, s_scores, k, asc)
+                acc[qid].append((s_ids[take],
+                                 [c[take] for c in s_keeps],
+                                 s_scores[take]))
+                if len(acc[qid]) > 4:
+                    prune(qid)
+        frames = []
+        for qid, _ in qs:
+            top = prune(qid, final=True)
+            if top is None:
+                continue
+            data = {"query_id": np.full(len(top[0]), qid),
+                    keep[0]: top[0]}
+            for name, col in zip(keep[1:], top[1]):
+                data[name] = col
+            data["score"] = top[2]
+            data["_nan"] = (np.isnan(top[2])
+                            if top[2].dtype.kind == "f"
+                            else np.zeros(len(top[2]), dtype=bool))
+            frames.append(pd.DataFrame(data))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def knn_search_arrow(base, queries, vec_col: str, id_col: str,
+                     metric: str = "L2", k: int = 10,
+                     flt=None, output_fields: list[str] | None = None):
+    """Arrow-kernel twin of ``search.knn_search`` (non-grouping path):
+    identical rows, scores, and ranks — the kernel replaces only the
+    scoring + map-side partial top-k; the pre-filter compiles exactly
+    like the JVM path and the final exact window IS the JVM path's
+    (search._ranked). The query side is collected driver-side (tiny by
+    the broadcast contract). Selected via knn_search(impl="arrow") or
+    env SPARK_GRAFT_KNN_IMPL."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from vectordb_testbricks_spark.exprlang import compile_expr
+    from vectordb_testbricks_spark.operators.search import _ranked
+
+    if flt is not None:
+        pred = flt if isinstance(flt, Column) else compile_expr(flt, base)
+        base = base.filter(pred)
+    qrows = [(r["query_id"], r["qvec"])
+             for r in queries.select("query_id", "qvec").collect()]
+    cand = knn_scores_arrow(base, qrows, vec_col, id_col, metric, k,
+                            output_fields)
+    # restore the query_id column's declared type (the kernel emits int)
+    # and rebuild real NaN scores from the shipped flag (see the _nan
+    # field note in knn_scores_arrow)
+    qt = queries.schema["query_id"].dataType
+    cand = cand.withColumn("query_id", F.col("query_id").cast(qt))
+    if metric.upper() != "HAMMING":     # integer scores carry no NaN
+        cand = cand.withColumn(
+            "score", F.when(F.col("_nan"),
+                            F.lit(float("nan")).cast("double"))
+            .otherwise(F.col("score")))
+    cand = cand.drop("_nan")
+    return _ranked(cand, id_col, metric.upper() in ("L2", "HAMMING"), k)
