@@ -540,11 +540,11 @@ _SQL_HAM = ("list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.q
             " x -> CASE WHEN (x[1] >= 0) <> (x[2] >= 0) THEN 1 ELSE 0 END))")
 
 
-def _knn(spark, sf_dir, metric, flt=None, with_label=False):
+def _knn(spark, sf_dir, metric, flt=None, with_label=False, impl=None):
     from vectordb_testbricks_spark.operators.search import knn_search
     emb, q = _emb_queries(spark, sf_dir)
     hits = knn_search(emb, q, "embedding", "vec_id", metric=metric, k=10,
-                      flt=flt,
+                      flt=flt, impl=impl,
                       output_fields=["label"] if with_label else None)
     lbl = ["label"] if with_label else []
     return hits.select("query_id", "vec_id", *lbl,
@@ -1029,7 +1029,16 @@ def v_knn_metrics(spark, sf_dir):
     search_permanently.py output_fields surface folded in (formerly the
     separate ``v_knn_fields`` entry; folded so the registry fits the
     driver's 50-row correctness budget). Scores cast to double so the
-    integer HAMMING popcount unions cleanly with the float metrics."""
+    integer HAMMING popcount unions cleanly with the float metrics.
+
+    ``A_<metric>`` branches (r10): the same four searches routed through
+    the dense Arrow kernel (knn_search(impl="arrow") —
+    operators/arrow_kernels.knn_scores_arrow), oracled against the SAME
+    per-metric SQL. The kernel claims bit-for-bit twin-ness with the JVM
+    expression path; putting it behind the driver's DuckDB hash every
+    round is the dd_minhash discipline (an identity suite proves the
+    twin once; the oracle row keeps proving it against an independent
+    engine per round)."""
     out = None
     hits = None
     for m in ("L2", "IP", "COSINE", "HAMMING"):
@@ -1048,6 +1057,12 @@ def v_knn_metrics(spark, sf_dir):
                         "label",
                         F.col("score").cast("double").alias("score"), "rank"))
         out = part if out is None else out.unionByName(part)
+        apart = (_knn(spark, sf_dir, m, with_label=True, impl="arrow")
+                 .select(F.lit("A_" + m).alias("metric"), "query_id",
+                         "vec_id", "label",
+                         F.col("score").cast("double").alias("score"),
+                         "rank"))
+        out = out.unionByName(apart)
     # V12 fold ('SHAPE' branch): the reference's result-shape checks
     # (workload.py:155-162 — nq hit lists, each exactly k rows, ids unique
     # within a list, scores non-increasing with rank) computed over the
@@ -1125,11 +1140,18 @@ FROM (
 ) c
 """
 
+# A_<metric> rows: the Arrow-kernel branches share each metric's SQL
+# verbatim — the kernel's bit-for-bit twin contract means the oracle
+# must not need a separate lowering, only the label changes.
 SQL_V_KNN_METRICS = "\nUNION ALL\n".join([
     _metric_knn_sql("L2", _SQL_L2, "ASC", "ROUND(score, 4)"),
     _metric_knn_sql("IP", _SQL_DOT, "DESC", "ROUND(score, 4)"),
     _metric_knn_sql("COSINE", _SQL_COS, "DESC", "ROUND(score, 4)"),
     _metric_knn_sql("HAMMING", _SQL_HAM, "ASC", "CAST(score AS BIGINT)"),
+    _metric_knn_sql("A_L2", _SQL_L2, "ASC", "ROUND(score, 4)"),
+    _metric_knn_sql("A_IP", _SQL_DOT, "DESC", "ROUND(score, 4)"),
+    _metric_knn_sql("A_COSINE", _SQL_COS, "DESC", "ROUND(score, 4)"),
+    _metric_knn_sql("A_HAMMING", _SQL_HAM, "ASC", "CAST(score AS BIGINT)"),
     _SQL_KNN_SHAPE,
 ])
 
