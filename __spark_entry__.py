@@ -727,8 +727,14 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     oracled by dd_ngram_jaccard."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     docs = _gen_docs_arrow(spark, n, uniq)
+    # order="code": the shuffle-free posting build (blacklist broadcast +
+    # Arrow prefix kernel) — kills the df join and the per-doc window
+    # sort, the two stages that spilled ~55 GB at 10M under the rarity
+    # order (BASELINE.md scaling model). Pair set identical (exact
+    # verify); the dd_ngram_jaccard oracle pins BOTH orders at sf0.01.
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7,
-                               max_df=50, min_shared=2, impl="arrow")
+                               max_df=50, min_shared=2, impl="arrow",
+                               order="code")
 
 
 def dd_ngram_10m(spark, sf_dir):
@@ -2922,20 +2928,34 @@ FROM comps c JOIN csize s USING (component)
 def dd_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dups via a frequency-capped inverted shingle
     index with AllPairs/PPJoin prefix + positional filtering (max_df =
-    50; each doc posts its first ⌊0.3·|codes|⌋+1 codes under the rarity
-    order — df asc, code tie-break — so prefixes carry rare codes and
-    join fan-out collapses), threshold 0.7. The persisted posting table
-    is the inverted index; steady-state searches reuse it. min_shared =
-    2 is the precision lever on top: the prefix lemma guarantees 1
-    shared prefix code at the threshold, but requiring 2 cuts candidates
-    while every true ≥0.7 pair shares well over 2 (re-verified under the
-    rarity order: identical final rows as min_shared=1 at sf0.01 AND
-    sf0.1)."""
+    50; each doc posts its first ⌊0.3·|codes|⌋+1 codes), threshold 0.7.
+    The persisted posting table is the inverted index; steady-state
+    searches reuse it. min_shared = 2 is the precision lever on top:
+    the prefix lemma guarantees 1 shared prefix code at the threshold,
+    but requiring 2 cuts candidates while every true ≥0.7 pair shares
+    well over 2 (re-verified: identical final rows as min_shared=1 at
+    sf0.01 AND sf0.1, under both orders).
+
+    Two oracled modes, one per prefix total order (the AllPairs lemma
+    holds for any shared total order):
+      * 'rarity' — df asc, code tie-break (canonical fan-out heuristic;
+        the JVM df-join + per-doc-window posting build);
+      * 'code' (r10) — code asc via the shuffle-free Arrow posting
+        kernel + pigeonhole blacklist (dedup._code_order_postings, the
+        scale path of the 1M/10M entries) — putting the kernel build
+        behind the driver's DuckDB hash every round, with its own SQL
+        lowering (ROW_NUMBER ordered by code alone)."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
-    pairs = ngram_jaccard_pairs(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                                n=3, threshold=0.7, max_df=50, min_shared=2,
-                                prefix=True)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    base = _doubled_docs(spark, sf_dir)
+    out = None
+    for mode, kw in (("rarity", {}),
+                     ("code", {"order": "code", "impl": "arrow"})):
+        p = ngram_jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.7,
+                                max_df=50, min_shared=2, prefix=True, **kw)
+        p = p.select(F.lit(mode).alias("mode"), "id_a", "id_b",
+                     F.round("jaccard", 6).alias("jaccard"))
+        out = p if out is None else out.unionByName(p)
+    return out
 
 
 # the prefix multiplier must be the SAME ieee double in both engines:
@@ -2943,7 +2963,12 @@ def dd_ngram_jaccard(spark, sf_dir):
 # DECIMAL in DuckDB and floors differently at exact-integer boundaries)
 _NGRAM_PFX = repr(1.0 - 0.7)
 
-SQL_DD_NGRAM = f"""
+
+def _sql_dd_ngram(mode: str, ord_: str) -> str:
+    """One dd_ngram mode lowering; ``ord_`` is the posting ROW_NUMBER
+    order — the only thing the prefix total order changes."""
+    return f"""
+SELECT '{mode}' AS mode, id_a, id_b, jaccard FROM (
 WITH {_SQL_D2},
 {_SQL_CODES},
 sh AS (SELECT doc_id, code,
@@ -2952,7 +2977,7 @@ sh AS (SELECT doc_id, code,
 dfreq AS (SELECT code, COUNT(*) AS df FROM sh GROUP BY code),
 posting AS (SELECT sh.doc_id, sh.code, sh.sz,
                    ROW_NUMBER() OVER (PARTITION BY sh.doc_id
-                                      ORDER BY dfreq.df, sh.code) - 1 AS pos
+                                      ORDER BY {ord_}) - 1 AS pos
             FROM sh JOIN dfreq USING (code)
             WHERE dfreq.df <= 50
             QUALIFY pos < floor(CAST({_NGRAM_PFX} AS DOUBLE) * sh.sz) + 1),
@@ -2976,7 +3001,13 @@ jac AS (
   JOIN sizes na ON na.doc_id = i.id_a
   JOIN sizes nb ON nb.doc_id = i.id_b)
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.7
-"""
+)"""
+
+
+SQL_DD_NGRAM = "\nUNION ALL\n".join([
+    _sql_dd_ngram("rarity", "dfreq.df, sh.code"),
+    _sql_dd_ngram("code", "sh.code"),
+])
 
 
 def dd_embed_cosine(spark, sf_dir):

@@ -151,6 +151,12 @@ def _host_probe() -> dict:
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
         out["busy_jiffies"] = total - idle
         out["total_jiffies"] = total
+        # steal(7): jiffies the HYPERVISOR ran someone else while this
+        # VM had runnable work — the direct signature of an external
+        # slow window on a shared host (in-VM ps shows nothing, loadavg
+        # only decays; steal is the counter that actually moves)
+        if len(vals) > 7:
+            out["steal_jiffies"] = vals[7]
     except (OSError, ValueError, IndexError):
         pass
     return out
@@ -175,6 +181,9 @@ def _host_load(p0: dict, p1: dict) -> dict:
             # * ncpu = average busy cores over the interval
             out["busy_cores_avg"] = round(ncpu * db / dt, 1)
             out["ncpu"] = ncpu
+            if "steal_jiffies" in p0 and "steal_jiffies" in p1:
+                ds = p1["steal_jiffies"] - p0["steal_jiffies"]
+                out["steal_cores_avg"] = round(ncpu * ds / dt, 2)
     return out
 
 

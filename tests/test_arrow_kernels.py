@@ -121,6 +121,91 @@ class TestNgramKernelPath:
                                 impl="simd").collect()
 
 
+class TestPrefixPostingsKernel:
+    """r10: the code-total-order posting build — the kernel must be a
+    row-for-row twin of the JVM window path (same sz/pos/code set), and
+    the final pair set must be identical to the rarity order's."""
+
+    @pytest.mark.parametrize("max_df", [50, 3])
+    def test_postings_identical_to_jvm_twin(self, spark, tables,
+                                            edge_docs, max_df):
+        from vectordb_testbricks_spark.operators.dedup import (
+            _code_order_postings, _token_codes)
+        docs = tables["documents"].df.select("doc_id", "text")
+        doubled = docs.unionByName(docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+        # edge docs fold in the NULL-text ([NULL] codes), empty and
+        # sub-shingle rows; max_df=3 forces a NON-empty blacklist
+        # through the pigeonhole path
+        corpus = doubled.unionByName(
+            edge_docs.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                             "text"))
+        codes = _token_codes(corpus, "doc_id", "text", 3)
+        jvm = sorted(map(tuple, _code_order_postings(
+            codes, "doc_id", 0.7, max_df, "jvm").collect()))
+        ar = sorted(map(tuple, _code_order_postings(
+            codes, "doc_id", 0.7, max_df, "arrow").collect()))
+        assert jvm == ar
+        assert len(jvm) > 0
+
+    def test_order_equivalence_final_pairs(self, spark, tables):
+        from vectordb_testbricks_spark.operators.dedup import (
+            ngram_jaccard_pairs)
+        docs = tables["documents"].df.select("doc_id", "text")
+        doubled = docs.unionByName(docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+
+        def pairs(**kw):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    doubled, "doc_id", "text", n=3, threshold=0.7,
+                    max_df=50, **kw).collect())
+
+        rarity = pairs(order="rarity", impl="jvm")
+        code_a = pairs(order="code", impl="arrow")
+        code_j = pairs(order="code", impl="jvm")
+        assert rarity == code_a == code_j
+        assert len(rarity) > 0
+
+    def test_local_heavy_codes_pigeonhole_superset(self, spark):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            local_heavy_codes_arrow)
+        # 40 distinct docs; doc text i repeated (i % 7) + 1 times so
+        # several codes cross any small df threshold
+        rows = [(i * 100 + j, f"alpha beta w{i} x{i} y{i} z{i}")
+                for i in range(40) for j in range((i % 7) + 1)]
+        # pigeonhole validity needs P <= max_df: df > 3 over 2
+        # partitions forces a local count >= ceil(4/2) = 2 somewhere
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string") \
+            .repartition(2)
+        from vectordb_testbricks_spark.operators.dedup import _token_codes
+        codes = _token_codes(docs, "doc_id", "text", 3).persist()
+        max_df = 3
+        exact_heavy = {
+            r["code"] for r in codes.select(F.explode("codes").alias("code"))
+            .groupBy("code").count().filter(F.col("count") > max_df)
+            .collect()}
+        assert exact_heavy              # the fixture must exercise it
+        cand = {r["code"] for r in
+                local_heavy_codes_arrow(codes, 2).distinct().collect()}
+        assert exact_heavy <= cand      # exact superset (pigeonhole)
+        codes.unpersist()
+
+    def test_local_heavy_min_local_one_raises(self, spark, edge_docs):
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            local_heavy_codes_arrow)
+        with pytest.raises(ValueError, match="min_local"):
+            local_heavy_codes_arrow(edge_docs.limit(1), 1)
+
+    def test_unknown_order_raises(self, spark, edge_docs):
+        from vectordb_testbricks_spark.operators.dedup import (
+            ngram_jaccard_pairs)
+        with pytest.raises(ValueError, match="unknown order"):
+            ngram_jaccard_pairs(edge_docs, "doc_id", "text",
+                                order="df").collect()
+
+
 SPARSE_ROWS = [
     (1, {0: 1.0, 5: 2.5, 9: -0.75}),
     (2, {5: 0.25}),

@@ -37,6 +37,23 @@ def shared_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_barrier(df: DataFrame) -> DataFrame:
+    """:func:`shared_persist` plus one bounded ``count()`` action, so the
+    returned DataFrame's cache is fully BUILT, not merely registered.
+
+    Use before self-joins over an expensive intermediate: AQE submits a
+    join's two shuffle legs concurrently, and two concurrent stages over
+    a not-yet-materialized cache race each other partition-by-partition
+    — each leg mostly computes the full input itself (measured in the
+    n-gram pipeline at 10M docs: twin stages writing the identical 60M
+    posting exchange rows, ~1,100 executor-CPU-s each). One count()
+    first makes both legs read the warm cache; it costs a scan of the
+    cached bytes, never a second compute."""
+    df = shared_persist(df)
+    df.count()
+    return df
+
+
 # logical-plan nodes whose presence means the input already went (or will
 # go) through a shuffle — its width is governed by shuffle.partitions, so
 # widening is pointless and probing .rdd could trigger AQE stage execution.

@@ -255,6 +255,143 @@ def sparse_postings_arrow(base: DataFrame, map_col: str, id_col: str,
     return base.select(id_col, map_col).mapInPandas(gen, out_schema)
 
 
+def local_heavy_codes_arrow(codes: DataFrame, min_local: int) -> DataFrame:
+    """Per-partition heavy-code candidates ``(code)``: codes whose count
+    WITHIN one input partition is ≥ ``min_local``, via one ``np.unique``
+    pass over the partition's flattened code arrays.
+
+    Pigeonhole support for the code-order blacklist: with P partitions,
+    a code with global df > t must have local count ≥ ceil((t+1)/P) in
+    at least one partition — so for min_local = ceil((t+1)/P) ≥ 2 the
+    emitted set is an exact candidate SUPERSET of the df-over-t codes,
+    at per-partition numpy cost and with no 100M-row aggregation: the
+    caller exact-counts only these candidates through a broadcast
+    semi-join. Emitting with min_local = 1 would be every distinct code
+    (useless); callers must fall back to a full aggregation when
+    P > t. NULL arrays and NULL elements are skipped (they never
+    post)."""
+    import numpy as np
+
+    if min_local < 2:
+        raise ValueError(
+            f"min_local={min_local} < 2 emits every distinct code — "
+            f"fall back to a full df aggregation instead")
+    out_schema = T.StructType([T.StructField("code", T.LongType(), False)])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        parts: list = []
+        # counts are per PARTITION, so accumulate across this
+        # partition's Arrow batches before the unique pass
+        for pdf in batches:
+            for arr in pdf["codes"]:
+                if arr is None:
+                    continue
+                a = np.asarray(arr)
+                if a.dtype == object:
+                    a = np.asarray([v for v in a if v is not None],
+                                   dtype=np.float64)
+                if a.dtype.kind == "f":
+                    a = a[~np.isnan(a)]
+                if a.size:
+                    parts.append(a.astype(np.int64, copy=False))
+        if not parts:
+            return
+        uniq, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        heavy = uniq[cnt >= min_local]
+        if heavy.size:
+            yield pd.DataFrame({"code": heavy})
+
+    return codes.select("codes").mapInPandas(gen, out_schema)
+
+
+def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
+                          blacklist) -> DataFrame:
+    """AllPairs prefix postings ``(id, sz, pos, code)`` under the **code
+    total order**, as one shuffle-free Arrow pass — the scale path of
+    ``dedup.ngram_candidate_pairs(order="code")``.
+
+    The AllPairs/PPJoin prefix lemma holds for ANY total order shared by
+    all docs; the rarity order (df asc) is only a fan-out heuristic. It
+    is also the expensive part of the posting build: attaching df to
+    every exploded code row is a full-stream shuffle join, and ranking
+    under (df, code) per doc is a second full-stream shuffle + sort —
+    at 10M docs those two stages are where the pipeline's 55 GB sort
+    spill lived. Under the code order both disappear: ``codes`` arrives
+    per-doc, distinct and ascending (``_token_codes`` /
+    ``minhash_codes_sigs`` both sort), so a doc's surviving codes are
+    already in rank order and ``pos`` is just the array index after
+    dropping blacklisted codes. The only remaining global stage is the
+    df aggregation that derives ``blacklist`` (codes with df > max_df) —
+    which the caller collects and this kernel ships as a Spark broadcast.
+
+    Twin contract (tests/test_arrow_kernels.py, vs the JVM code-order
+    window path): sz counts the FULL codes array (NULL elements
+    included, like ``F.size``); NULL arrays and NULL elements never
+    post (the JVM twin's posexplode + isNotNull); prefix length is
+    ``floor((1-threshold)*sz) + 1`` with the same IEEE double product;
+    ``pos`` ranks surviving codes ascending. Precondition: per-doc codes
+    are distinct (equal codes would make the JVM twin's row_number
+    tie-break nondeterministic)."""
+    import math
+
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField(id_col, codes.schema[id_col].dataType),
+        T.StructField("sz", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("code", T.LongType(), False),
+    ])
+    bl = (np.sort(np.asarray(list(blacklist), dtype=np.int64))
+          if len(blacklist) else np.empty(0, dtype=np.int64))
+    bl_bc = codes.sparkSession.sparkContext.broadcast(bl)
+    frac = 1.0 - threshold
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+        blv = bl_bc.value
+        for pdf in batches:
+            ids: list = []
+            szs: list = []
+            poss: list = []
+            outc: list = []
+            for i, arr in zip(pdf[id_col], pdf["codes"]):
+                if arr is None:
+                    continue
+                sz = len(arr)
+                if sz == 0:
+                    continue
+                a = np.asarray(arr)
+                if a.dtype == object:    # mixed None/int elements
+                    a = np.asarray([v for v in a if v is not None],
+                                   dtype=np.float64)
+                if a.dtype.kind == "f":  # Arrow folds null elements to NaN
+                    a = a[~np.isnan(a)]
+                a = np.sort(a.astype(np.int64, copy=False))
+                if blv.size and a.size:
+                    j = np.searchsorted(blv, a)
+                    inb = j < blv.size
+                    hit = np.zeros(a.size, dtype=bool)
+                    hit[inb] = blv[j[inb]] == a[inb]
+                    a = a[~hit]
+                take = a[:math.floor(frac * sz) + 1]
+                if not take.size:
+                    continue
+                ids.extend([i] * take.size)
+                szs.append(np.full(take.size, sz, dtype=np.int32))
+                poss.append(np.arange(take.size, dtype=np.int32))
+                outc.append(take)
+            if ids:
+                yield pd.DataFrame({
+                    id_col: ids,
+                    "sz": np.concatenate(szs),
+                    "pos": np.concatenate(poss),
+                    "code": np.concatenate(outc)})
+
+    return codes.select(id_col, "codes").mapInPandas(gen, out_schema)
+
+
 # ---------------------------------------------------- dense kNN kernel
 
 def _seq_sum(mat):
