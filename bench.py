@@ -162,6 +162,56 @@ def _host_probe() -> dict:
     return out
 
 
+def _first_touch_probe(budget_sec: float = 0.3, chunk_mb: int = 2,
+                       nthreads: int = 4) -> float | None:
+    """Measured CONCURRENT first-touch write throughput in MB/s:
+    ``nthreads`` threads each write one word per 4K page of freshly
+    mmapped chunks until the shared budget elapses (chunks held live so
+    the allocator cannot hand back warm pages; numpy assignment drops
+    the GIL, so the threads genuinely fault in parallel).
+
+    Why this exists (r10, measured): this guest's never-touched pages
+    are lazily backed by the hypervisor, and the fault path CONVOYS
+    under concurrency — single-threaded first-touch runs at 2-3 GB/s,
+    but 32 processes faulting simultaneously collapse to ~2 MB/s EACH
+    (~67 MB/s machine-wide), while warm pages write at ~39 GB/s
+    aggregate. A 32-thread Spark stage allocating fresh buffers (sort
+    pages, cache batches, python-worker arenas) is exactly that
+    pattern, so this number — not loadavg — is the direct signal of
+    the documented 'host slow window'. The probe must be concurrent:
+    a serial probe reads healthy even while the convoy pathology is
+    active. Healthy: >1000 MB/s aggregate. Sick: tens of MB/s. Cost
+    bounded by budget + one in-flight chunk per thread (~1 s worst
+    case). Never bench-fatal."""
+    try:
+        import threading
+
+        import numpy as np
+        touched = [0] * nthreads
+        t0 = time.perf_counter()
+        deadline = t0 + budget_sec
+
+        def toucher(i: int) -> None:
+            bufs = []
+            while time.perf_counter() < deadline:
+                a = np.empty(chunk_mb * 131072, dtype=np.int64)
+                a[::512] = 1                # one write per 4K page
+                bufs.append(a)
+                touched[i] += chunk_mb
+            del bufs
+
+        threads = [threading.Thread(target=toucher, args=(i,))
+                   for i in range(nthreads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        return round(sum(touched) / dt, 1) if dt > 0 else None
+    except Exception:                                   # noqa: BLE001
+        return None
+
+
 def _host_load(p0: dict, p1: dict) -> dict:
     """Measured host activity across an interval, from two _host_probe
     snapshots: average busy CORES (whole machine, all processes) plus
@@ -184,6 +234,11 @@ def _host_load(p0: dict, p1: dict) -> dict:
             if "steal_jiffies" in p0 and "steal_jiffies" in p1:
                 ds = p1["steal_jiffies"] - p0["steal_jiffies"]
                 out["steal_cores_avg"] = round(ncpu * ds / dt, 2)
+    # point sample at interval end: the page-backing health that governed
+    # (and will govern) fresh-allocation-heavy work around this interval
+    ft = _first_touch_probe()
+    if ft is not None:
+        out["first_touch_mb_s"] = ft
     return out
 
 

@@ -269,7 +269,20 @@ def local_heavy_codes_arrow(codes: DataFrame, min_local: int) -> DataFrame:
     semi-join. Emitting with min_local = 1 would be every distinct code
     (useless); callers must fall back to a full aggregation when
     P > t. NULL arrays and NULL elements are skipped (they never
-    post)."""
+    post).
+
+    ``mapInArrow``, not ``mapInPandas``: df counting never needs the
+    per-doc row structure (codes are distinct per doc, so flat
+    occurrences ARE doc frequencies) — the ListArray's flat values
+    buffer is the same data as one contiguous int64 vector, while the
+    pandas lowering hands it over as millions of tiny per-row ndarray
+    views. Both the object churn and, critically, the ALLOCATION volume
+    matter: on this platform concurrently first-touched fresh pages
+    back at ~100 MB/s machine-wide (BASELINE.md r10 'Measured platform
+    constraint'), so the kernel keeps its fresh footprint near 1× the
+    data — flat Arrow buffers, one in-place sort, adjacent-equality dup
+    detection instead of np.unique's ~4× scratch (measured: 83-162 s
+    per 10M first run the allocation-heavy way, 5.6 s warm)."""
     import numpy as np
 
     if min_local < 2:
@@ -279,30 +292,50 @@ def local_heavy_codes_arrow(codes: DataFrame, min_local: int) -> DataFrame:
     out_schema = T.StructType([T.StructField("code", T.LongType(), False)])
 
     def gen(batches: Iterator) -> Iterator:
-        import pandas as pd
-        parts: list = []
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        flats: list = []
         # counts are per PARTITION, so accumulate across this
-        # partition's Arrow batches before the unique pass
-        for pdf in batches:
-            for arr in pdf["codes"]:
-                if arr is None:
-                    continue
-                a = np.asarray(arr)
-                if a.dtype == object:
-                    a = np.asarray([v for v in a if v is not None],
-                                   dtype=np.float64)
-                if a.dtype.kind == "f":
-                    a = a[~np.isnan(a)]
-                if a.size:
-                    parts.append(a.astype(np.int64, copy=False))
-        if not parts:
+        # partition's Arrow batches before the dup pass
+        for batch in batches:
+            col = batch.column(0)
+            # list_flatten drops NULL lists; a null ELEMENT survives as
+            # a null slot, dropped explicitly
+            flat = pc.drop_null(pc.list_flatten(col))
+            if len(flat):
+                flats.append(flat.to_numpy(zero_copy_only=False)
+                             .astype(np.int64, copy=False))
+        if not flats:
             return
-        uniq, cnt = np.unique(np.concatenate(parts), return_counts=True)
-        heavy = uniq[cnt >= min_local]
+        # hand-rolled instead of np.unique(return_counts=True): sort the
+        # concat buffer IN PLACE and take runs of length >= min_local via
+        # adjacent equality. np.unique allocates ~4x the data (flatten
+        # copy, argsorted copy, nonzero index vectors, counts) — and on
+        # this platform FRESH pages are the dominant cost (first-touch
+        # throughput collapses to ~100 MB/s machine-wide when the
+        # hypervisor lazily backs guest memory, measured in BASELINE.md
+        # r10; warm pages write at ~39 GB/s). Keeping the kernel's fresh
+        # footprint at ~1x the data is a 3-4x wall win in that regime.
+        flat = np.concatenate(flats)
+        flats.clear()
+        flat.sort()
+        eq = flat[1:] == flat[:-1]
+        if min_local == 2:
+            heavy = np.unique(flat[1:][eq])
+        else:
+            # run length >= min_local <=> some i where all of
+            # eq[i : i+min_local-1] hold; np.logical_and.reduce over
+            # shifted views keeps it allocation-light
+            k = min_local - 1
+            acc = eq[: len(eq) - k + 1].copy()
+            for off in range(1, k):
+                acc &= eq[off: len(eq) - k + 1 + off]
+            heavy = np.unique(flat[k:][np.flatnonzero(acc)])
         if heavy.size:
-            yield pd.DataFrame({"code": heavy})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(heavy, type=pa.int64())], ["code"])
 
-    return codes.select("codes").mapInPandas(gen, out_schema)
+    return codes.select("codes").mapInArrow(gen, out_schema)
 
 
 def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
