@@ -2948,8 +2948,12 @@ def dd_ngram_jaccard(spark, sf_dir):
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     base = _doubled_docs(spark, sf_dir)
     out = None
+    # 'code' keeps impl at the jvm default so BOTH modes share one
+    # shared_persist'd codes cache (one materialization, two posting
+    # builds); posting_impl="arrow" still puts the posting KERNEL +
+    # pigeonhole blacklist on the oracle path
     for mode, kw in (("rarity", {}),
-                     ("code", {"order": "code", "impl": "arrow"})):
+                     ("code", {"order": "code", "posting_impl": "arrow"})):
         p = ngram_jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.7,
                                 max_df=50, min_shared=2, prefix=True, **kw)
         p = p.select(F.lit(mode).alias("mode"), "id_a", "id_b",

@@ -182,18 +182,22 @@ def _first_touch_probe(budget_sec: float = 0.3, chunk_mb: int = 2,
     a serial probe reads healthy even while the convoy pathology is
     active. Healthy: >1000 MB/s aggregate. Sick: tens of MB/s. Cost
     bounded by budget + one in-flight chunk per thread (~1 s worst
-    case). Never bench-fatal."""
+    case) AND by a per-thread touch cap — at healthy multi-GB/s an
+    uncapped 0.3 s probe would itself back ~2 GB of fresh pages per
+    call, draining the very resource it measures. Never bench-fatal."""
     try:
         import threading
 
         import numpy as np
         touched = [0] * nthreads
+        cap_mb = 64                          # per thread, 256 MB total
         t0 = time.perf_counter()
         deadline = t0 + budget_sec
 
         def toucher(i: int) -> None:
             bufs = []
-            while time.perf_counter() < deadline:
+            while (time.perf_counter() < deadline
+                   and touched[i] < cap_mb):
                 a = np.empty(chunk_mb * 131072, dtype=np.int64)
                 a[::512] = 1                # one write per 4K page
                 bufs.append(a)

@@ -128,15 +128,20 @@ class TestPrefixPostingsKernel:
 
     @pytest.mark.parametrize("max_df", [50, 3])
     def test_postings_identical_to_jvm_twin(self, spark, tables,
-                                            edge_docs, max_df):
+                                            edge_docs, max_df,
+                                            monkeypatch):
+        from vectordb_testbricks_spark.operators import dedup
         from vectordb_testbricks_spark.operators.dedup import (
             _code_order_postings, _token_codes)
+        # force the pigeonhole candidate branch (normally a >=100k-doc
+        # scale escape) so the fixture-scale identity covers it;
+        # max_df=3 makes the blacklist it produces NON-empty
+        monkeypatch.setattr(dedup, "PIGEONHOLE_MIN_ROWS", 0)
         docs = tables["documents"].df.select("doc_id", "text")
         doubled = docs.unionByName(docs.select(
             (F.col("doc_id") + 500000).alias("doc_id"), "text"))
         # edge docs fold in the NULL-text ([NULL] codes), empty and
-        # sub-shingle rows; max_df=3 forces a NON-empty blacklist
-        # through the pigeonhole path
+        # sub-shingle rows
         corpus = doubled.unionByName(
             edge_docs.select((F.col("doc_id") + 2000000).alias("doc_id"),
                              "text"))
