@@ -683,7 +683,7 @@ def dd_minhash_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     docs = _gen_docs_arrow(spark, n, uniq)
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7,
-                             impl="arrow")
+                             impl="arrow", n_docs=n)
 
 
 def dd_minhash_10m(spark, sf_dir):
@@ -730,11 +730,17 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     # order="code": the shuffle-free posting build (blacklist broadcast +
     # Arrow prefix kernel) — kills the df join and the per-doc window
     # sort, the two stages that spilled ~55 GB at 10M under the rarity
-    # order (BASELINE.md scaling model). Pair set identical (exact
-    # verify); the dd_ngram_jaccard oracle pins BOTH orders at sf0.01.
+    # order (BASELINE.md scaling model). min_shared=1 because the prefix
+    # lemma only guarantees 1 shared prefix code at the threshold, so the
+    # final pair set is provably order-independent (min_shared=2 under a
+    # different order could drop a true pair sharing only 1 code-order
+    # prefix code — ADVICE r10); exact-Jaccard verify decides membership
+    # either way, and on this corpus (planted exact copies, df<=2 codes)
+    # the candidate-volume difference is negligible.
+    # The dd_ngram_jaccard oracle pins BOTH orders at sf0.01.
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7,
-                               max_df=50, min_shared=2, impl="arrow",
-                               order="code")
+                               max_df=50, min_shared=1, impl="arrow",
+                               order="code", n_docs=n)
 
 
 def dd_ngram_10m(spark, sf_dir):
@@ -1023,6 +1029,20 @@ def v_sparse_10m(spark, sf_dir):
     return v_sparse_1m(spark, sf_dir, n=10_000_000)
 
 
+def v_sparse_100m(spark, sf_dir):
+    """Third measured decade for the sparse postings family (judge r10
+    task 5): 100M docs × 16 dims ≈ 1.6B postings built, bucket-written,
+    reloaded, probed nq=4 — with the 1M and 10M decades this pins the
+    exactly-linear claim (12.2 B/posting measured at both lower decades)
+    over two orders of magnitude. Disk math: 1.6B postings × 12.2 B ≈
+    20 GB bucketed parquet + the shuffle, inside the box's 80 GB free;
+    the probe stays posting-bounded (~n·nnz/vocab ≈ 53k docs/key) so
+    only the build/write scales. Gated OFF per-round
+    (SPARK_GRAFT_BENCH_STRETCH_100M=1 — one fresh-JVM committed-evidence
+    run like dd_minhash_100m, driver mem raised by the same knob)."""
+    return v_sparse_1m(spark, sf_dir, n=100_000_000)
+
+
 def v_knn_hamming(spark, sf_dir):
     """V1: HAMMING over sign-binarized vectors (BINARY_VECTOR analogue)."""
     return _knn(spark, sf_dir, "HAMMING")
@@ -1168,8 +1188,19 @@ def v_knn_prefilter(spark, sf_dir):
     mode, feature-inventory doc §2 'Search by primary key'): the request
     names pks (5, 9) and no vector — search.search_by_pk looks the
     vectors up from the stored rows (pruned PK-IN point read) and serves
-    the standard COSINE top-k with query_id = the PK."""
-    from vectordb_testbricks_spark.operators.search import search_by_pk
+    the standard COSINE top-k with query_id = the PK.
+
+    'pooled' mode (r11, judge r10 #6): one search served through a
+    ``search.prepare_search_pool`` plan — the prepared-statement
+    infrastructure behind the 600 s sustained artifact
+    (BENCH_SUSTAINED600.json). The pooled DataFrame is executed once
+    here (warm pass), then RETURNED for the driver's collect, so the
+    hash-matched rows come from a RE-execution of the cached analyzed
+    plan — pinning pooled-plan re-execution == fresh-plan semantics
+    every round (the reference driver reuses a fixed query set the same
+    way, go_bench/config.yaml:24)."""
+    from vectordb_testbricks_spark.operators.search import (
+        prepare_search_pool, search_by_pk)
     pre = _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]") \
         .select(F.lit("prefilter").alias("mode"), "*")
     emb = _t(spark, sf_dir, "embeddings")
@@ -1178,7 +1209,16 @@ def v_knn_prefilter(spark, sf_dir):
           .select(F.lit("by_pk").alias("mode"), "query_id", "vec_id",
                   F.round("score", 4).alias("score"),
                   F.col("rank").cast("bigint").alias("rank")))
-    return pre.unionByName(bp)
+    q_side = (emb.filter(F.col("vec_id").isin([0, 1]))
+              .select(F.col("vec_id").alias("query_id"),
+                      to_double_array(F.col("embedding")).alias("qvec")))
+    plan = prepare_search_pool(emb, [q_side], "embedding", "vec_id",
+                               metric="COSINE", k=10)[0]
+    plan.count()                   # first execution warms the pooled plan
+    pooled = plan.select(F.lit("pooled").alias("mode"), "query_id",
+                         "vec_id", F.round("score", 4).alias("score"),
+                         F.col("rank").cast("bigint").alias("rank"))
+    return pre.unionByName(bp).unionByName(pooled)
 
 
 SQL_V_KNN_PREFILTER_MODES = f"""
@@ -1202,7 +1242,18 @@ ranked_pk AS (
   SELECT query_id, vec_id, score,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score DESC, vec_id) AS rank
-  FROM scored_pk)
+  FROM scored_pk),
+qpool AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1)),
+scored_pool AS (
+  SELECT qpool.query_id, e.vec_id,
+         {_SQL_COS.replace("q.qv", "qpool.qv")} AS score
+  FROM embeddings e CROSS JOIN qpool),
+ranked_pool AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored_pool)
 SELECT 'prefilter' AS mode, query_id, vec_id,
        ROUND(score, 4) AS score, rank
 FROM ranked WHERE rank <= 10
@@ -1210,6 +1261,10 @@ UNION ALL
 SELECT 'by_pk' AS mode, query_id, vec_id,
        ROUND(score, 4) AS score, rank
 FROM ranked_pk WHERE rank <= 10
+UNION ALL
+SELECT 'pooled' AS mode, query_id, vec_id,
+       ROUND(score, 4) AS score, rank
+FROM ranked_pool WHERE rank <= 10
 """
 
 
@@ -2726,6 +2781,14 @@ def _doubled_docs(spark, sf_dir):
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
 
 
+def _doubled_docs_count(spark, sf_dir):
+    """Row-count HINT for the dedup pipelines' barrier gate
+    (materialize.barrier_if_large): a raw parquet count — no
+    tokenization, no python — so it is cheap where the barrier's own
+    eager count (full codes/signature build) is not."""
+    return 2 * _t(spark, sf_dir, "documents").count()
+
+
 def dd_exact(spark, sf_dir):
     """Exact dedup: canonical-text hash groups (hash-groupBy, one shuffle)."""
     from vectordb_testbricks_spark.operators.dedup import exact_duplicates
@@ -2767,7 +2830,8 @@ def dd_minhash(spark, sf_dir):
     Jaccard ≥ 0.7 on candidates."""
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     pairs = minhash_lsh_dedup(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                              threshold=0.7, shingle_n=3)
+                              threshold=0.7, shingle_n=3,
+                              n_docs=_doubled_docs_count(spark, sf_dir))
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -2850,7 +2914,8 @@ def dd_simhash_pairs(spark, sf_dir):
         connected_components, simhash_near_dups)
     pairs = shared_persist(
         simhash_near_dups(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                          max_hamming=3, bits=64)
+                          max_hamming=3, bits=64,
+                          n_docs=_doubled_docs_count(spark, sf_dir))
         .select("id_a", "id_b",
                 F.col("hamming").cast("bigint").alias("hamming")))
     comp = connected_components(pairs)
@@ -2947,6 +3012,7 @@ def dd_ngram_jaccard(spark, sf_dir):
         lowering (ROW_NUMBER ordered by code alone)."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
     base = _doubled_docs(spark, sf_dir)
+    nd = _doubled_docs_count(spark, sf_dir)
     out = None
     # 'code' keeps impl at the jvm default so BOTH modes share one
     # shared_persist'd codes cache (one materialization, two posting
@@ -2955,7 +3021,8 @@ def dd_ngram_jaccard(spark, sf_dir):
     for mode, kw in (("rarity", {}),
                      ("code", {"order": "code", "posting_impl": "arrow"})):
         p = ngram_jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.7,
-                                max_df=50, min_shared=2, prefix=True, **kw)
+                                max_df=50, min_shared=2, prefix=True,
+                                n_docs=nd, **kw)
         p = p.select(F.lit(mode).alias("mode"), "id_a", "id_b",
                      F.round("jaccard", 6).alias("jaccard"))
         out = p if out is None else out.unionByName(p)

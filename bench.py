@@ -65,6 +65,25 @@ HEADLINE = [
 ]
 
 
+# paths whose commits define "the engine changed" for artifact freshness
+# (tests/test_bench_contract.py::test_bench_detail_fresh_vs_engine_commits)
+ENGINE_PATHS = ("vectordb_testbricks_spark", "__spark_entry__.py",
+                "bench.py")
+
+
+def _git_out(args: list[str]) -> str | None:
+    """stdout of a git command in the repo root, None on any failure
+    (no git, not a checkout) — stamping must never fail a bench run."""
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(["git", *args], cwd=repo, capture_output=True,
+                           text=True, timeout=30)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return r.stdout.strip() if r.returncode == 0 else None
+
+
 def _require_green_suite() -> dict:
     """CI-style gate: refuse to produce bench numbers over a red test suite
     (round 3 shipped artifacts with 4 known-failing tests). Runs the full
@@ -83,8 +102,16 @@ def _require_green_suite() -> dict:
     # invocation was pointed at
     env = {k: v for k, v in os.environ.items()
            if not k.startswith("SPARK_GRAFT_")}
-    r = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q"],
-                       cwd=repo, capture_output=True, text=True, env=env)
+    # the artifact-freshness test is deselected HERE only: a stale
+    # BENCH_DETAIL.json is exactly what a bench evidence run exists to
+    # replace, and gating that run on the artifact already being fresh
+    # would deadlock re-promotion (every other pytest invocation —
+    # pre-commit, the driver, the judge — still enforces it)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--deselect",
+         "tests/test_bench_contract.py::"
+         "test_bench_detail_fresh_vs_engine_commits"],
+        cwd=repo, capture_output=True, text=True, env=env)
     tail = (r.stdout or "").strip().splitlines()
     summary = tail[-1] if tail else ""
     print(f"# pytest: {summary}", file=sys.stderr, flush=True)
@@ -549,6 +576,12 @@ def _run_draws(n_draws: int) -> None:
         name: [d[1].get("scale", {}).get(name) for d in draws]
         for name in scale_names}
     med_detail["draw_sustained"] = [d[1].get("sustained") for d in draws]
+    med_detail["draw_sustained_pooled"] = [d[1].get("sustained_pooled")
+                                           for d in draws]
+    med_detail["draw_sustained_mixed"] = [d[1].get("sustained_mixed")
+                                          for d in draws]
+    med_detail["draw_concurrency"] = [d[1].get("concurrency")
+                                      for d in draws]
     med_detail["draw_host_load"] = [d[1].get("host_load_headline")
                                     for d in draws]
     # per-draw headline medians + latency bands (judge r09 task 6): the
@@ -575,6 +608,16 @@ def _run_draws(n_draws: int) -> None:
     # the suite when SURVEY's quoted draw totals diverge from the HEAD
     # artifact.
     promote = os.environ.get("SPARK_GRAFT_BENCH_PROMOTE", "0") == "1"
+    # promotion stamp (judge r10 "what's wrong" #1): the r10 artifact was
+    # promoted 5 engine commits before HEAD, so SURVEY's "at HEAD" claim
+    # went stale undetected. The stamp records WHEN (wall clock) and at
+    # WHICH commit the evidence was taken, plus whether engine files were
+    # dirty; tests/test_bench_contract.py fails whenever a later commit
+    # touches vectordb_testbricks_spark/, __spark_entry__.py or bench.py.
+    med_detail["promoted_unix_time"] = int(time.time())
+    med_detail["promoted_at_commit"] = _git_out(["rev-parse", "HEAD"])
+    med_detail["promoted_engine_dirty"] = bool(_git_out(
+        ["status", "--porcelain", "--", *ENGINE_PATHS]))
     _write_detail(med_detail,
                   default_name=("BENCH_DETAIL.json" if promote
                                 else "BENCH_EVIDENCE.tmp.json"))
@@ -714,6 +757,9 @@ def main() -> None:
         from vectordb_testbricks_spark.workload import run_async_searches
 
         _knn_nq((0,)).count()        # plan warm-up outside the timed region
+        hp_c0 = _host_probe()        # own probe (judge r10 task 2): this
+        # block's numbers whipsaw under host convoys and need in-window
+        # self-classification, same as the headline probe
         rep = run_async_searches(
             spark, [lambda i=i: _knn_nq((i,)) for i in range(16)],
             max_workers=8)
@@ -738,6 +784,7 @@ def main() -> None:
                         "runs": [round(b, 3) for b in bruns]},
             "concurrency_qps": round(rep.qps, 2),
             "batched_nq16_qps": round(16.0 / max(batched_sec, 1e-9), 2),
+            "host_load": _host_load(hp_c0, _host_probe()),
         }
         print(f"# concurrency: pool {concurrency['concurrency_qps']} qps "
               f"({rep.successes}/{len(rep.outcomes)} ok, "
@@ -768,6 +815,10 @@ def main() -> None:
             return _knn_nq(((widx * 97 + seq * 13) % 256,))
 
         _sustained_task(0, 0).count()   # plan-path warm-up, untimed
+        hp_s0 = _host_probe()           # own probe (judge r10 task 2):
+        # the ad-hoc closed loop read 2.4-9.8 QPS on IDENTICAL code
+        # across the r10 bisect — without an in-window probe the number
+        # is unusable as a regression signal
         rep = run_sustained_searches(spark, _sustained_task, workers=10,
                                      duration_sec=sustained_sec)
         total_ops = rep.n_searches + rep.failures
@@ -782,11 +833,117 @@ def main() -> None:
             if total_ops else None,
             "qps": round(rep.qps, 2),
             "latency_sec": rep.latency,
+            "host_load": _host_load(hp_s0, _host_probe()),
         }
         print(f"# sustained: {rep.n_searches} searches in "
               f"{rep.duration_sec:.1f}s = {rep.qps:.2f} qps, "
               f"p50={rep.latency.get('p50')} p99={rep.latency.get('p99')} "
               f"failures={rep.failures}", flush=True)
+
+    # prepared-pool serving twin (judge r10 task 2): the SAME closed
+    # loop — 10 workers, rotating nq=1 cosine top-10 — but each request
+    # re-executes one of 32 PREPARED plans (search.prepare_search_pool)
+    # instead of re-building + re-analyzing a fresh DataFrame. This is
+    # the host-ROBUST serving figure: the r10 7-run bisect showed the
+    # ad-hoc loop whipsawing 2.4-9.8 QPS on identical code (first-touch
+    # convoys hit the many-small-driver-jobs path hardest) while the
+    # pooled/batched paths stayed inside their band; it also mirrors the
+    # reference driver's fixed-query-set reuse (go_bench/config.yaml:24).
+    # Each round now reports one host-sensitive number (`sustained`) and
+    # this stable one. Same duration knob; disable with the same env.
+    sustained_pooled: dict = {}
+    if sustained_sec > 0:
+        from vectordb_testbricks_spark.operators.search import (
+            prepare_search_pool)
+        from vectordb_testbricks_spark.workload import run_sustained_searches
+        emb_p, _ = entrymod._emb_queries(spark, sf_dir, ids=(0,))
+        sides = [entrymod._emb_queries(spark, sf_dir, ids=(i,))[1]
+                 for i in range(32)]
+        pool = prepare_search_pool(emb_p, sides, "embedding", "vec_id",
+                                   metric="COSINE", k=10)
+
+        def _pooled_task(widx: int, seq: int):
+            return pool[(widx * 97 + seq * 13) % len(pool)]
+
+        _pooled_task(0, 0).count()      # plan warm-up, untimed
+        hp_p0 = _host_probe()
+        rep = run_sustained_searches(spark, _pooled_task, workers=10,
+                                     duration_sec=sustained_sec)
+        total_ops = rep.n_searches + rep.failures
+        sustained_pooled = {
+            "workers": 10, "nq": 1, "pool_size": len(pool),
+            "duration_sec": round(rep.duration_sec, 1),
+            "searches": rep.n_searches, "failures": rep.failures,
+            "stragglers": rep.stragglers,
+            "success_rate": round(rep.n_searches / total_ops, 6)
+            if total_ops else None,
+            "qps": round(rep.qps, 2),
+            "latency_sec": rep.latency,
+            "host_load": _host_load(hp_p0, _host_probe()),
+        }
+        print(f"# sustained_pooled: {rep.n_searches} searches in "
+              f"{rep.duration_sec:.1f}s = {rep.qps:.2f} qps (32-plan "
+              f"pool), p50={rep.latency.get('p50')} "
+              f"p99={rep.latency.get('p99')} failures={rep.failures}",
+              flush=True)
+
+    # mixed-op sustained loop (judge r10 task 7): the reference's
+    # pressure bricks interleave insert/upsert/delete/query/count/search
+    # (milvus_client/requests/_pressure.py:11-18) — this drives that op
+    # mix closed-loop for SPARK_GRAFT_BENCH_SUSTAINED_MIXED_SEC seconds
+    # (default 90; 0 disables) with 10 workers, each against its own
+    # managed collection (single-writer commit protocol; the reference's
+    # per-process pressure pods have the same shape), exercising the DML
+    # write path under concurrency with the straggler/cancel machinery.
+    sustained_mixed: dict = {}
+    mixed_sec = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_SUSTAINED_MIXED_SEC", "90"))
+    if mixed_sec > 0:
+        import shutil
+        import tempfile
+
+        from vectordb_testbricks_spark.manager import CollectionManager
+        from vectordb_testbricks_spark.schema import FieldSpec, SchemaSpec
+        from vectordb_testbricks_spark.workload import (
+            WorkloadRunner, run_sustained_mixed)
+        wh = tempfile.mkdtemp(prefix="bench_mixed_wh_")
+        mgr = CollectionManager(spark, wh)
+
+        def _make_runner(widx: int) -> WorkloadRunner:
+            name = f"pressure_w{widx}"
+            mgr.create_collection(SchemaSpec(name, [
+                FieldSpec("pk", "INT64", primary=True),
+                FieldSpec("category", "INT64"),
+                FieldSpec("float_1", "DOUBLE"),
+                FieldSpec("varchar_1", "VARCHAR"),
+                FieldSpec("json_1", "JSON"),
+                FieldSpec("embedding", "FLOAT_VECTOR", dim=8),
+            ]))
+            return WorkloadRunner(mgr, name, "pk", vec_col="embedding",
+                                  seed=42 + widx, dim=8)
+
+        hp_m0 = _host_probe()
+        rep = run_sustained_mixed(spark, _make_runner, workers=10,
+                                  duration_sec=mixed_sec, nb=50)
+        sustained_mixed = {
+            "workers": 10, "nb": 50,
+            "duration_sec": round(rep.duration_sec, 1),
+            "total_ops": rep.total_ops,
+            "total_failures": rep.total_failures,
+            "stragglers": rep.stragglers,
+            "success_rate": (round(rep.success_rate, 6)
+                             if rep.success_rate is not None else None),
+            "ops_per_sec": round(rep.ops_per_sec, 2),
+            "ops": rep.ops,
+            "host_load": _host_load(hp_m0, _host_probe()),
+        }
+        print(f"# sustained_mixed: {rep.total_ops} ops in "
+              f"{rep.duration_sec:.1f}s = {rep.ops_per_sec:.2f} ops/s, "
+              f"failures={rep.total_failures} "
+              f"stragglers={rep.stragglers} per-op="
+              + json.dumps({k: v['n'] for k, v in rep.ops.items()}),
+              flush=True)
+        shutil.rmtree(wh, ignore_errors=True)
 
     # the reference's FULL sustained operating point (judge r09 task 3):
     # closed-loop concurrency 10 for 600 s at top_k=15000 with rotating
@@ -979,9 +1136,11 @@ def main() -> None:
         stretch_names = ["dd_minhash_10m", "v_sparse_10m",
                          "v_ivf_persisted_10m", "dd_ngram_10m"]
         if os.environ.get("SPARK_GRAFT_BENCH_STRETCH_100M") == "1":
-            # third decade (judge r09 task 5) — one-shot committed
-            # evidence, ~15-25 min fresh-JVM, off per-round
+            # third decades (judge r09 task 5 / r10 task 5) — one-shot
+            # committed evidence, ~15-25 min fresh-JVM each, off
+            # per-round
             stretch_names.append("dd_minhash_100m")
+            stretch_names.append("v_sparse_100m")
         for name in stretch_names:
             is_100m = name.endswith("_100m")
             # the 100M decade needs the box's real heap: the per-round
@@ -1022,6 +1181,10 @@ def main() -> None:
         detail["concurrency"] = concurrency
     if sustained:
         detail["sustained"] = sustained
+    if sustained_pooled:
+        detail["sustained_pooled"] = sustained_pooled
+    if sustained_mixed:
+        detail["sustained_mixed"] = sustained_mixed
     if sustained600:
         detail["sustained_600s"] = sustained600
     _write_detail(detail)
@@ -1038,6 +1201,8 @@ def main() -> None:
         # one scalar in the driver-captured line; the full latency set
         # lives in the detail artifact
         final["sustained_qps"] = sustained["qps"]
+    if sustained_pooled:
+        final["sustained_pooled_qps"] = sustained_pooled["qps"]
     _emit_final(final)
 
 

@@ -197,6 +197,33 @@ class TestPrefixPostingsKernel:
         assert exact_heavy <= cand      # exact superset (pigeonhole)
         codes.unpersist()
 
+    def test_local_heavy_tiny_partition_high_min_local(self, spark):
+        # ADVICE r10: a partition whose flattened code count is SMALLER
+        # than min_local used to crash the run-length pass (negative
+        # slice stop wrapped around -> non-broadcastable shapes). Real
+        # trigger: max_df=50 over <=12 partitions gives min_local=5 and
+        # one near-empty partition kills the whole blacklist stage.
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            local_heavy_codes_arrow)
+        from vectordb_testbricks_spark.operators.dedup import _token_codes
+        # one doc with 3 shingle codes, forced onto few-row partitions
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "p q r s t")],
+            "doc_id bigint, text string").repartition(8)
+        codes = _token_codes(docs, "doc_id", "text", 3)
+        # min_local=5 > any partition's flat size -> no heavy candidates,
+        # and crucially no ValueError
+        assert local_heavy_codes_arrow(codes, 5).collect() == []
+        # a genuinely heavy code still surfaces when one partition holds
+        # >= min_local copies
+        rows = [(i, "x y z w v") for i in range(12)]
+        heavy_codes = _token_codes(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+            .coalesce(1), "doc_id", "text", 3)
+        got = {r["code"] for r in
+               local_heavy_codes_arrow(heavy_codes, 5).collect()}
+        assert len(got) == 3            # the 3 shared shingle codes
+
     def test_local_heavy_min_local_one_raises(self, spark, edge_docs):
         from vectordb_testbricks_spark.operators.arrow_kernels import (
             local_heavy_codes_arrow)
@@ -209,6 +236,15 @@ class TestPrefixPostingsKernel:
         with pytest.raises(ValueError, match="unknown order"):
             ngram_jaccard_pairs(edge_docs, "doc_id", "text",
                                 order="df").collect()
+
+    def test_unknown_impl_raises(self, spark, edge_docs):
+        # ADVICE r10: a typo like 'Arrow' used to silently take the JVM
+        # path and silently disable the pigeonhole scale escape
+        from vectordb_testbricks_spark.operators.dedup import (
+            ngram_candidate_pairs, _token_codes)
+        codes = _token_codes(edge_docs, "doc_id", "text", 3)
+        with pytest.raises(ValueError, match="unknown impl"):
+            ngram_candidate_pairs(codes, "doc_id", 0.7, impl="Arrow")
 
 
 SPARSE_ROWS = [

