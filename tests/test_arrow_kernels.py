@@ -224,6 +224,22 @@ class TestPrefixPostingsKernel:
                local_heavy_codes_arrow(heavy_codes, 5).collect()}
         assert len(got) == 3            # the 3 shared shingle codes
 
+    def test_postings_null_element_keeps_int64_exact(self, spark):
+        # ADVICE r10: a NULL element used to route the whole code array
+        # through float64, silently rounding codes >= 2^53. The object
+        # branch must stay exact int64 end-to-end.
+        from vectordb_testbricks_spark.operators.arrow_kernels import (
+            prefix_postings_arrow)
+        big = (1 << 60) + 3            # not representable in float64
+        codes = spark.createDataFrame(
+            [(1, [big, None, 5]), (2, None), (3, [])],
+            "doc_id bigint, codes array<bigint>")
+        rows = sorted(map(tuple, prefix_postings_arrow(
+            codes, "doc_id", 0.0, []).collect()))
+        # sz counts the FULL array incl. the NULL slot (F.size twin);
+        # NULL arrays/elements never post; codes survive bit-exact
+        assert rows == [(1, 3, 0, 5), (1, 3, 1, big)]
+
     def test_local_heavy_min_local_one_raises(self, spark, edge_docs):
         from vectordb_testbricks_spark.operators.arrow_kernels import (
             local_heavy_codes_arrow)

@@ -370,7 +370,14 @@ def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
     ``floor((1-threshold)*sz) + 1`` with the same IEEE double product;
     ``pos`` ranks surviving codes ascending. Precondition: per-doc codes
     are distinct (equal codes would make the JVM twin's row_number
-    tie-break nondeterministic)."""
+    tie-break nondeterministic).
+
+    mapInArrow, not mapInPandas (ADVICE r10): Arrow->pandas folds a
+    list<int64> containing a NULL element into a float64 array, which
+    silently rounds codes >= 2^53 before the kernel can see them. In
+    Arrow the list keeps exact int64 values plus a validity bitmap, so
+    NULL elements drop without any float detour — exact for the full
+    int64 code range (a future xxhash64-style code source included)."""
     import math
 
     import numpy as np
@@ -387,35 +394,45 @@ def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
     frac = 1.0 - threshold
 
     def gen(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         blv = bl_bc.value
-        for pdf in batches:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            id_arr = batch.column(0)
+            lc = batch.column(1)
+            ids_py = id_arr.to_pylist()
+            valid = pc.is_valid(lc).to_numpy(zero_copy_only=False) \
+                .astype(bool, copy=False)
+            lens = pc.fill_null(pc.list_value_length(lc), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            lens = np.where(valid, lens, 0)
+            # list_flatten drops NULL LISTS but keeps NULL elements as
+            # null slots; fill_null keeps the array int64 so to_numpy is
+            # exact, and the is_null mask (computed BEFORE the fill)
+            # drops those slots by position, never by value
+            flat = pc.list_flatten(lc)
+            nullm = pc.is_null(flat).to_numpy(zero_copy_only=False) \
+                .astype(bool, copy=False)
+            vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            ends = np.cumsum(lens)
             ids: list = []
             szs: list = []
             poss: list = []
             outc: list = []
-            for i, arr in zip(pdf[id_col], pdf["codes"]):
-                if arr is None:
-                    continue
-                sz = len(arr)
+            for i in range(batch.num_rows):
+                sz = int(lens[i])
                 if sz == 0:
                     continue
-                a = np.asarray(arr)
-                if a.dtype == object:    # mixed None/int elements
-                    # exact int64 — a float64 detour here would silently
-                    # round codes >= 2^53 (ADVICE r10); the kernel's
-                    # contract is a row-for-row twin of the exact-int64
-                    # JVM path
-                    a = np.asarray([v for v in arr if v is not None],
-                                   dtype=np.int64)
-                if a.dtype.kind == "f":
-                    # Arrow->pandas folds null elements to NaN float
-                    # arrays. PRECONDITION of this branch: |code| < 2^53
-                    # (exact in double) — true for every in-repo code
-                    # source (md5 % (2^31-1)); a 64-bit code source must
-                    # arrive null-free or via the object branch above
-                    a = a[~np.isnan(a)]
-                a = np.sort(a.astype(np.int64, copy=False))
+                e = int(ends[i])
+                s = e - sz
+                seg = vals[s:e]
+                nm = nullm[s:e]
+                # np.sort copies — seg is a view into the shared batch
+                # buffer and must never be sorted in place
+                a = np.sort(seg[~nm] if nm.any() else seg)
                 if blv.size and a.size:
                     j = np.searchsorted(blv, a)
                     inb = j < blv.size
@@ -425,18 +442,19 @@ def prefix_postings_arrow(codes: DataFrame, id_col: str, threshold: float,
                 take = a[:math.floor(frac * sz) + 1]
                 if not take.size:
                     continue
-                ids.extend([i] * take.size)
+                ids.extend([ids_py[i]] * take.size)
                 szs.append(np.full(take.size, sz, dtype=np.int32))
                 poss.append(np.arange(take.size, dtype=np.int32))
                 outc.append(take)
             if ids:
-                yield pd.DataFrame({
-                    id_col: ids,
-                    "sz": np.concatenate(szs),
-                    "pos": np.concatenate(poss),
-                    "code": np.concatenate(outc)})
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, type=id_arr.type),
+                     pa.array(np.concatenate(szs), type=pa.int32()),
+                     pa.array(np.concatenate(poss), type=pa.int32()),
+                     pa.array(np.concatenate(outc), type=pa.int64())],
+                    [id_col, "sz", "pos", "code"])
 
-    return codes.select(id_col, "codes").mapInPandas(gen, out_schema)
+    return codes.select(id_col, "codes").mapInArrow(gen, out_schema)
 
 
 # ---------------------------------------------------- dense kNN kernel
