@@ -998,11 +998,28 @@ def v_sparse_1m(spark, sf_dir, n=1_000_000, vocab=30_000, nnz=16):
                 "svec": [dict(zip(k, v))
                          for k, v in zip(keys.tolist(), vals.tolist())]})
 
-    base = spark.range(n).mapInPandas(gen, "pk bigint, svec map<int,double>")
-    model = build_sparse_inverted(base, "svec", "pk", n_buckets=64,
-                                  impl="arrow")
+    # cap the per-task slice at ~400k docs (the proven 10M shape is
+    # 310k/task): spark.range's default 32 partitions hands the 100M
+    # decade 3.1M docs per python worker — 10x the validated working
+    # set, and the decade wedged there (r11); finer tasks also shrink
+    # straggler granularity on a convoy-prone host
+    base = spark.range(0, n, 1, max(32, n // 400_000)) \
+        .mapInPandas(gen, "pk bigint, svec map<int,double>")
     tmp = tempfile.mkdtemp(prefix="vts_sparse1m_")
     try:
+        if n >= 50_000_000:
+            # stage the generated corpus through parquet so no task
+            # chains TWO python runners (corpus gen + postings kernel
+            # fused in one stage): the fused chain wedged ~1 task in 250
+            # at the 100M decade — JVM selector blocked reading one
+            # worker, both workers socket-waiting (r11 thread dumps).
+            # Below this scale the chain has never stalled and the
+            # extra write/read would only add fixture tax.
+            corpus = tmp + "/corpus"
+            base.write.mode("overwrite").parquet(corpus)
+            base = spark.read.parquet(corpus)
+        model = build_sparse_inverted(base, "svec", "pk", n_buckets=64,
+                                      impl="arrow")
         path = tmp + "/idx"
         write_sparse_inverted(model, path)
         reloaded = read_sparse_inverted(spark, path)
