@@ -291,11 +291,20 @@ def test_sustained_searches_cancels_stragglers(spark, tables):
             df = df.mapInPandas(slow, df.schema)
         return df
 
-    t0 = time.monotonic()
-    rep = W.run_sustained_searches(spark, mk, workers=2,
-                                   duration_sec=0.3, grace_sec=1.5)
-    wall = time.monotonic() - t0
-    assert rep.stragglers == 2
+    rep = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        rep = W.run_sustained_searches(spark, mk, workers=2,
+                                       duration_sec=0.3, grace_sec=1.5)
+        wall = time.monotonic() - t0
+        if rep.stragglers == 2:
+            break
+        # transient submit-path errors can fail both searches FAST
+        # instead of hanging them (observed under full-suite
+        # contention: failures=2, stragglers=0, run ends early) — then
+        # the cancellation machinery under test never engages; retry
+        # once rather than asserting on a run that never hung
+    assert rep.stragglers == 2, (rep, wall)
     assert wall < 30.0                  # bounded: not 40 x 0.2s x retries
     # the session stays usable after cancellation
     assert emb.count() == 4
