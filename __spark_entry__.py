@@ -683,7 +683,7 @@ def dd_minhash_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     docs = _gen_docs_arrow(spark, n, uniq)
     return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7,
-                             impl="arrow", n_docs=n)
+                             impl="arrow")
 
 
 def dd_minhash_10m(spark, sf_dir):
@@ -2847,8 +2847,7 @@ def dd_minhash(spark, sf_dir):
     Jaccard ≥ 0.7 on candidates."""
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     pairs = minhash_lsh_dedup(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                              threshold=0.7, shingle_n=3,
-                              n_docs=_doubled_docs_count(spark, sf_dir))
+                              threshold=0.7, shingle_n=3)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
