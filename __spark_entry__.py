@@ -628,7 +628,8 @@ def v_knn_topk15000(spark, sf_dir):
     return knn_search(base, qs, "embedding", "pk", metric="COSINE", k=15000)
 
 
-def _gen_docs_arrow(spark, n, uniq, words_per_doc=20, vocab=50_000):
+def _gen_docs_arrow(spark, n, uniq, words_per_doc=20, vocab=50_000,
+                    nparts=None):
     """Seeded 20-word corpus for the dedup scale entries, generated by an
     Arrow-batched numpy kernel: word_i(doc) = splitmix64(tid·W + i) %
     vocab (tid folds ids ≥ uniq back onto their source doc, so docs
@@ -663,7 +664,12 @@ def _gen_docs_arrow(spark, n, uniq, words_per_doc=20, vocab=50_000):
             texts = [" ".join(wordlist[j] for j in row) for row in w]
             yield pd.DataFrame({"doc_id": ids.tolist(), "text": texts})
 
-    return spark.range(n).mapInPandas(gen, "doc_id bigint, text string")
+    # nparts caps the per-task slice at the 100M decade (v_sparse_100m
+    # lesson, r11: spark.range's default 32 partitions hand 3.1M docs to
+    # one python worker — 10x the validated 10M working set); None keeps
+    # the default so the 1M/10M measured baselines stay comparable.
+    rng = (spark.range(0, n, 1, nparts) if nparts else spark.range(n))
+    return rng.mapInPandas(gen, "doc_id bigint, text string")
 
 
 def dd_minhash_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
@@ -712,6 +718,13 @@ def dd_minhash_100m(spark, sf_dir):
     return dd_minhash_1m(spark, sf_dir, n=100_000_000, uniq=90_000_000)
 
 
+# Corpus docs at/above this count are parquet-staged with capped task
+# slices before the ngram pipeline (the v_sparse_100m double-python-
+# runner fix); module constant so the staged path is testable at
+# fixture scale (tests monkeypatch it down).
+_NGRAM_STAGE_MIN_DOCS = 50_000_000
+
+
 def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     """Bench-only scale evidence for the AllPairs inverted-index design
     (the dd_ngram_jaccard fixture is 10k docs; this runs the identical
@@ -726,7 +739,27 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     in the per-round budget) — correctness of the pipeline itself is
     oracled by dd_ngram_jaccard."""
     from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
-    docs = _gen_docs_arrow(spark, n, uniq)
+    if n >= _NGRAM_STAGE_MIN_DOCS:
+        # Two 100M-scale hazards fixed for v_sparse_100m apply verbatim
+        # here (r11): (a) cap the per-task corpus slice at ~400k docs —
+        # default 32-way range hands 3.1M docs to one python worker, 10x
+        # the validated 10M working set; (b) stage the corpus through
+        # parquet so no task chains TWO python runners (corpus gen +
+        # shingle/posting kernel fused in one stage wedged ~1 task in
+        # 250 — JVM selector and both workers socket-waiting). The tmp
+        # dir is reclaimed at interpreter exit: the result is a lazy 10M-
+        # row pair table the caller counts, so an eager finally-rmtree
+        # would delete the files under the plan.
+        import atexit
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="vts_ngram100m_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        _gen_docs_arrow(spark, n, uniq, nparts=max(32, n // 400_000)) \
+            .write.mode("overwrite").parquet(tmp + "/corpus")
+        docs = spark.read.parquet(tmp + "/corpus")
+    else:
+        docs = _gen_docs_arrow(spark, n, uniq)
     # order="code": the shuffle-free posting build (blacklist broadcast +
     # Arrow prefix kernel) — kills the df join and the per-doc window
     # sort, the two stages that spilled ~55 GB at 10M under the rarity
@@ -752,6 +785,22 @@ def dd_ngram_10m(spark, sf_dir):
     with pairs. Run once in a fresh subprocess JVM by bench.py's stretch
     block — detail artifact only, headline total untouched."""
     return dd_ngram_1m(spark, sf_dir, n=10_000_000, uniq=9_000_000)
+
+
+def dd_ngram_100m(spark, sf_dir):
+    """Third measured decade for the n-gram Jaccard family (r11): the
+    shuffle-free code-order posting build at 100M docs with 10M planted
+    exact duplicates (ids 90M..100M copy 0..10M). MinHash and sparse
+    postings already have their 100M decades measured; this one pins the
+    redesigned AllPairs build — blacklist broadcast + Arrow prefix
+    kernel, the design that replaced the 55.7 GB-spill rarity order at
+    10M — over two orders of magnitude. Expected shape from the measured
+    10M coefficients: ~40 GB shuffle, wall bounded by the posting
+    self-join. Gated OFF per-round (SPARK_GRAFT_BENCH_STRETCH_100M=1 —
+    one fresh-JVM committed-evidence run, driver mem raised by the same
+    knob as dd_minhash_100m); the corpus is parquet-staged with ~400k
+    docs/task (see dd_ngram_1m) so no task chains two python runners."""
+    return dd_ngram_1m(spark, sf_dir, n=100_000_000, uniq=90_000_000)
 
 
 def v_knn_1m(spark, sf_dir, n=1_000_000, impl="arrow"):

@@ -1141,6 +1141,7 @@ def main() -> None:
             # per-round
             stretch_names.append("dd_minhash_100m")
             stretch_names.append("v_sparse_100m")
+            stretch_names.append("dd_ngram_100m")
         for name in stretch_names:
             is_100m = name.endswith("_100m")
             # the 100M decade needs the box's real heap: the per-round
@@ -1150,7 +1151,7 @@ def main() -> None:
                 "SPARK_GRAFT_DRIVER_MEM_100M", "80g")} if is_100m
                 else None)
             cp = _cold_proc_run(name, sf_dir, want_rows=True,
-                                timeout_sec=(2400 if is_100m else 900),
+                                timeout_sec=(3600 if is_100m else 900),
                                 extra_env=env_100m)
             if cp is not None:
                 stretch[name] = {"cold_proc_sec": cp[0], "rows": cp[1],

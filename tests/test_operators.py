@@ -1008,6 +1008,22 @@ def test_ngram_scale_entry_wiring_small_n(spark):
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs)
 
 
+def test_ngram_scale_entry_staged_corpus_path(spark, monkeypatch):
+    """The 100M-decade corpus staging (parquet write + capped task
+    slices, dd_ngram_100m) exercised at fixture scale by lowering the
+    threshold: identical pair set to the unstaged run — staging is a
+    physical-plan change only. Also pins that the staged corpus files
+    survive until the lazy pair table is consumed (an eager cleanup
+    would delete parquet under the plan)."""
+    import __spark_entry__ as E
+    monkeypatch.setattr(E, "_NGRAM_STAGE_MIN_DOCS", 500)
+    pairs = E.dd_ngram_1m(spark, "/root/testdata/sf0.001",
+                          n=1000, uniq=900).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {
+        (i, i + 900) for i in range(100)}
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs)
+
+
 def test_stream_scale_entry_wiring_small_n(spark):
     """st_stream_1m at a tiny n: the real Structured Streaming job (file
     source → watermarked window agg → parquet sink, availableNow) over a
