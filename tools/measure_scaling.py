@@ -21,7 +21,14 @@ ENTRIES = {
     "dd_minhash": ("dd_minhash_1m", "dd_minhash_10m"),
     "dd_ngram": ("dd_ngram_1m", "dd_ngram_10m"),
     "v_sparse": ("v_sparse_1m", "v_sparse_10m"),
+    # third decades — request explicitly (python tools/measure_scaling.py
+    # dd_ngram_100m ...): ~20-45 min each, driver mem raised to the box's
+    # real heap (the 16g default OOMs at 100M — measured r10)
+    "dd_minhash_100m": ("dd_minhash_100m",),
+    "dd_ngram_100m": ("dd_ngram_100m",),
+    "v_sparse_100m": ("v_sparse_100m",),
 }
+IMPLICIT = {"dd_minhash", "dd_ngram", "v_sparse"}
 
 _CODE = """
 import json, time
@@ -46,9 +53,15 @@ print("SCALING", json.dumps(m), flush=True)
 
 def measure(name: str) -> dict | None:
     code = _CODE.format(name=name)
+    is_100m = name.endswith("_100m")
+    env = dict(os.environ)
+    if is_100m:
+        env["SPARK_GRAFT_DRIVER_MEM"] = env.get(
+            "SPARK_GRAFT_DRIVER_MEM_100M", "80g")
     try:
-        r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
-                           capture_output=True, text=True, timeout=1800)
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                           capture_output=True, text=True,
+                           timeout=(3600 if is_100m else 1800))
     except subprocess.TimeoutExpired:
         print(f"# {name}: TIMEOUT", flush=True)
         return None
@@ -68,7 +81,12 @@ def main() -> None:
         with open(out_path) as f:
             results = json.load(f)
     for family, names in ENTRIES.items():
-        if only and family not in only:
+        if only:
+            if family not in only:
+                continue
+        elif family not in IMPLICIT:
+            # 100M decades never run by accident — each is a deliberate
+            # ~20-45 min committed-evidence session
             continue
         for name in names:
             m = measure(name)
