@@ -28,6 +28,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import tempfile
 import time
 
 HEADLINE = [
@@ -1142,8 +1144,29 @@ def main() -> None:
             stretch_names.append("dd_minhash_100m")
             stretch_names.append("v_sparse_100m")
             stretch_names.append("dd_ngram_100m")
+        # measured peak scratch-disk need per 100M entry (corpus staging
+        # + shuffle/spill under /tmp), GB. dd_ngram_100m is a recorded
+        # single-box CEILING: its verify self-join grew the shuffle dir
+        # 11→61 GB in ~10 min with stages still ahead (killed at 92%
+        # disk on the 252 GB box — SCALING_MODEL.json note, r11); the
+        # others completed within their figures.
+        disk_need_gb = {"dd_minhash_100m": 40, "v_sparse_100m": 60,
+                        "dd_ngram_100m": 140}
         for name in stretch_names:
             is_100m = name.endswith("_100m")
+            need = disk_need_gb.get(name)
+            if need is not None:
+                free_gb = shutil.disk_usage(
+                    tempfile.gettempdir()).free / 1e9
+                if free_gb < need:
+                    stretch[name] = {
+                        "skipped": f"insufficient scratch disk: "
+                                   f"{free_gb:.0f} GB free < {need} GB "
+                                   f"measured peak (single-box ceiling, "
+                                   f"SCALING_MODEL.json)"}
+                    print(f"# stretch {name}: SKIPPED — {free_gb:.0f} GB "
+                          f"free < {need} GB measured need", flush=True)
+                    continue
             # the 100M decade needs the box's real heap: the per-round
             # 16g default OOM'd it (measured r10); the 10M entries keep
             # the default so their decade numbers stay comparable
