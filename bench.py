@@ -383,6 +383,35 @@ def _classify_attempt(entry: str, m: dict) -> str:
     return f"cpu-bound: run/cpu={ratio:.1f} (normal)" + host
 
 
+# Measured peak scratch-disk need per gated 100M stretch entry (corpus
+# staging + shuffle/spill under the tmp dir), GB. dd_ngram_100m is a
+# recorded single-box CEILING: its verify self-join grew the shuffle
+# dir 11→61 GB in ~10 min with stages still ahead (killed at 92% disk
+# on the 252 GB box — SCALING_MODEL.json note, r11); the others
+# completed within their figures.
+STRETCH_DISK_NEED_GB = {"dd_minhash_100m": 40, "v_sparse_100m": 60,
+                        "dd_ngram_100m": 140}
+
+
+def _stretch_disk_shortfall(name: str, free_gb: float | None = None
+                            ) -> str | None:
+    """Skip reason when the box lacks the measured scratch disk for a
+    gated stretch entry, else None. A disk-preflight miss must SKIP
+    loudly, never launch: the dd_ngram_100m attempt filled the box to
+    92% before being killed (r11) — an unattended evidence run doing
+    that would take every other artifact down with it."""
+    need = STRETCH_DISK_NEED_GB.get(name)
+    if need is None:
+        return None
+    if free_gb is None:
+        free_gb = shutil.disk_usage(tempfile.gettempdir()).free / 1e9
+    if free_gb < need:
+        return (f"insufficient scratch disk: {free_gb:.0f} GB free < "
+                f"{need} GB measured peak (single-box ceiling, "
+                f"SCALING_MODEL.json)")
+    return None
+
+
 def _cold_proc_run(name: str, sf_dir: str, want_rows: bool = False,
                    timeout_sec: int = 900,
                    extra_env: dict | None = None):
@@ -1144,29 +1173,14 @@ def main() -> None:
             stretch_names.append("dd_minhash_100m")
             stretch_names.append("v_sparse_100m")
             stretch_names.append("dd_ngram_100m")
-        # measured peak scratch-disk need per 100M entry (corpus staging
-        # + shuffle/spill under /tmp), GB. dd_ngram_100m is a recorded
-        # single-box CEILING: its verify self-join grew the shuffle dir
-        # 11→61 GB in ~10 min with stages still ahead (killed at 92%
-        # disk on the 252 GB box — SCALING_MODEL.json note, r11); the
-        # others completed within their figures.
-        disk_need_gb = {"dd_minhash_100m": 40, "v_sparse_100m": 60,
-                        "dd_ngram_100m": 140}
         for name in stretch_names:
             is_100m = name.endswith("_100m")
-            need = disk_need_gb.get(name)
-            if need is not None:
-                free_gb = shutil.disk_usage(
-                    tempfile.gettempdir()).free / 1e9
-                if free_gb < need:
-                    stretch[name] = {
-                        "skipped": f"insufficient scratch disk: "
-                                   f"{free_gb:.0f} GB free < {need} GB "
-                                   f"measured peak (single-box ceiling, "
-                                   f"SCALING_MODEL.json)"}
-                    print(f"# stretch {name}: SKIPPED — {free_gb:.0f} GB "
-                          f"free < {need} GB measured need", flush=True)
-                    continue
+            shortfall = _stretch_disk_shortfall(name)
+            if shortfall is not None:
+                stretch[name] = {"skipped": shortfall}
+                print(f"# stretch {name}: SKIPPED — {shortfall}",
+                      flush=True)
+                continue
             # the 100M decade needs the box's real heap: the per-round
             # 16g default OOM'd it (measured r10); the 10M entries keep
             # the default so their decade numbers stay comparable
