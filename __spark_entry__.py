@@ -758,8 +758,13 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
         _gen_docs_arrow(spark, n, uniq, nparts=max(32, n // 400_000)) \
             .write.mode("overwrite").parquet(tmp + "/corpus")
         docs = spark.read.parquet(tmp + "/corpus")
+        # two-phase verify (dedup.ngram_jaccard_pairs stage_dir): at this
+        # scale the single-plan pipeline keeps every shuffle live at once
+        # and crossed the box's scratch-disk ceiling (BASELINE.md r11)
+        stage_dir = tmp + "/cands"
     else:
         docs = _gen_docs_arrow(spark, n, uniq)
+        stage_dir = None
     # order="code": the shuffle-free posting build (blacklist broadcast +
     # Arrow prefix kernel) — kills the df join and the per-doc window
     # sort, the two stages that spilled ~55 GB at 10M under the rarity
@@ -773,7 +778,7 @@ def dd_ngram_1m(spark, sf_dir, n=1_000_000, uniq=900_000):
     # The dd_ngram_jaccard oracle pins BOTH orders at sf0.01.
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7,
                                max_df=50, min_shared=1, impl="arrow",
-                               order="code", n_docs=n)
+                               order="code", n_docs=n, stage_dir=stage_dir)
 
 
 def dd_ngram_10m(spark, sf_dir):

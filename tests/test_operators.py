@@ -977,6 +977,33 @@ def test_ngram_prefix_candidates_superset_of_results(spark):
         assert p1 == p0, f"positional filter lost pairs at t={t}"
 
 
+def test_ngram_stage_dir_two_phase_identical(spark, tmp_path):
+    """stage_dir (the two-phase scratch-disk pipeline break) must be a
+    pure physical change: identical (id_a, id_b, jaccard) set to the
+    single-plan run on a heavy-overlap corpus with boundary Jaccard
+    values, under both prefix orders."""
+    from vectordb_testbricks_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    import random
+    rnd = random.Random(31)
+    words = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rnd.choice(words) for _ in range(18)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for order in ("rarity", "code"):
+        kw = dict(n=3, threshold=0.6, max_df=100, min_shared=1,
+                  order=order, n_docs=30)
+        plain = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                 ngram_jaccard_pairs(docs, "doc_id", "text", **kw)
+                 .collect()}
+        staged = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                  ngram_jaccard_pairs(
+                      docs, "doc_id", "text",
+                      stage_dir=str(tmp_path / f"cands_{order}"), **kw)
+                  .collect()}
+        assert staged == plain, f"stage_dir changed the result ({order})"
+
+
 def test_ngram_prefix_shrinks_candidates(spark):
     """The point of the prefix filter: strictly fewer candidate pairs than
     full posting at equal recall (docs sharing only tail codes no longer
