@@ -65,6 +65,18 @@ def get_spark(app_name: str = "vectordb_testbricks_spark",
                 ("-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
                  + os.environ.get("SPARK_GRAFT_EXTRA_JVM_OPTS", "")).strip())
     )
+    # SPARK_GRAFT_EXTRA_CONF: semicolon-separated key=value Spark confs
+    # appended last (so they win), e.g.
+    # "spark.io.compression.codec=zstd;spark.shuffle.spill.compress=true".
+    # Empty by default so default sessions stay byte-identical — the same
+    # contract as SPARK_GRAFT_EXTRA_JVM_OPTS. Used by the gated 100M
+    # stretch decades to trade shuffle CPU for scratch-disk footprint on
+    # the single box (zstd ~halves the int-heavy posting shuffle vs the
+    # lz4 default — measured r11).
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
