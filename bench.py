@@ -384,13 +384,13 @@ def _classify_attempt(entry: str, m: dict) -> str:
 
 
 # Measured peak scratch-disk need per gated 100M stretch entry (corpus
-# staging + shuffle/spill under the tmp dir), GB. dd_ngram_100m is a
-# recorded single-box CEILING: its verify self-join grew the shuffle
-# dir 11→61 GB in ~10 min with stages still ahead (killed at 92% disk
-# on the 252 GB box — SCALING_MODEL.json note, r11); the others
-# completed within their figures.
+# staging + shuffle/spill under the tmp dir), GB. dd_ngram_100m's
+# figure is the measured ~60 GB peak of the COMPLETED r11 run (two-
+# phase candidate staging + eager codes materialization + zstd shuffle
+# compression — SCALING_MODEL.json note; the original single-plan
+# pipeline needed 130-140 GB and hit the box ceiling) plus headroom.
 STRETCH_DISK_NEED_GB = {"dd_minhash_100m": 40, "v_sparse_100m": 60,
-                        "dd_ngram_100m": 140}
+                        "dd_ngram_100m": 75}
 
 
 def _stretch_disk_shortfall(name: str, free_gb: float | None = None
@@ -1187,6 +1187,14 @@ def main() -> None:
             env_100m = ({"SPARK_GRAFT_DRIVER_MEM": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM_100M", "80g")} if is_100m
                 else None)
+            if name == "dd_ngram_100m":
+                # the decade only fits this box's scratch disk under
+                # zstd shuffle compression (measured r11: ~60 GB peak
+                # vs ~74+ GB under lz4 — SCALING_MODEL.json). The
+                # minhash/sparse decades keep the default codec so
+                # their recorded numbers stay comparable.
+                env_100m["SPARK_GRAFT_EXTRA_CONF"] = (
+                    "spark.io.compression.codec=zstd")
             cp = _cold_proc_run(name, sf_dir, want_rows=True,
                                 timeout_sec=(3600 if is_100m else 900),
                                 extra_env=env_100m)

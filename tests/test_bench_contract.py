@@ -97,8 +97,8 @@ def test_stretch_disk_preflight():
     # unknown entries (the 10M decades) never preflight
     assert bench._stretch_disk_shortfall("dd_ngram_10m", free_gb=1.0) is None
     # below need -> a reason naming both numbers
-    reason = bench._stretch_disk_shortfall("dd_ngram_100m", free_gb=80.0)
-    assert reason and "80 GB free" in reason and "140 GB" in reason
+    reason = bench._stretch_disk_shortfall("dd_ngram_100m", free_gb=50.0)
+    assert reason and "50 GB free" in reason and "75 GB" in reason
     # at/above need -> run
     assert bench._stretch_disk_shortfall("dd_minhash_100m",
                                          free_gb=45.0) is None
