@@ -58,6 +58,11 @@ def measure(name: str) -> dict | None:
     if is_100m:
         env["SPARK_GRAFT_DRIVER_MEM"] = env.get(
             "SPARK_GRAFT_DRIVER_MEM_100M", "80g")
+    if name == "dd_ngram_100m" and "SPARK_GRAFT_EXTRA_CONF" not in env:
+        # the decade only fits the box's scratch disk under zstd shuffle
+        # compression (~60 GB peak vs ~74+ GB lz4 — SCALING_MODEL.json);
+        # same config bench.py's gated stretch entry uses
+        env["SPARK_GRAFT_EXTRA_CONF"] = "spark.io.compression.codec=zstd"
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                            capture_output=True, text=True,
