@@ -54,6 +54,17 @@ print("SCALING", json.dumps(m), flush=True)
 def measure(name: str) -> dict | None:
     code = _CODE.format(name=name)
     is_100m = name.endswith("_100m")
+    if is_100m:
+        # same scratch-disk preflight as bench.py's gated stretch path
+        # (ADVICE r11: a measure_scaling run of dd_ngram_100m on a
+        # low-disk box could still fill the disk to the ceiling — the
+        # exact failure mode _stretch_disk_shortfall exists to prevent)
+        sys.path.insert(0, REPO)
+        import bench
+        shortfall = bench._stretch_disk_shortfall(name)
+        if shortfall:
+            print(f"# {name}: SKIPPED — {shortfall}", flush=True)
+            return None
     env = dict(os.environ)
     if is_100m:
         env["SPARK_GRAFT_DRIVER_MEM"] = env.get(
