@@ -110,7 +110,8 @@ def _require_green_suite() -> dict:
     # would deadlock re-promotion (every other pytest invocation —
     # pre-commit, the driver, the judge — still enforces it)
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "--deselect",
+        [sys.executable, "-m", "pytest", "tests/", "-q", "-rf",
+         "--deselect",
          "tests/test_bench_contract.py::"
          "test_bench_detail_fresh_vs_engine_commits"],
         cwd=repo, capture_output=True, text=True, env=env)
@@ -118,11 +119,19 @@ def _require_green_suite() -> dict:
     summary = tail[-1] if tail else ""
     print(f"# pytest: {summary}", file=sys.stderr, flush=True)
     if r.returncode != 0:
+        # -rf's short summary names the culprits — copy them into the
+        # refusal record, bounded to the driver's ~2 KB tail-capture
+        # window (judge r11 task 2: the r11 red gate erased the round's
+        # bench artifact and the failing test was only identifiable by
+        # reproducing it under synthetic load)
+        failed = [ln.split(" - ")[0][:160] for ln in tail
+                  if ln.startswith(("FAILED", "ERROR"))][:8]
         print(json.dumps({
             "metric": "headline_queries_total_wall_clock",
             "error": "refusing to bench: pytest tests/ is RED",
             "tests_green": False,
             "tests_summary": summary,
+            "failed_tests": failed,
         }), flush=True)
         sys.exit(1)
     return {"tests_green": True, "tests_summary": summary}
@@ -393,6 +402,21 @@ STRETCH_DISK_NEED_GB = {"dd_minhash_100m": 40, "v_sparse_100m": 60,
                         "dd_ngram_100m": 75}
 
 
+def _scratch_dirs() -> list[str]:
+    """Every directory Spark shuffle scratch may land on for a session
+    launched from this environment: SPARK_LOCAL_DIRS, any spark.local.dir
+    routed through SPARK_GRAFT_EXTRA_CONF, and the staging tmpdir."""
+    dirs: list[str] = []
+    env_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
+    dirs += [d.strip() for d in env_dirs.split(",") if d.strip()]
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        k, _, v = kv.partition("=")
+        if k.strip() == "spark.local.dir" and v.strip():
+            dirs += [d.strip() for d in v.split(",") if d.strip()]
+    dirs.append(tempfile.gettempdir())
+    return dirs
+
+
 def _stretch_disk_shortfall(name: str, free_gb: float | None = None
                             ) -> str | None:
     """Skip reason when the box lacks the measured scratch disk for a
@@ -404,7 +428,19 @@ def _stretch_disk_shortfall(name: str, free_gb: float | None = None
     if need is None:
         return None
     if free_gb is None:
-        free_gb = shutil.disk_usage(tempfile.gettempdir()).free / 1e9
+        # sum free space over the UNIQUE filesystems backing every
+        # scratch dir Spark may spill to (ADVICE r11: shuffle scratch
+        # honors SPARK_LOCAL_DIRS / spark.local.dir, which can live on a
+        # different filesystem than the staging tmpdir — a preflight
+        # that only looks at tmpdir can pass while the shuffle disk is
+        # short, or vice versa)
+        by_dev: dict[int, float] = {}
+        for d in _scratch_dirs():
+            try:
+                by_dev[os.stat(d).st_dev] = shutil.disk_usage(d).free / 1e9
+            except OSError:
+                continue
+        free_gb = sum(by_dev.values())
     if free_gb < need:
         return (f"insufficient scratch disk: {free_gb:.0f} GB free < "
                 f"{need} GB measured peak (single-box ceiling, "
@@ -966,12 +1002,17 @@ def main() -> None:
                              if rep.success_rate is not None else None),
             "ops_per_sec": round(rep.ops_per_sec, 2),
             "ops": rep.ops,
+            "post_validation": rep.post_validation,
             "host_load": _host_load(hp_m0, _host_probe()),
         }
+        pv = rep.post_validation or {}
         print(f"# sustained_mixed: {rep.total_ops} ops in "
               f"{rep.duration_sec:.1f}s = {rep.ops_per_sec:.2f} ops/s, "
               f"failures={rep.total_failures} "
-              f"stragglers={rep.stragglers} per-op="
+              f"stragglers={rep.stragglers} "
+              f"post_validation=ok:{pv.get('ok')} "
+              f"validated:{pv.get('validated')} "
+              f"skipped:{pv.get('skipped')} per-op="
               + json.dumps({k: v['n'] for k, v in rep.ops.items()}),
               flush=True)
         shutil.rmtree(wh, ignore_errors=True)
@@ -1192,9 +1233,15 @@ def main() -> None:
                 # zstd shuffle compression (measured r11: ~60 GB peak
                 # vs ~74+ GB under lz4 — SCALING_MODEL.json). The
                 # minhash/sparse decades keep the default codec so
-                # their recorded numbers stay comparable.
+                # their recorded numbers stay comparable. Any
+                # user-supplied EXTRA_CONF is APPENDED after the codec
+                # (confs apply in order, later wins) so user confs
+                # survive and an explicit user codec still overrides
+                # (ADVICE r11: the old assignment silently dropped them).
+                prev = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+                zstd = "spark.io.compression.codec=zstd"
                 env_100m["SPARK_GRAFT_EXTRA_CONF"] = (
-                    "spark.io.compression.codec=zstd")
+                    f"{zstd};{prev}" if prev else zstd)
             cp = _cold_proc_run(name, sf_dir, want_rows=True,
                                 timeout_sec=(3600 if is_100m else 900),
                                 extra_env=env_100m)

@@ -183,3 +183,75 @@ def test_survey_quotes_match_head_bench_detail():
         f"SURVEY.md quotes draw totals {markers[-1]} but the HEAD "
         f"BENCH_DETAIL.json records {want} — re-run the evidence mode "
         f"and update the SURVEY marker (or restore the curated artifact)")
+
+
+def test_red_gate_refusal_names_failing_tests(monkeypatch, capsys):
+    """Judge r11 task 2: when the green-suite gate refuses to bench, the
+    refusal JSON must name the failing tests — r11's red gate erased the
+    round's bench artifact and the culprit was only identifiable by
+    reproducing the failure under synthetic load. The gate runs pytest
+    with -rf and copies the FAILED lines (bounded) into the error line,
+    which must still fit the driver's ~2 KB tail-capture window."""
+    import subprocess
+
+    failed = [f"FAILED tests/test_workload.py::test_case_{i:03d}"
+              f" - AssertionError: something rather long {i}"
+              for i in range(40)]
+    stdout = "\n".join(["collected 374 items", *failed,
+                        "1 failed, 373 passed in 600.00s"])
+
+    class FakeProc:
+        returncode = 1
+        stderr = ""
+
+    FakeProc.stdout = stdout
+
+    def fake_run(cmd, **kw):
+        assert "-rf" in cmd          # failing-test names requested
+        return FakeProc()
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REQUIRE_GREEN", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        bench._require_green_suite()
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln][-1]
+    assert len(line) < 2000
+    rec = json.loads(line)
+    assert rec["tests_green"] is False
+    assert rec["failed_tests"], rec
+    assert any("test_case_000" in t for t in rec["failed_tests"])
+    assert rec["tests_summary"].startswith("1 failed")
+
+
+def test_green_gate_passes_through(monkeypatch):
+    import subprocess
+
+    class FakeProc:
+        returncode = 0
+        stdout = "374 passed in 600.00s"
+        stderr = ""
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REQUIRE_GREEN", raising=False)
+    monkeypatch.setattr(subprocess, "run", lambda cmd, **kw: FakeProc())
+    out = bench._require_green_suite()
+    assert out == {"tests_green": True,
+                   "tests_summary": "374 passed in 600.00s"}
+
+
+def test_scratch_dirs_cover_spark_local_dirs(monkeypatch):
+    """ADVICE r11: the disk preflight must look at the filesystems Spark
+    shuffle scratch actually uses — SPARK_LOCAL_DIRS and any
+    spark.local.dir routed via SPARK_GRAFT_EXTRA_CONF — not only the
+    staging tmpdir."""
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/mnt/fast1,/mnt/fast2")
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF",
+                       "spark.local.dir=/mnt/alt;spark.foo=bar")
+    dirs = bench._scratch_dirs()
+    assert "/mnt/fast1" in dirs and "/mnt/fast2" in dirs
+    assert "/mnt/alt" in dirs
+    import tempfile
+    assert tempfile.gettempdir() in dirs
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
+    assert bench._scratch_dirs() == [tempfile.gettempdir()]

