@@ -100,6 +100,13 @@ def main() -> None:
     nb = dict(_bands(new), **_mixed_bands(new))
     oc = dict(_committed(old), **_mixed_committed(old))
     nc = dict(_committed(new), **_mixed_committed(new))
+    # r12+: the mixed block carries a post-run DQL validation verdict —
+    # a regression to ok:false is a correctness flag, not a noise call
+    pv = ((new.get("sustained_mixed") or {}).get("post_validation")
+          or {}).get("ok")
+    if pv is False:
+        print("POST-VALIDATION failed in NEW sustained_mixed block "
+              "(ok: false) — surviving collection state drifted")
     flagged = 0
     for n in sorted(set(ob) & set(nb) & set(oc) & set(nc)):
         o_med, n_med = oc[n], nc[n]
