@@ -409,12 +409,17 @@ def q_geo_contains(spark, sf_dir):
     """P12: ST_CONTAINS(point, literal polygon) via the compiled ray-casting
     expression. Points synthesized from event columns as WKT strings (the
     horizon fixture's GEOMETRY field, FIXTURES.md F5)."""
+    from vectordb_testbricks_spark.materialize import parallelize_small
     ev = _t(spark, sf_dir, "events")
-    pts = ev.select(
+    # widen the CPU-bound WKT-build + regex-parse + ray-cast projection:
+    # the fixture's events parquet scans as one partition, which ran the
+    # whole 100k-row compute single-threaded (r12, measured 0.75 s of
+    # single-core run); parallelize_small is a no-op on at-scale scans
+    pts = parallelize_small(ev.select(
         "event_id",
         (F.col("value") / 50.0).alias("lon"),
         ((F.col("user_id") % 8).cast("double") / 2.0).alias("lat"),
-    ).withColumn(
+    )).withColumn(
         "location",
         F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
                  F.col("lat").cast("string"), F.lit(")")))
@@ -1253,6 +1258,11 @@ SQL_V_KNN_METRICS = "\nUNION ALL\n".join([
 ])
 
 
+# prepared-statement pool for the 'pooled' oracle mode, per (session,
+# sf_dir) — the same ingest/prepare-time lifetime as _BM25_CACHE/_IVF_CACHE
+_KNN_POOL_CACHE: dict[tuple, DataFrame] = {}
+
+
 def v_knn_prefilter(spark, sf_dir):
     """V2: scalar pre-filter applied before ANN ranking ('prefilter'
     mode), plus the 3.0-roadmap ``search_mode=pk`` surface ('by_pk'
@@ -1264,12 +1274,17 @@ def v_knn_prefilter(spark, sf_dir):
     'pooled' mode (r11, judge r10 #6): one search served through a
     ``search.prepare_search_pool`` plan — the prepared-statement
     infrastructure behind the 600 s sustained artifact
-    (BENCH_SUSTAINED600.json). The pooled DataFrame is executed once
-    here (warm pass), then RETURNED for the driver's collect, so the
-    hash-matched rows come from a RE-execution of the cached analyzed
-    plan — pinning pooled-plan re-execution == fresh-plan semantics
-    every round (the reference driver reuses a fixed query set the same
-    way, go_bench/config.yaml:24)."""
+    (BENCH_SUSTAINED600.json). The pool is built and warm-executed ONCE
+    per (session, sf_dir) — prepared-statement semantics, the same
+    per-session lifetime as _BM25_CACHE/_IVF_CACHE (r12: the former
+    per-call rebuild + warm pass re-ran a full knn search inside every
+    steady-state timed call, guide §1.2 step 1) — then RETURNED for the
+    driver's collect, so the hash-matched rows always come from a
+    RE-execution of the cached analyzed plan — pinning pooled-plan
+    re-execution == fresh-plan semantics every round (the reference
+    driver reuses a fixed query set the same way,
+    go_bench/config.yaml:24). No rows are memoized: every collect of
+    the pooled DataFrame recomputes from the parquet scan."""
     from vectordb_testbricks_spark.operators.search import (
         prepare_search_pool, search_by_pk)
     pre = _knn(spark, sf_dir, "COSINE", flt="label in [1, 3, 5, 7]") \
@@ -1280,12 +1295,16 @@ def v_knn_prefilter(spark, sf_dir):
           .select(F.lit("by_pk").alias("mode"), "query_id", "vec_id",
                   F.round("score", 4).alias("score"),
                   F.col("rank").cast("bigint").alias("rank")))
-    q_side = (emb.filter(F.col("vec_id").isin([0, 1]))
-              .select(F.col("vec_id").alias("query_id"),
-                      to_double_array(F.col("embedding")).alias("qvec")))
-    plan = prepare_search_pool(emb, [q_side], "embedding", "vec_id",
-                               metric="COSINE", k=10)[0]
-    plan.count()                   # first execution warms the pooled plan
+    key = (_session_key(spark), sf_dir, "knn_prefilter_pool")
+    plan = _KNN_POOL_CACHE.get(key)
+    if plan is None:
+        q_side = (emb.filter(F.col("vec_id").isin([0, 1]))
+                  .select(F.col("vec_id").alias("query_id"),
+                          to_double_array(F.col("embedding")).alias("qvec")))
+        plan = prepare_search_pool(emb, [q_side], "embedding", "vec_id",
+                                   metric="COSINE", k=10)[0]
+        plan.count()           # first execution warms the pooled plan
+        _KNN_POOL_CACHE[key] = plan
     pooled = plan.select(F.lit("pooled").alias("mode"), "query_id",
                          "vec_id", F.round("score", 4).alias("score"),
                          F.col("rank").cast("bigint").alias("rank"))
@@ -1540,13 +1559,24 @@ _SPARSE_QUERY_MAP = {"spark": 2.0, "query": 1.5, "join": 1.0}
 
 
 def _sparse_table(spark, sf_dir):
-    """(doc_id, svec) from the cached ingest-time tf table."""
-    tf, _ = _bm25_tables(spark, sf_dir)
-    return (tf.groupBy("doc_id")
-            .agg(F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(
-                    F.col("term"), F.col("tf").cast("double")))))
-                .alias("svec")))
+    """(doc_id, svec) from the cached ingest-time tf table.
+
+    Cached per (session, sf_dir) like the tf table it derives from: the
+    svec map IS the sparse function field's stored form (server-computed
+    at insert in the reference's model, schema_matrix_2_6.yaml:65-69) —
+    r12: rebuilding it per search paid the groupBy shuffle + collect_list
+    map build on every steady-state call (guide §1.2 step 1)."""
+    key = (_session_key(spark), sf_dir, "svec")
+    cached = _BM25_CACHE.get(key)
+    if cached is None:
+        tf, _ = _bm25_tables(spark, sf_dir)
+        cached = (tf.groupBy("doc_id")
+                  .agg(F.map_from_entries(
+                      F.sort_array(F.collect_list(F.struct(
+                          F.col("term"), F.col("tf").cast("double")))))
+                      .alias("svec"))).cache()
+        _BM25_CACHE[key] = cached
+    return cached
 
 
 def v_sparse_dot(spark, sf_dir):
@@ -3080,23 +3110,43 @@ def dd_ngram_jaccard(spark, sf_dir):
         scale path of the 1M/10M entries) — putting the kernel build
         behind the driver's DuckDB hash every round, with its own SQL
         lowering (ROW_NUMBER ordered by code alone)."""
-    from vectordb_testbricks_spark.operators.dedup import ngram_jaccard_pairs
+    from vectordb_testbricks_spark.materialize import (
+        parallelize_small, shared_persist)
+    from vectordb_testbricks_spark.operators.arrow_kernels import (
+        minhash_codes_sigs, resolve_impl)
+    from vectordb_testbricks_spark.operators.dedup import (
+        _token_codes, jaccard_pairs, ngram_candidate_pairs)
     base = _doubled_docs(spark, sf_dir)
     nd = _doubled_docs_count(spark, sf_dir)
-    out = None
-    # 'code' keeps impl at the jvm default so BOTH modes share one
-    # shared_persist'd codes cache (one materialization, two posting
-    # builds); posting_impl="arrow" still puts the posting KERNEL +
-    # pigeonhole blacklist on the oracle path
-    for mode, kw in (("rarity", {}),
-                     ("code", {"order": "code", "posting_impl": "arrow"})):
-        p = ngram_jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.7,
-                                max_df=50, min_shared=2, prefix=True,
-                                n_docs=nd, **kw)
-        p = p.select(F.lit(mode).alias("mode"), "id_a", "id_b",
-                     F.round("jaccard", 6).alias("jaccard"))
-        out = p if out is None else out.unionByName(p)
-    return out
+    # both modes share ONE codes cache (same resolution ngram_jaccard_pairs
+    # applies: env SPARK_GRAFT_NGRAM_IMPL, jvm default); the 'code' mode
+    # still routes its posting KERNEL + pigeonhole blacklist through Arrow
+    impl = resolve_impl(None, "SPARK_GRAFT_NGRAM_IMPL", "jvm", "ngram")
+    if impl == "arrow":
+        codes = shared_persist(minhash_codes_sigs(
+            parallelize_small(base.select("doc_id", "text")), "doc_id",
+            "text", shingle_n=3, with_sigs=False))
+    else:
+        codes = shared_persist(_token_codes(base, "doc_id", "text",
+                                            shingle_n=3))
+    # r12 (guide §1.2 step 1): candidates per order, ONE mode-tagged
+    # verify pass instead of two — per-pair exact Jaccard is independent
+    # of which order proposed the pair, so the union'd candidates ride a
+    # single pair-of-joins + verify pipeline; rows are identical to the
+    # former per-mode verifies by construction (same candidates per mode,
+    # same per-pair verification, same threshold and rounding)
+    cands = None
+    for mode, kw in (("rarity", {"impl": impl}),
+                     ("code", {"order": "code", "impl": "arrow"})):
+        c = ngram_candidate_pairs(codes, "doc_id", 0.7, max_df=50,
+                                  min_shared=2, prefix=True, n_docs=nd,
+                                  **kw)
+        c = c.select(F.lit(mode).alias("mode"), "id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    return (jaccard_pairs(codes, cands, "doc_id", impl=impl)
+            .filter(F.col("jaccard") >= 0.7)
+            .select("mode", "id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 # the prefix multiplier must be the SAME ieee double in both engines:

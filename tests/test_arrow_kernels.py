@@ -540,3 +540,72 @@ class TestKnnKernel:
                 F.lit(0).alias("query_id"),
                 F.col("embedding").alias("qvec")),
                 "embedding", "vec_id", impl="bogus")
+
+
+class TestSimhashKernel:
+    @pytest.mark.parametrize("bits", [16, 64])
+    def test_signatures_identical_to_jvm(self, spark, edge_docs, bits):
+        """Edge corpus: the Arrow simhash kernel is a bit-for-bit twin of
+        the JVM expression path — incl. bits=64 (bit 63 wraps into the
+        long's sign bit on both paths), NULL and token-less texts -> 0."""
+        from vectordb_testbricks_spark.operators.dedup import (
+            simhash_signatures)
+        jvm = _collect_map(
+            simhash_signatures(edge_docs, "doc_id", "text", bits,
+                               impl="jvm"), "doc_id", "simhash")
+        ar = _collect_map(
+            simhash_signatures(edge_docs, "doc_id", "text", bits,
+                               impl="arrow"), "doc_id", "simhash")
+        assert jvm == ar
+
+    def test_fixture_corpus_identical(self, spark, tables):
+        from vectordb_testbricks_spark.operators.dedup import (
+            simhash_signatures)
+        docs = tables["documents"].df.select("doc_id", "text")
+        jvm = _collect_map(
+            simhash_signatures(docs, "doc_id", "text", impl="jvm"),
+            "doc_id", "simhash")
+        ar = _collect_map(
+            simhash_signatures(docs, "doc_id", "text", impl="arrow"),
+            "doc_id", "simhash")
+        assert jvm == ar
+
+    def test_unknown_impl_raises(self, spark, edge_docs):
+        from vectordb_testbricks_spark.operators.dedup import (
+            simhash_signatures)
+        with pytest.raises(ValueError, match="simhash"):
+            simhash_signatures(edge_docs, "doc_id", "text", impl="simd")
+
+
+class TestCodeOrderPostingMemo:
+    def test_second_call_returns_memoized_relation(self, spark, edge_docs):
+        """r12: the Arrow posting build closes over a fresh broadcast per
+        call, so CacheManager plan equality can never dedup it — the
+        session memo must hand back the SAME posting DataFrame (and the
+        same blacklist) for a repeated build over the same codes plan,
+        or every steady-state search re-runs the index build."""
+        from vectordb_testbricks_spark.materialize import shared_persist
+        from vectordb_testbricks_spark.operators import dedup
+        codes = shared_persist(
+            dedup._token_codes(edge_docs, "doc_id", "text", 3))
+        try:
+            p1 = dedup._code_order_postings(codes, "doc_id", 0.7, 50,
+                                            "arrow", n_docs=9)
+            p2 = dedup._code_order_postings(codes, "doc_id", 0.7, 50,
+                                            "arrow", n_docs=9)
+            assert p1 is p2
+            # rows still correct on the memoized handle (vs the JVM twin)
+            jvm = dedup._code_order_postings(codes, "doc_id", 0.7, 50,
+                                             "jvm", n_docs=9)
+            key = lambda rs: sorted(
+                (r["doc_id"], r["sz"], r["pos"], r["code"])
+                for r in rs.collect())
+            assert key(p2) == key(jvm)
+            # explicit eviction protects the two-phase unpersist path
+            dedup.drop_posting_memo(p1)
+            p3 = dedup._code_order_postings(codes, "doc_id", 0.7, 50,
+                                            "arrow", n_docs=9)
+            assert p3 is not p1
+        finally:
+            codes.unpersist()
+            dedup.drop_posting_memo(codes)

@@ -438,3 +438,25 @@ def test_topk15000_sustained_plan_shape(spark):
     # rank 1..n for the single query
     rows = df.count()
     assert rows == 15000
+
+
+def test_fusion_agg_and_rerank_share_one_exchange(spark):
+    """r12 (guide §2.4): the fused SUM(part) aggregate and the re-rank
+    window are keyed compatibly — hash(query_id) co-locates equal
+    (query_id, id) pairs AND satisfies the window's distribution — so a
+    fusion plan over exchange-free branch inputs must contain exactly ONE
+    Exchange, partitioned by query_id alone. The branch inputs here are
+    local relations, so any extra Exchange would be the fusion's own."""
+    from vectordb_testbricks_spark.operators.fusion import rrf_fuse
+    b1 = spark.createDataFrame(
+        [(0, 10, 0.9, 1), (0, 11, 0.8, 2), (1, 10, 0.7, 1)],
+        "query_id int, doc_id bigint, score double, rank int")
+    b2 = spark.createDataFrame(
+        [(0, 11, 5.0, 1), (1, 12, 4.0, 1)],
+        "query_id int, doc_id bigint, score double, rank int")
+    fused = rrf_fuse([b1, b2], "doc_id", k=10)
+    p = _plan(fused)
+    ex_lines = [l for l in p.splitlines() if "Exchange" in l]
+    assert len(ex_lines) == 1, p
+    assert "query_id" in ex_lines[0], p
+    assert "doc_id" not in ex_lines[0], p

@@ -60,10 +60,31 @@ class Collection:
         return self.pk[0]
 
 
+#: Parquet-footer nano-timestamp columns per path. The testdata tables are
+#: immutable fixtures, so the footer read (a pyarrow file open + schema
+#: parse, ~10 ms of driver I/O) needs to happen once per path, not once per
+#: query construction — r12 guide §1.2 step 2: per-call driver work is part
+#: of steady-state query latency here because the bench times construction.
+_NANO_COLS_CACHE: dict[str, list[str]] = {}
+
+#: Loaded-table DataFrame handles per (SparkContext applicationId, path).
+#: This is the engine's catalog cache: re-serving the same analyzed
+#: DataFrame skips the per-call spark.read.parquet (file listing + schema
+#: resolution + a fresh logical plan to re-analyze downstream). It caches
+#: PLAN metadata only — every action against the handle still scans the
+#: parquet files; no rows are memoized. Keyed by applicationId (unique per
+#: SparkContext lifetime) so a stopped session can never serve stale
+#: handles to its successor.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _nano_ts_columns(path: str) -> list[str]:
     """Columns declared TIMESTAMP(NANOS) in the parquet footer — Spark reads
     them as bigint (nanosAsLong); we restore TimestampType at micro precision
     (matching DuckDB's timestamp semantics for the oracle)."""
+    cached = _NANO_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)
@@ -72,6 +93,7 @@ def _nano_ts_columns(path: str) -> list[str]:
         t = f.type
         if str(t).startswith("timestamp[ns"):
             out.append(f.name)
+    _NANO_COLS_CACHE[path] = out
     return out
 
 
@@ -79,6 +101,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (spark.sparkContext.applicationId, path)
+    cached_df = _TABLE_CACHE.get(cache_key)
+    if cached_df is not None:
+        return cached_df
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         # must hold for any caller-supplied session (the driver's included):
@@ -90,6 +116,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _TABLE_CACHE[cache_key] = df
     return df
 
 

@@ -160,6 +160,107 @@ def minhash_codes_sigs(docs: DataFrame, id_col: str, text_col: str,
     return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def _simhash_rows(texts, a_vec, b_vec, p):
+    """Per-batch worker: texts -> simhash bigints with the JVM expression
+    path's exact semantics (dedup.simhash_signatures). Pure Python/numpy;
+    importable so the test suite can probe it without a Spark session.
+
+    Integer-exact by construction: tf and codes are ints, the affine
+    parity sign is ((code·a + b) mod P) mod 2 · 2 − 1, per-bit signed
+    sums are int64 additions, and the bit pack is a bitwise OR of
+    distinct powers of two on int64 (so bits=64 wraps bit 63 into the
+    sign bit exactly like the JVM's shiftleft on a Java long). NULL and
+    token-less texts produce 0 — the JVM's when(NULL > 0)/otherwise(0)
+    and aggregate([], 0) edges respectively."""
+    import hashlib
+
+    import numpy as np
+
+    from vectordb_testbricks_spark.functions.text import py_tokenize
+
+    nbits = len(a_vec)
+    flat_codes: list = []
+    flat_tf: list = []
+    offsets: list = []
+    is_np: list = []
+    pos = 0
+    for text in texts:
+        toks = py_tokenize(text) if text is not None else []
+        if not toks:
+            is_np.append(False)
+            continue
+        counts: dict = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        cs = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % p
+             for t in counts), dtype=np.int64, count=len(counts))
+        tf = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        flat_codes.append(cs)
+        flat_tf.append(tf)
+        offsets.append(pos)
+        pos += len(cs)
+        is_np.append(True)
+    sums = None
+    if flat_codes:
+        codes = np.concatenate(flat_codes)
+        tf = np.concatenate(flat_tf)
+        # (N, nbits): code < 2^31, a <= 2·nbits+1, b < 2^31 — fits int64
+        signs = ((codes[:, None] * a_vec + b_vec) % p) % 2 * 2 - 1
+        sums = np.add.reduceat(signs * tf[:, None],
+                               np.asarray(offsets), axis=0)
+    weights = np.left_shift(np.ones(nbits, dtype=np.int64),
+                            np.arange(nbits, dtype=np.int64))
+    out: list = []
+    k = 0
+    for np_row in is_np:
+        if np_row:
+            # OR of distinct powers == the JVM's bitwiseOR chain; reduce
+            # of an empty selection yields the OR identity 0
+            out.append(int(np.bitwise_or.reduce(weights[sums[k] > 0])))
+            k += 1
+        else:
+            out.append(0)
+    return out
+
+
+def simhash_arrow(docs: DataFrame, id_col: str, text_col: str,
+                  bits: int = 16) -> DataFrame:
+    """(id, simhash) — the tf-weighted hyperplane SimHash as one
+    Arrow-batched kernel pass: twin of ``dedup.simhash_signatures``'s
+    JVM expression path (same tokenizer, md5-derived codes mod P, affine
+    parity family, integer bit pack — identity asserted in
+    tests/test_arrow_kernels.py).
+
+    Why (r12, guide §4.2): the JVM path's per-doc tf computation is a
+    ``transform(array_distinct(toks), u -> size(filter(toks, x = u)))``
+    — an interpreted-HOF chain quadratic in doc length and the same
+    expression class as the r08 per-JVM slow mode the MinHash kernel
+    escaped; this kernel replaces it with one vectorized numpy pass
+    (Counter tf, ``add.reduceat`` per-bit sums)."""
+    from vectordb_testbricks_spark.operators.dedup import P, hash_params
+
+    params = hash_params(bits)
+    a_list = [a for a, _ in params]
+    b_list = [b for _, b in params]
+    out_schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        a_vec = np.asarray(a_list, dtype=np.int64)
+        b_vec = np.asarray(b_list, dtype=np.int64)
+        from vectordb_testbricks_spark.operators.dedup import P as p
+        for pdf in batches:
+            sims = _simhash_rows(pdf[text_col].tolist(), a_vec, b_vec, p)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sims})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def jaccard_arrow(joined: DataFrame, a_col: str = "ca",
                   b_col: str = "cb") -> DataFrame:
     """Exact Jaccard over two code-array columns as an Arrow-batched

@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 RRF_K = 60
 
 
+def _fuse_sum(u: DataFrame, id_col: str) -> DataFrame:
+    """``SUM(part)`` per (query_id, id) over the union'd branch parts,
+    shuffled ONCE by ``query_id`` so the aggregate's clustered
+    distribution on (query_id, id) AND the re-rank window's distribution
+    on (query_id) are both satisfied by the same exchange — one Exchange
+    instead of two in every fusion plan (guide §2.4: operations keyed
+    compatibly can share one exchange; hash(query_id) co-locates equal
+    (query_id, id) pairs). Losing the map-side partial aggregate is free
+    here BY CONSTRUCTION: the input is the union of ranked branch
+    results, bounded at nq × Σ per-branch limits rows at any corpus
+    scale — it is never a wide stream."""
+    return (u.repartition("query_id")
+            .groupBy("query_id", id_col).agg(F.sum("part").alias("score")))
+
+
 def _rerank(scored: DataFrame, id_col: str, k: int,
             offset: int = 0) -> DataFrame:
     """Fused re-rank with Milvus offset semantics (issue_45203.py:89-137:
@@ -51,8 +66,7 @@ def rrf_fuse(branches: list[DataFrame], id_col: str, k: int = 10,
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
-    return _rerank(scored, id_col, k, offset)
+    return _rerank(_fuse_sum(u, id_col), id_col, k, offset)
 
 
 def weighted_fuse(branches: list[DataFrame], weights: list[float],
@@ -90,8 +104,7 @@ def weighted_fuse(branches: list[DataFrame], weights: list[float],
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    scored = u.groupBy("query_id", id_col).agg(F.sum("part").alias("score"))
-    return _rerank(scored, id_col, k, offset)
+    return _rerank(_fuse_sum(u, id_col), id_col, k, offset)
 
 
 def invert_scores(branch: DataFrame) -> DataFrame:
