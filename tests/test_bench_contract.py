@@ -107,6 +107,97 @@ def test_stretch_disk_preflight():
         "dd_minhash_100m", "v_sparse_100m", "dd_ngram_100m"}
 
 
+def _committed_text(repo: str, relpath: str):
+    """Content of ``relpath`` at HEAD — NOT the working tree.
+
+    Judge r12 task 2: these gate tests used to read the working-tree
+    artifacts, so an uncommitted promotion (or a bench run mutating
+    BENCH_DETAIL.json mid-driver-sequence) turned every subsequent
+    gated run red — the repo's own gates erased all of BENCH_r11 and
+    refused the r12 8-core scaling run. The contract is about the
+    COMMITTED evidence pair, so compare exactly that. Falls back to the
+    working tree only outside a git checkout; returns None if the file
+    exists in neither place."""
+    import os
+    import subprocess
+    try:
+        r = subprocess.run(["git", "show", f"HEAD:{relpath}"],
+                           cwd=repo, capture_output=True, text=True,
+                           timeout=30)
+        if r.returncode == 0:
+            return r.stdout
+        # a git checkout, but the path isn't committed (yet)
+        if subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
+                          capture_output=True, timeout=30).returncode == 0:
+            return None
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    p = os.path.join(repo, relpath)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read()
+
+
+def _check_bench_detail_fresh(repo: str):
+    """Core of test_bench_detail_fresh_vs_engine_commits, parameterised
+    by repo path so the divergence test below can exercise it on a
+    synthetic checkout."""
+    import subprocess
+    text = _committed_text(repo, "BENCH_DETAIL.json")
+    if text is None:
+        return                      # nothing committed to protect yet
+    detail = json.loads(text)
+    try:
+        r = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", *bench.ENGINE_PATHS],
+            cwd=repo, capture_output=True, text=True, timeout=30)
+        last_engine_ct = int(r.stdout.strip()) if r.returncode == 0 else None
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        last_engine_ct = None
+    if last_engine_ct is None:
+        return                      # not a git checkout: nothing to compare
+    stamp = detail.get("promoted_unix_time")
+    assert stamp, (
+        "committed BENCH_DETAIL.json has no promoted_unix_time stamp — it "
+        "predates the freshness contract; re-run the evidence mode "
+        "(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) at HEAD")
+    assert not detail.get("promoted_engine_dirty"), (
+        "committed BENCH_DETAIL.json was promoted from a dirty engine tree "
+        "— the evidence does not correspond to any commit; re-promote "
+        "after committing")
+    assert last_engine_ct <= int(stamp), (
+        f"committed BENCH_DETAIL.json is STALE: an engine commit "
+        f"(committer time {last_engine_ct}) postdates the artifact's "
+        f"promotion ({stamp}). Re-run the evidence mode at HEAD "
+        f"(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) and "
+        f"commit the refreshed artifact")
+
+
+def _check_survey_marker(repo: str):
+    """Core of test_survey_quotes_match_head_bench_detail (see above
+    for why both sides come from HEAD, not the working tree)."""
+    import re
+    text = _committed_text(repo, "BENCH_DETAIL.json")
+    if text is None:
+        return                      # nothing committed to protect yet
+    totals = json.loads(text).get("draw_totals")
+    assert totals, "committed BENCH_DETAIL.json has no draw_totals"
+    survey = _committed_text(repo, "SURVEY.md")
+    assert survey is not None, (
+        "BENCH_DETAIL.json is committed but SURVEY.md is not")
+    markers = re.findall(r"BENCH_DETAIL draw_totals:\s*([\d./]+)", survey)
+    assert markers, (
+        "SURVEY.md must carry a 'BENCH_DETAIL draw_totals: a/b/c' marker "
+        "matching the committed artifact")
+    want = "/".join(f"{t:g}" for t in totals)
+    assert markers[-1] == want, (
+        f"committed SURVEY.md quotes draw totals {markers[-1]} but the "
+        f"committed BENCH_DETAIL.json records {want} — re-run the evidence "
+        f"mode and update the SURVEY marker (or restore the curated "
+        f"artifact), committing both together")
+
+
 def test_bench_detail_fresh_vs_engine_commits():
     """Judge r10 "what's wrong" #1: the promoted evidence artifact must
     postdate every engine commit. The r10 artifact was promoted 5 engine
@@ -122,37 +213,8 @@ def test_bench_detail_fresh_vs_engine_commits():
     bench's own green-suite gate deselects exactly this test so a stale
     artifact cannot deadlock the re-promotion run that fixes it."""
     import os
-    import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
-    if not os.path.exists(detail_path):
-        return                      # nothing committed to protect yet
-    with open(detail_path) as f:
-        detail = json.load(f)
-    try:
-        r = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--", *bench.ENGINE_PATHS],
-            cwd=repo, capture_output=True, text=True, timeout=30)
-        last_engine_ct = int(r.stdout.strip()) if r.returncode == 0 else None
-    except (OSError, subprocess.TimeoutExpired, ValueError):
-        last_engine_ct = None
-    if last_engine_ct is None:
-        return                      # not a git checkout: nothing to compare
-    stamp = detail.get("promoted_unix_time")
-    assert stamp, (
-        "BENCH_DETAIL.json has no promoted_unix_time stamp — it predates "
-        "the freshness contract; re-run the evidence mode "
-        "(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) at HEAD")
-    assert not detail.get("promoted_engine_dirty"), (
-        "BENCH_DETAIL.json was promoted from a dirty engine tree — the "
-        "evidence does not correspond to any commit; re-promote after "
-        "committing")
-    assert last_engine_ct <= int(stamp), (
-        f"BENCH_DETAIL.json is STALE: an engine commit "
-        f"(committer time {last_engine_ct}) postdates the artifact's "
-        f"promotion ({stamp}). Re-run the evidence mode at HEAD "
-        f"(SPARK_GRAFT_BENCH_DRAWS=3 SPARK_GRAFT_BENCH_PROMOTE=1) and "
-        f"commit the refreshed artifact")
+    _check_bench_detail_fresh(repo)
 
 
 def test_survey_quotes_match_head_bench_detail():
@@ -161,28 +223,51 @@ def test_survey_quotes_match_head_bench_detail():
     line `BENCH_DETAIL draw_totals: a/b/c` and this test fails whenever
     the committed BENCH_DETAIL.json's draw_totals diverge from it (the
     r09 snapshot commit replaced the artifact with a noisier rerun and
-    SURVEY kept quoting the old numbers)."""
-    import json
+    SURVEY kept quoting the old numbers). Both sides are read at HEAD
+    (judge r12 task 2): an uncommitted promotion in the working tree
+    must not redden the gate of the very runs that produce evidence."""
     import os
-    import re
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
-    if not os.path.exists(detail_path):
-        return                      # nothing committed to protect yet
-    with open(detail_path) as f:
-        totals = json.load(f).get("draw_totals")
-    assert totals, "committed BENCH_DETAIL.json has no draw_totals"
-    with open(os.path.join(repo, "SURVEY.md")) as f:
-        survey = f.read()
-    markers = re.findall(r"BENCH_DETAIL draw_totals:\s*([\d./]+)", survey)
-    assert markers, (
-        "SURVEY.md must carry a 'BENCH_DETAIL draw_totals: a/b/c' marker "
-        "matching the committed artifact")
-    want = "/".join(f"{t:g}" for t in totals)
-    assert markers[-1] == want, (
-        f"SURVEY.md quotes draw totals {markers[-1]} but the HEAD "
-        f"BENCH_DETAIL.json records {want} — re-run the evidence mode "
-        f"and update the SURVEY marker (or restore the curated artifact)")
+    _check_survey_marker(repo)
+
+
+def test_artifact_gates_ignore_working_tree_divergence(tmp_path):
+    """Judge r12 task 2 "done" criterion: with a consistent COMMITTED
+    evidence pair, a divergent (uncommitted) working-tree
+    BENCH_DETAIL.json — exactly what a mid-sequence bench promotion
+    leaves behind — must NOT redden either artifact gate, so the
+    driver's follow-up runs (e.g. the low-core scaling sample) still
+    pass the green-suite gate."""
+    import subprocess
+    repo = str(tmp_path)
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=repo, check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    detail = {"draw_totals": [1.0, 2.0, 3.0],
+              "promoted_unix_time": 2_000_000_000,
+              "promoted_engine_dirty": False}
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    (tmp_path / "SURVEY.md").write_text(
+        "status\nBENCH_DETAIL draw_totals: 1/2/3\n")
+    # an engine path older than the stamp, so freshness has a comparison
+    (tmp_path / "bench.py").write_text("# engine\n")
+    git("add", "-A")
+    git("commit", "-q", "-m", "consistent evidence pair")
+    # consistent at HEAD: both gates green
+    _check_bench_detail_fresh(repo)
+    _check_survey_marker(repo)
+    # now diverge the WORKING TREE only (uncommitted newer promotion,
+    # stale stamp and mismatched totals): both gates must stay green
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(
+        {"draw_totals": [9.0, 9.0, 9.0], "promoted_engine_dirty": True}))
+    (tmp_path / "SURVEY.md").write_text("no marker at all\n")
+    _check_bench_detail_fresh(repo)
+    _check_survey_marker(repo)
 
 
 def test_red_gate_refusal_names_failing_tests(monkeypatch, capsys):
