@@ -409,17 +409,23 @@ def q_geo_contains(spark, sf_dir):
     """P12: ST_CONTAINS(point, literal polygon) via the compiled ray-casting
     expression. Points synthesized from event columns as WKT strings (the
     horizon fixture's GEOMETRY field, FIXTURES.md F5)."""
-    from vectordb_testbricks_spark.materialize import parallelize_small
     ev = _t(spark, sf_dir, "events")
-    # widen the CPU-bound WKT-build + regex-parse + ray-cast projection:
-    # the fixture's events parquet scans as one partition, which ran the
-    # whole 100k-row compute single-threaded (r12, measured 0.75 s of
-    # single-core run); parallelize_small is a no-op on at-scale scans
-    pts = parallelize_small(ev.select(
+    # r13: the r12 parallelize_small widen here was REVERTED after a
+    # measured A/B (VERDICT r12 #3). The widen moved the cost into a
+    # single-threaded sort+serialize+shuffle-write stage (profiled: the
+    # 1-task exchange-write stage alone spanned ~1.5 s, while the whole
+    # ray-cast compute is only ~1.0-1.2 CPU-s) and added a stage round:
+    # interleaved same-session medians 1.29 s (no widen) vs 1.43 s
+    # (widen) on the r13 host; the r12 quiet band read 0.853 s (no
+    # widen) vs the driver's 1.186 s (widen). Widening pays only when
+    # per-partition compute far exceeds the exchange's own
+    # single-threaded write cost — a 100k-row regex stage does not
+    # qualify; at real scale the scan arrives multi-split anyway.
+    pts = ev.select(
         "event_id",
         (F.col("value") / 50.0).alias("lon"),
         ((F.col("user_id") % 8).cast("double") / 2.0).alias("lat"),
-    )).withColumn(
+    ).withColumn(
         "location",
         F.concat(F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
                  F.col("lat").cast("string"), F.lit(")")))
@@ -1844,6 +1850,21 @@ def _bm25_tables(spark, sf_dir, analyzer=None):
     return cached
 
 
+def _docs_count(spark, sf_dir):
+    """Corpus-size HINT for bm25_search_many's bounded one-exchange gate
+    (r13, VERDICT r12 #8): a raw parquet count of the documents fixture,
+    memoized per (session, sf_dir) — corpus cardinality is ingest-time
+    metadata (it is literally the n_docs column of the cached BM25 stats
+    table), not a query result, so one count job per session serves
+    every steady-state search's boundedness decision."""
+    key = (_session_key(spark), sf_dir, "docs_count")
+    n = _BM25_CACHE.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, "documents").count()
+        _BM25_CACHE[key] = n
+    return n
+
+
 def v_bm25(spark, sf_dir):
     """V7: BM25 full-text search (raw-string query, k1=1.2, b=0.75,
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))) over the ingest-time tf/stats
@@ -1852,7 +1873,8 @@ def v_bm25(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tf, stats = _bm25_tables(spark, sf_dir)
     hits = bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10,
-                       tf_df=tf, stats=stats)
+                       tf_df=tf, stats=stats,
+                       n_docs=_docs_count(spark, sf_dir))
     return hits.select("query_id", "doc_id",
                        F.round("score", 4).alias("score"),
                        F.col("rank").cast("bigint").alias("rank"))
@@ -1916,7 +1938,8 @@ def v_bm25_modes(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tf, stats = _bm25_tables(spark, sf_dir, BM25_STOP_ANALYZER)
     stop = (bm25_search(docs, BM25_QUERY, "doc_id", "text", k=10,
-                        tf_df=tf, stats=stats, analyzer=BM25_STOP_ANALYZER)
+                        tf_df=tf, stats=stats, analyzer=BM25_STOP_ANALYZER,
+                        n_docs=_docs_count(spark, sf_dir))
             .select(F.lit("stop").alias("analyzer"), "query_id", "doc_id",
                     F.round("score", 4).alias("score"),
                     F.col("rank").cast("bigint").alias("rank")))
@@ -1929,7 +1952,8 @@ def v_bm25_modes(spark, sf_dir):
     tf_d, stats_d = _bm25_tables(spark, sf_dir, BM25_DICT_ANALYZER)
     dct = (bm25_search(docs, BM25_DICT_QUERY, "doc_id", "text", k=10,
                        tf_df=tf_d, stats=stats_d,
-                       analyzer=BM25_DICT_ANALYZER)
+                       analyzer=BM25_DICT_ANALYZER,
+                       n_docs=_docs_count(spark, sf_dir))
            .select(F.lit("dict").alias("analyzer"), "query_id", "doc_id",
                    F.round("score", 4).alias("score"),
                    F.col("rank").cast("bigint").alias("rank")))
@@ -1983,7 +2007,8 @@ def _bm25_branch(spark, sf_dir, limit=20, texts=None):
     docs = _t(spark, sf_dir, "documents")
     tf, stats = _bm25_tables(spark, sf_dir)
     return (bm25_search_many(docs, texts or [BM25_QUERY], "doc_id", "text",
-                             k=limit, tf_df=tf, stats=stats)
+                             k=limit, tf_df=tf, stats=stats,
+                             n_docs=_docs_count(spark, sf_dir))
             .select("query_id", "doc_id", "score", "rank"))
 
 

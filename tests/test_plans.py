@@ -87,6 +87,40 @@ def test_bm25_broadcasts_stats_and_query_terms(tables):
     assert p.count("BroadcastExchange") >= 2  # stats + qterms
 
 
+def test_bm25_bounded_gate_picks_exchange_regime(tables):
+    """r13 (VERDICT r12 #8, guide §2.4): with an n_docs hint that PROVES
+    the matched stream small, the contrib aggregate re-keys by query_id
+    so the aggregate and the top-k window share ONE hash exchange; with
+    no hint (or an at-scale corpus) the classic two-exchange plan with
+    map-side partial aggregation must remain — shipping the raw
+    posting-match stream at scale would be the real regression."""
+    from vectordb_testbricks_spark.operators.bm25 import (
+        BOUNDED_ONE_EXCHANGE_MAX, bm25_search)
+    docs = tables["documents"].df
+
+    def hash_exchanges(n_docs):
+        p = _plan(bm25_search(docs, "spark query join", "doc_id", "text",
+                              k=5, n_docs=n_docs))
+        return [ln for ln in p.splitlines()
+                if "Exchange hashpartitioning" in ln]
+
+    classic = hash_exchanges(None)           # no hint: scale-safe default
+    bounded = hash_exchanges(100)            # provably tiny stream
+    too_big = hash_exchanges(BOUNDED_ONE_EXCHANGE_MAX)  # hint, but at scale
+    assert len(bounded) == len(classic) - 1
+    # the shared exchange is keyed by query_id ALONE (satisfies both the
+    # aggregate's clustering and the window's distribution)
+    assert any("query_id" in ln and "doc_id" not in ln for ln in bounded)
+    assert len(too_big) == len(classic)
+
+    # identical rows either way (the regimes differ only in plan shape)
+    a = sorted(map(tuple, bm25_search(docs, "spark query join", "doc_id",
+                                      "text", k=5).collect()))
+    b = sorted(map(tuple, bm25_search(docs, "spark query join", "doc_id",
+                                      "text", k=5, n_docs=100).collect()))
+    assert a == b and len(a) == 5
+
+
 def test_ivf_probe_join_broadcasts_probe_list(tables):
     from vectordb_testbricks_spark.operators.ann_index import (
         build_ivf, ivf_search)

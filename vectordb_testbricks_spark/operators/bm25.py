@@ -30,6 +30,14 @@ from vectordb_testbricks_spark.exprlang import compile_expr
 K1 = 1.2
 B = 0.75
 
+#: Matched-stream row bound below which the contrib aggregate may share
+#: one exchange with the top-k window (bm25_search_many ``n_docs`` hint):
+#: the one-exchange path drops map-side partial aggregation, which is
+#: only safe when the un-aggregated (query, doc, term) match stream is
+#: provably small. Each (doc, query-term-occurrence) pair matches at most
+#: once, so n_docs × Σ|query terms| is a hard upper bound on the stream.
+BOUNDED_ONE_EXCHANGE_MAX = 2_000_000
+
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str,
             analyzer: dict | None = None) -> DataFrame:
@@ -95,18 +103,20 @@ def bm25_search(docs: DataFrame, query_text: str, id_col: str, text_col: str,
                 k: int = 10, flt: str | Column | None = None,
                 tf_df: DataFrame | None = None,
                 stats: DataFrame | None = None,
-                analyzer: dict | None = None) -> DataFrame:
+                analyzer: dict | None = None,
+                n_docs: int | None = None) -> DataFrame:
     """V7: top-k documents for a raw-string query (query_id = 0).
 
     Pass pre-built ``tf_df``/``stats`` to reuse the ingest-time tables (the
     production path); otherwise they are derived on the fly. ``analyzer``
     (reference analyzer_params shape) applies to both corpus and query —
     pre-built tables must have been built with the same analyzer.
+    ``n_docs`` is the optional corpus-size hint (see bm25_search_many).
     Returns (query_id, <id_col>, score, rank), ties broken by id.
     """
     return bm25_search_many(docs, [query_text], id_col, text_col, k=k,
                             flt=flt, tf_df=tf_df, stats=stats,
-                            analyzer=analyzer)
+                            analyzer=analyzer, n_docs=n_docs)
 
 
 def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
@@ -114,7 +124,8 @@ def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
                      flt: str | Column | None = None,
                      tf_df: DataFrame | None = None,
                      stats: DataFrame | None = None,
-                     analyzer: dict | None = None) -> DataFrame:
+                     analyzer: dict | None = None,
+                     n_docs: int | None = None) -> DataFrame:
     """V7 at the reference's operating shape — nq query strings per call
     (search_permanently.py:99-101 drives batches of query vectors; the FTS
     analogue is a batch of raw strings). ``query_id`` = position in
@@ -124,6 +135,21 @@ def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
     foldable query_id would let Catalyst constant-fold the final top-k
     window's partition spec away (WindowExec "No Partition Defined"), and
     the per-query ranking must stay partitioned by query at any nq.
+
+    ``n_docs`` is a cheap caller-supplied corpus-size hint (same
+    convention as ``dedup.ngram_candidate_pairs(n_docs=)`` /
+    ``materialize.barrier_if_large``): when it PROVES the matched
+    (query, doc, term) stream small — n_docs × Σ|query term occurrences|
+    ≤ :data:`BOUNDED_ONE_EXCHANGE_MAX` is a hard upper bound, since each
+    (doc, term occurrence) matches at most once — the contrib aggregate
+    is re-keyed by ``repartition("query_id")`` so the aggregate's
+    clustered distribution on (query_id, id) AND the top-k window's
+    distribution on (query_id) ride ONE exchange instead of two (guide
+    §2.4; the same shape fusion._fuse_sum pins). Dropping map-side
+    partial aggregation is what the bound pays for; with no hint, or an
+    at-scale corpus, the classic partial-agg two-exchange plan is kept —
+    there the matched stream is the posting-match stream and shipping it
+    raw would be a scale regression (r12 "not yet optimized" #3).
     """
     if flt is not None:
         pred = flt if isinstance(flt, Column) else compile_expr(flt, docs)
@@ -155,9 +181,14 @@ def bm25_search_many(docs: DataFrame, query_texts: list[str], id_col: str,
     # empty list is invalid, so short-circuit explicitly)
     pre = (F.col("term").isin(all_terms) if all_terms else F.lit(False))
     matched = tf_df.filter(pre).join(F.broadcast(qterms_df), "term")
-    scored = (matched.join(F.broadcast(stats), "term")
-              .select("query_id", id_col, bm25_contrib().alias("contrib"))
-              .groupBy("query_id", id_col)
+    contribs = (matched.join(F.broadcast(stats), "term")
+                .select("query_id", id_col, bm25_contrib().alias("contrib")))
+    bounded = (n_docs is not None
+               and n_docs * max(len(qterm_rows), 1)
+               <= BOUNDED_ONE_EXCHANGE_MAX)
+    if bounded:
+        contribs = contribs.repartition("query_id")
+    scored = (contribs.groupBy("query_id", id_col)
               .agg(F.sum("contrib").alias("score")))
     from vectordb_testbricks_spark.operators.search import _ranked
     return _ranked(scored, id_col, asc=False, k=k)
