@@ -2956,7 +2956,8 @@ def dd_minhash(spark, sf_dir):
     Jaccard ≥ 0.7 on candidates."""
     from vectordb_testbricks_spark.operators.dedup import minhash_lsh_dedup
     pairs = minhash_lsh_dedup(_doubled_docs(spark, sf_dir), "doc_id", "text",
-                              threshold=0.7, shingle_n=3)
+                              threshold=0.7, shingle_n=3,
+                              n_docs=_doubled_docs_count(spark, sf_dir))
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -323,25 +323,49 @@ def test_batched_nq16_scores_once(spark):
     assert "aggregate" not in join and "isnotnull" not in join, join[:200]
 
 
-def test_lsh_bucket_join_reads_persisted_table_twice(spark):
-    """The banded-LSH self-join must consume the PERSISTED bucket relation
-    on both sides (two InMemoryTableScans), never re-evaluate the
-    signature subtree per side — the signature array is the pipeline's
-    costliest expression (num_hashes × |codes| ops per row; 2× evaluation
-    doubled dd_minhash_1m's candidate stage)."""
-    from pyspark.sql import functions as F
+def test_lsh_candidate_stage_picks_regime_from_hint(spark):
+    """r13 (VERDICT r12 #5), both regimes measured both ways:
+
+    * hinted small corpus → bucket-local pair emit (groupBy(key) +
+      chained generators, NO self-join): removes the join's per-call
+      broadcast hash-relation build and the second pass over the bucket
+      relation (sf0.1 pipeline medians 1.28 s vs 1.63 s, rows identical);
+    * no hint / at-scale hint → the original self-join, which WINS at
+      1M docs (3.3 s vs 20.4 s warm, same session): collect_list there
+      is an ObjectHashAggregate over ~bands×n_docs nearly-unique keys,
+      hash aggregation's worst case. The hint gate keeps each shape in
+      the regime where it measured faster."""
     from vectordb_testbricks_spark.operators.dedup import (
         lsh_candidate_pairs, minhash_signatures)
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(20)],
         "doc_id long, text string")
     sigs = minhash_signatures(docs, "doc_id", "text")
-    p = _plan(lsh_candidate_pairs(sigs, "doc_id"))
-    assert p.count("InMemoryTableScan") >= 2, p
-    # bucket key is a single xxhash64 bigint, and the join is keyed on it
+
+    # hinted small corpus: bucket-local emit, single bucket-table pass
+    p = _plan(lsh_candidate_pairs(sigs, "doc_id", n_docs=20))
     assert "xxhash64" in p, p
-    join_lines = [l for l in p.splitlines() if "Join [key#" in l]
-    assert join_lines, p
+    assert not [l for l in p.splitlines() if "Join [key#" in l], p
+    # pair emission is generator-chained (posexplode + explode), never a
+    # quadratic per-bucket array in one projection
+    assert p.count("Generate") >= 2, p
+    # exactly two hash exchanges: groupBy(key) and the distinct — the
+    # join's extra leg/broadcast is gone
+    assert sum("Exchange hashpartitioning" in l
+               for l in p.splitlines()) == 2, p
+    # a self-join would scan the persisted bucket relation twice (plus
+    # the token barrier in its lineage) — single-pass stays <= 2
+    assert 1 <= p.count("InMemoryTableScan") <= 2, p
+
+    # no hint (scale-conservative default): the self-join, consuming the
+    # PERSISTED bucket relation on both sides — never re-evaluating the
+    # signature subtree per side (the pipeline's costliest expression)
+    pj = _plan(lsh_candidate_pairs(sigs, "doc_id"))
+    assert pj.count("InMemoryTableScan") >= 2, pj
+    assert [l for l in pj.splitlines() if "Join [key#" in l], pj
+    # at-scale hint behaves like no hint
+    ps = _plan(lsh_candidate_pairs(sigs, "doc_id", n_docs=10_000_000))
+    assert [l for l in ps.splitlines() if "Join [key#" in l], ps
 
 
 def test_ngram_candidate_join_reads_persisted_posting_twice(spark):
