@@ -51,11 +51,38 @@ def _reclaimed_tmpdir(prefix: str) -> str:
     return d
 
 
+#: Module-level session caches keyed (applicationId, ...) — registered
+#: here so _session_key can drop a dead application's entries the moment
+#: a new SparkContext shows up (ADVICE r12: a long-lived process cycling
+#: sessions accumulated dead-app entries pinning DataFrame handles and
+#: their broadcasts forever). Last-app-wins: exactly one application's
+#: entries live at a time.
+_APP_CACHE_NAMES = (
+    "_NGRAM_CACHE", "_KNN_POOL_CACHE", "_BM25_CACHE", "_IVF_CACHE",
+    "_IVF_DISK_CACHE", "_BIN_IVF_CACHE", "_SQ8_CACHE",
+    "_PART_LIFECYCLE_CACHE",
+)
+_LAST_APP_ID: list = [None]
+
+
 def _session_key(spark: SparkSession) -> str:
     """Cache key for per-session ingest-time tables. applicationId is unique
     per SparkContext lifetime; id(spark) is not (CPython reuses addresses
-    after GC, which would hand back DataFrames bound to a stopped session)."""
-    return spark.sparkContext.applicationId
+    after GC, which would hand back DataFrames bound to a stopped session).
+    Side effect: on an applicationId CHANGE, evicts every registered
+    session cache's entries from the previous application (see
+    _APP_CACHE_NAMES)."""
+    app = spark.sparkContext.applicationId
+    if _LAST_APP_ID[0] != app:
+        if _LAST_APP_ID[0] is not None:
+            g = globals()
+            for name in _APP_CACHE_NAMES:
+                cache = g.get(name)
+                if isinstance(cache, dict):
+                    for k in [k for k in cache if k[0] != app]:
+                        del cache[k]
+        _LAST_APP_ID[0] = app
+    return app
 
 
 # =========================================================== scalar queries

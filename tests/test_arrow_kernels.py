@@ -608,4 +608,11 @@ class TestCodeOrderPostingMemo:
             assert p3 is not p1
         finally:
             codes.unpersist()
-            dedup.drop_posting_memo(codes)
+            # evict the MEMO VALUES (ADVICE r12: dropping `codes` was a
+            # no-op — it is never a memo value — and leaked p3's handle
+            # over the now-unpersisted codes cache into later tests);
+            # locals() guards the early-assertion-failure path where p3
+            # or jvm were never bound
+            for h in (locals().get("p3"), locals().get("jvm")):
+                if h is not None:
+                    dedup.drop_posting_memo(h)

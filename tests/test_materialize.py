@@ -150,3 +150,31 @@ def test_ntz_source_is_watermarkable_end_to_end(spark, tmp_path):
     # append mode emits watermark-closed windows; the stream ran without
     # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — that is the regression guard
     assert spark.table("ntz_wm_out").count() >= 1
+
+
+def test_session_caches_evict_dead_app_entries(spark):
+    """ADVICE r12: module-level session caches (keyed by applicationId)
+    must not accumulate entries from stopped SparkContexts — on an
+    applicationId change, _session_key drops the previous application's
+    entries from every registered cache (last-app-wins), and the
+    catalog/dedup memos evict dead-app keys on insert."""
+    import __spark_entry__ as E
+    from vectordb_testbricks_spark.catalog import _evict_dead_apps
+
+    app = spark.sparkContext.applicationId
+    # simulate a stale previous application
+    E._LAST_APP_ID[0] = "app-dead"
+    E._BM25_CACHE[("app-dead", "/x", None)] = ("stale",)
+    E._IVF_CACHE[("app-dead", "/x")] = "stale"
+    live_marker = (app, "/keep", None)
+    E._BM25_CACHE[live_marker] = ("live",)
+    assert E._session_key(spark) == app
+    assert not [k for k in E._BM25_CACHE if k[0] == "app-dead"]
+    assert not [k for k in E._IVF_CACHE if k[0] == "app-dead"]
+    assert E._BM25_CACHE.get(live_marker) == ("live",)   # live entries stay
+    del E._BM25_CACHE[live_marker]
+
+    # the helper the catalog/dedup memos use at insert time
+    cache = {("app-dead", 1): "x", (app, 2): "y"}
+    _evict_dead_apps(cache, app)
+    assert cache == {(app, 2): "y"}

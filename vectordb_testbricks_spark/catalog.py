@@ -74,7 +74,14 @@ _NANO_COLS_CACHE: dict[str, list[str]] = {}
 #: PLAN metadata only — every action against the handle still scans the
 #: parquet files; no rows are memoized. Keyed by applicationId (unique per
 #: SparkContext lifetime) so a stopped session can never serve stale
-#: handles to its successor.
+#: handles to its successor; entries from dead applicationIds are evicted
+#: on the next miss (ADVICE r12).
+#:
+#: IMMUTABLE-INPUT CONTRACT (ADVICE r12): a cached handle's captured file
+#: listing (and any downstream persisted data) reflects the path at first
+#: load. Every load_table caller reads immutable fixtures; code that
+#: rewrites a parquet path in-place within one session (mutable/scratch
+#: corpora) must use the manager's versioned storage — never load_table.
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -97,22 +104,39 @@ def _nano_ts_columns(path: str) -> list[str]:
     return out
 
 
+def _evict_dead_apps(cache: dict, app_id: str) -> None:
+    """Drop cache entries left by a previous SparkContext (ADVICE r12:
+    a long-lived process cycling sessions would otherwise accumulate
+    dead-app entries pinning DataFrame handles forever). Keys start with
+    the owning applicationId by convention."""
+    dead = [k for k in cache if k[0] != app_id]
+    for k in dead:
+        del cache[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cache_key = (spark.sparkContext.applicationId, path)
-    cached_df = _TABLE_CACHE.get(cache_key)
-    if cached_df is not None:
-        return cached_df
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         # must hold for any caller-supplied session (the driver's included):
-        # without it Spark refuses TIMESTAMP(NANOS) parquet outright
+        # without it Spark refuses TIMESTAMP(NANOS) parquet outright.
+        # Applied BEFORE the cache-hit return (ADVICE r12): a second
+        # session sharing the SparkContext (newSession) hits the
+        # app-keyed cache, and the handle it receives must pair with the
+        # conf set on THAT session, not only on the one that first
+        # loaded the table.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # already set via builder, or conf is read-only here
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, path)
+    cached_df = _TABLE_CACHE.get(cache_key)
+    if cached_df is not None:
+        return cached_df
+    _evict_dead_apps(_TABLE_CACHE, app_id)
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
