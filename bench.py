@@ -109,16 +109,29 @@ def _require_green_suite() -> dict:
     # replace, and gating that run on the artifact already being fresh
     # would deadlock re-promotion (every other pytest invocation —
     # pre-commit, the driver, the judge — still enforces it)
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "-rf",
-         "--deselect",
-         "tests/test_bench_contract.py::"
-         "test_bench_detail_fresh_vs_engine_commits"],
-        cwd=repo, capture_output=True, text=True, env=env)
-    tail = (r.stdout or "").strip().splitlines()
-    summary = tail[-1] if tail else ""
-    print(f"# pytest: {summary}", file=sys.stderr, flush=True)
-    if r.returncode != 0:
+    deselect = ["--deselect",
+                "tests/test_bench_contract.py::"
+                "test_bench_detail_fresh_vs_engine_commits"]
+    # the gate runs SHARDED by default (r13, VERDICT r12 #7): the serial
+    # suite's 11-30 min wall is why end-of-round promotions kept being
+    # cut off mid-round. Same tests, same pass criteria — test files are
+    # just split across N concurrent pytest subprocesses (each its own
+    # local[8] session; 4 shards saturate the 32-core box).
+    # SPARK_GRAFT_GATE_SHARDS=1 restores the single-process gate.
+    n_shards = int(os.environ.get("SPARK_GRAFT_GATE_SHARDS", "4"))
+    if n_shards > 1:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        from run_suite_sharded import run_sharded
+        res = run_sharded(n_shards, deselect, env=env)
+        summary, rc, failed = res["summary"], res["rc"], res["failed"]
+    else:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-rf",
+             *deselect],
+            cwd=repo, capture_output=True, text=True, env=env)
+        tail = (r.stdout or "").strip().splitlines()
+        summary = tail[-1] if tail else ""
+        rc = r.returncode
         # -rf's short summary names the culprits — copy them into the
         # refusal record, bounded to the driver's ~2 KB tail-capture
         # window (judge r11 task 2: the r11 red gate erased the round's
@@ -126,6 +139,8 @@ def _require_green_suite() -> dict:
         # reproducing it under synthetic load)
         failed = [ln.split(" - ")[0][:160] for ln in tail
                   if ln.startswith(("FAILED", "ERROR"))][:8]
+    print(f"# pytest: {summary}", file=sys.stderr, flush=True)
+    if rc != 0:
         print(json.dumps({
             "metric": "headline_queries_total_wall_clock",
             "error": "refusing to bench: pytest tests/ is RED",

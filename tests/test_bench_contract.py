@@ -296,6 +296,7 @@ def test_red_gate_refusal_names_failing_tests(monkeypatch, capsys):
         return FakeProc()
 
     monkeypatch.delenv("SPARK_GRAFT_BENCH_REQUIRE_GREEN", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_GATE_SHARDS", "1")  # single-process path
     monkeypatch.setattr(subprocess, "run", fake_run)
     import pytest as _pytest
     with _pytest.raises(SystemExit):
@@ -318,10 +319,54 @@ def test_green_gate_passes_through(monkeypatch):
         stderr = ""
 
     monkeypatch.delenv("SPARK_GRAFT_BENCH_REQUIRE_GREEN", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_GATE_SHARDS", "1")
     monkeypatch.setattr(subprocess, "run", lambda cmd, **kw: FakeProc())
     out = bench._require_green_suite()
     assert out == {"tests_green": True,
                    "tests_summary": "374 passed in 600.00s"}
+
+
+def test_sharded_gate_aggregates_and_propagates_failures(monkeypatch):
+    """r13 (VERDICT r12 #7): the default gate runs the suite SHARDED —
+    same tests, same pass criteria, N concurrent pytest subprocesses.
+    The aggregation must sum per-shard counts, carry failing-test names
+    into the refusal record, and go red if ANY shard is red."""
+    import subprocess
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import run_suite_sharded as rss
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        assert "-rf" in cmd
+
+        class P:
+            returncode = 0 if len(calls) > 1 else 1
+            stderr = ""
+            stdout = ("FAILED tests/test_x.py::test_boom - AssertionError\n"
+                      "1 failed, 10 passed in 5.00s"
+                      if len(calls) == 1 else "20 passed in 4.00s")
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    res = rss.run_sharded(3, ["--deselect", "x"])
+    assert len(calls) == 3
+    assert all("--deselect" in c for c in calls)
+    assert res["rc"] == 1
+    assert res["summary"].startswith("1 failed, 50 passed")
+    assert any("test_boom" in f for f in res["failed"])
+    # every test file is covered exactly once across the shards
+    sharded_files = [f for c in calls for f in c
+                     if str(f).startswith("tests/")]
+    import glob
+    all_files = sorted(os.path.relpath(p, rss.REPO) for p in glob.glob(
+        os.path.join(rss.REPO, "tests", "test_*.py")))
+    assert sorted(sharded_files) == all_files
 
 
 def test_scratch_dirs_cover_spark_local_dirs(monkeypatch):

@@ -57,11 +57,21 @@ def test_barrier_if_large_gates_on_row_hint(spark):
 
 
 def test_parallelize_small_widens_narrow_input(spark):
-    from vectordb_testbricks_spark.materialize import parallelize_small
+    """r13: the width is DERIVED FROM the plan's estimated size (guide
+    §2.2/§2.5 — fewer, larger tasks for tiny inputs), clamped to
+    [WIDEN_MIN_TASKS, defaultParallelism]. A 100-row range lands at the
+    floor; a ≥ cap×32KB estimate still widens to every core."""
+    from vectordb_testbricks_spark.materialize import (
+        WIDEN_MIN_TASKS, WIDEN_TARGET_BYTES_PER_TASK, parallelize_small)
     narrow = spark.range(0, 100, 1, numPartitions=1)
     wide = parallelize_small(narrow)
-    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == WIDEN_MIN_TASKS
     assert wide.count() == 100
+    cap = spark.sparkContext.defaultParallelism
+    # 8 bytes/row for a range: enough rows to exceed cap × target bytes
+    rows = (cap * WIDEN_TARGET_BYTES_PER_TASK) // 8 + 1
+    big = spark.range(0, rows, 1, numPartitions=1)
+    assert parallelize_small(big).rdd.getNumPartitions() == cap
 
 
 def test_parallelize_small_is_noop_at_scale_width(spark):
@@ -85,7 +95,8 @@ def test_parallelize_small_ignores_wide_looking_identifiers(spark):
         (F.col("id") + 1).alias("WindowStart"))
     assert "JoinDate" in narrow._jdf.queryExecution().optimizedPlan().toString()
     wide = parallelize_small(narrow)
-    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # widened (beyond the 1-partition input); exact width is size-derived
+    assert wide.rdd.getNumPartitions() > 1
 
 
 def test_parallelize_small_skips_shuffled_plans(spark):
